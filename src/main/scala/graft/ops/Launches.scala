@@ -1,0 +1,8 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object Launches {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}

@@ -1,0 +1,442 @@
+package graft.ops
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational engine capability: scans, projections, filters, joins (all
+  * kinds), hash aggregation, windows, rollup, set ops, sort/limit/top-k.
+  *
+  * The reference's own relational surface is tiny — one single-table
+  * GROUP BY mart (`/root/reference/dbt/models/marts/fct_spacex_launches_by_year.sql:3-11`)
+  * over a cast-only staging view
+  * (`/root/reference/dbt/models/staging/stg_spacex_launches.sql:3-24`) — so
+  * most rows here are the ABSENT-in-reference capabilities from SURVEY.md
+  * §2.2–2.9, expressed over the TPC-H-ish testdata.
+  *
+  * Scale stance (100 TB): every query is a declarative plan — filters and
+  * projections reach the parquet scan, aggregates use partial+final
+  * HashAggregate, dimension joins broadcast the bounded side
+  * (region/nation/supplier/part — broadcast-sized at every sf per
+  * FIXTURES.md), fact-fact joins shuffle on their keys and rely on AQE for
+  * skew/coalescing. No collect(), no driver-side loops.
+  *
+  * Determinism for the DuckDB oracle: every output ends with a total ORDER BY
+  * (unique tie-break), double aggregates go through [[graft.Exact]], and no
+  * nondeterministic functions appear.
+  */
+object Relational {
+
+  private def yearL(c: Column): Column = year(c).cast("long")
+
+  /** `sum(l_extendedprice * (1 - l_discount))` in exact integer cents×bp —
+    * see [[graft.Exact.scaledLong]] for why products can't sum as doubles. */
+  private def revenueSum: Column =
+    sum(Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount"))))
+      .cast("double") / lit(10000.0)
+
+  private val revenueSumSql: String =
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0"
+
+  /** Exact money sum (integer cents → double): safe at any magnitude, unlike
+    * a double→decimal cast path (see [[graft.Exact.dsum]] caveat). */
+  private def moneySum(c: Column): Column =
+    sum(Exact.cents(c)).cast("double") / lit(100.0)
+
+  private def moneySumSql(x: String): String =
+    s"CAST(sum(CAST(round($x * 100) AS BIGINT)) AS DOUBLE) / 100.0"
+
+  /** TPC-H Q1-shaped pricing summary: filter → groupBy → exact sums/avgs.
+    * Covers SURVEY §2.4 A1/A2/A9 + §2.2 P5 (the reference's mart shape,
+    * `fct_spacex_launches_by_year.sql:4-10`, generalized to two keys). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        (sum(Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount"))))
+          .cast("double") / lit(10000.0)).as("sum_disc_price"),
+        (sum(Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount")))
+          * (lit(100L) + Exact.cents(col("l_tax")))).cast("double") / lit(1000000.0)).as("sum_charge"),
+        Exact.davg(col("l_quantity")).as("avg_qty"),
+        Exact.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
+      |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-k by sort: TakeOrderedAndProject, tie-broken on the unique key.
+    * SURVEY §2.7 O2 (`/root/reference/README.md:102`). */
+  def q02TopkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  val q02Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  /** Revenue per (region, nation): fact scan joined to three broadcast dims.
+    * Joins are ABSENT in the reference (SURVEY §2.3) — this is the canonical
+    * star-join the `rocket` FK (`/root/reference/README.md:117`) never got.
+    * At 100 TB the dims stay broadcast-sized; only lineitem shuffles (into
+    * the final small aggregation). */
+  def q03RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val na = Tables.nation(s, dir)
+    val re = Tables.region(s, dir)
+    li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        revenueSum.as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q03Oracle: String =
+    s"""SELECT r_name, n_name,
+      |  $revenueSumSql AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Fact-fact equi join (orders ⋈ customer) + groupBy: at scale this is a
+    * shuffle join on o_custkey/c_custkey (customer is NOT broadcast — it
+    * grows with sf), AQE handles skew. */
+  def q04SegmentOrderStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        (moneySum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q04Oracle: String =
+    s"""SELECT c_mktsegment,
+      |  count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  ${moneySumSql("o_totalprice")} AS total_price,
+      |  ${moneySumSql("o_totalprice")} / count(*) AS avg_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers with no orders, counted per nation.
+    * SURVEY §2.3 semi/anti row. */
+  def q05CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val na = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(na), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val q05Oracle: String =
+    """SELECT n_name, count(*) AS n_customers_no_orders
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q6 shape: tight filter + ungrouped sum — the whole query folds
+    * into one scan with pushed predicates (check `.explain`: PushedFilters on
+    * l_shipdate; only 4 columns read). */
+  def q06RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(25.0))
+      .agg(
+        Exact.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q06Oracle: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 25.0""".stripMargin
+
+  /** Ranking window: top-3 orders per market segment (SURVEY §2.5).
+    * row_number over (segment, price desc, key) — deterministic tie-break. */
+  def q07Top3PerSegment(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  val q07Oracle: String =
+    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** Analytic window: monthly revenue + running cumulative total (SURVEY
+    * §2.5 running-totals row). The monthly aggregate shrinks the data before
+    * the window, so the unbounded-preceding frame runs over ~tens of rows
+    * even at 100 TB. */
+  def q08MonthlyRunningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("revenue_cents"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .select(
+        col("month"),
+        (col("revenue_cents").cast("double") / lit(100.0)).as("revenue"),
+        col("n_orders"),
+        (sum(col("revenue_cents")).over(w).cast("double") / lit(100.0)).as("running_revenue"))
+      .orderBy(col("month"))
+  }
+
+  val q08Oracle: String =
+    """WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT month,
+      |  CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue,
+      |  n_orders,
+      |  CAST(sum(revenue_cents) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_revenue
+      |FROM monthly ORDER BY month""".stripMargin
+
+  /** Exact + approximate distinct (SURVEY §2.4 A7): exact countDistinct per
+    * group. (approx_count_distinct is deliberately NOT oracle-checked — HLL
+    * implementations differ across engines; it gets a spec instead.) */
+  def q09DistinctCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), yearL(col("o_orderdate")).as("order_year"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"), col("order_year"))
+
+  val q09Oracle: String =
+    """SELECT o_orderstatus, year(o_orderdate) AS order_year,
+      |  count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** ROLLUP (SURVEY §2.4 A8): subtotals + grand total over (year, priority);
+    * grouping() columns disambiguate NULL-key rows from real NULLs. */
+  def q10RollupOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("order_year", yearL(col("o_orderdate")))
+      .rollup(col("order_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        grouping(col("o_orderpriority")).cast("long").as("is_year_total"),
+        grouping(col("order_year")).cast("long").as("is_grand_total"))
+      .orderBy(col("is_grand_total"), col("order_year").asc_nulls_first,
+        col("is_year_total"), col("o_orderpriority").asc_nulls_first)
+
+  val q10Oracle: String =
+    s"""SELECT year(o_orderdate) AS order_year, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  ${moneySumSql("o_totalprice")} AS total_price,
+      |  GROUPING(o_orderpriority) AS is_year_total,
+      |  GROUPING(year(o_orderdate)) AS is_grand_total
+      |FROM orders
+      |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+      |ORDER BY is_grand_total, order_year ASC NULLS FIRST, is_year_total, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Set operations (SURVEY §2.9): customers active in 1996 vs 1997 —
+    * INTERSECT / EXCEPT / UNION, one labeled count per op. */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def custIn(y: Int): DataFrame =
+      o.filter(yearL(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    val a = custIn(1996)
+    val b = custIn(1997)
+    val rows = Seq(
+      ("both_years", a.intersect(b)),
+      ("only_1996", a.except(b)),
+      ("only_1997", b.except(a)),
+      ("either_year", a.union(b).distinct()))
+    rows.map { case (label, df) =>
+      df.agg(count(lit(1)).as("n_customers")).select(lit(label).as("cohort"), col("n_customers"))
+    }.reduce(_.unionByName(_)).orderBy(col("cohort"))
+  }
+
+  val q11Oracle: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT * FROM (
+      |  SELECT 'both_years' AS cohort, count(*) AS n_customers FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'only_1996', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'only_1997', count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |  UNION ALL
+      |  SELECT 'either_year', count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+      |ORDER BY cohort""".stripMargin
+
+  /** Semi join (EXISTS): parts that ship in large quantities, with per-brand
+    * counts. left_semi keeps the probe side only — no row multiplication. */
+  def q12SemiJoinParts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= lit(45.0))
+      .select(col("l_partkey"))
+    p.join(big, col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q12Oracle: String =
+    """SELECT p_brand, count(*) AS n_parts
+      |FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45.0)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** The reference mart, re-expressed over testdata with its NULL quirk
+    * intact (SURVEY §2.6; `fct_spacex_launches_by_year.sql:4-10`):
+    * `success := nullif(o_orderstatus,'P') = 'F'` is three-valued (NULL for
+    * status 'P'), `CASE WHEN success THEN 1 ELSE 0` sends NULL to the else
+    * branch in BOTH conditional sums, so completed + other = n_orders and
+    * NULL inflates the rate denominator — exactly the reference's documented
+    * behavior (`/root/reference/README.md:140`). Rate is a raw IEEE division
+    * (no rounding) for bit-exact oracle parity. */
+  def q13StatusRateByYear(s: SparkSession, dir: String): DataFrame = {
+    val succ = nullif(col("o_orderstatus"), lit("P")) === lit("F")
+    Tables.orders(s, dir)
+      .groupBy(yearL(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(succ, 1L).otherwise(0L)).as("completed"),
+        sum(when(succ, 0L).otherwise(1L)).as("other"))
+      .withColumn("completed_rate_pct",
+        lit(100.0) * col("completed") / nullif(col("n_orders"), lit(0L)))
+      .orderBy(col("order_year"))
+  }
+
+  val q13Oracle: String =
+    """SELECT order_year, n_orders, completed, other,
+      |  100.0 * completed / nullif(n_orders, 0) AS completed_rate_pct
+      |FROM (
+      |  SELECT year(o_orderdate) AS order_year,
+      |    count(*) AS n_orders,
+      |    sum(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 1 ELSE 0 END) AS completed,
+      |    sum(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 0 ELSE 1 END) AS other
+      |  FROM orders GROUP BY 1) t
+      |ORDER BY order_year""".stripMargin
+
+  /** Multi-way join depth: lineitem→orders→customer→nation→region with a
+    * selective order-date filter. Customer/orders shuffle; nation/region
+    * broadcast. TPC-H Q5 shape (local-supplier condition dropped — supplier
+    * nation join covered by q03). */
+  def q14OrderRevenueByRegion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(yearL(col("o_orderdate")) === 1997)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val na = Tables.nation(s, dir)
+    val re = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(na), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        revenueSum.as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  val q14Oracle: String =
+    s"""SELECT r_name,
+      |  $revenueSumSql AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE year(o_orderdate) = 1997
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"      -> (q01PricingSummary _),
+    "q02_topk_orders"          -> (q02TopkOrders _),
+    "q03_revenue_by_nation"    -> (q03RevenueByNation _),
+    "q04_segment_order_stats"  -> (q04SegmentOrderStats _),
+    "q05_customers_no_orders"  -> (q05CustomersWithoutOrders _),
+    "q06_revenue_filter"       -> (q06RevenueFilter _),
+    "q07_top3_per_segment"     -> (q07Top3PerSegment _),
+    "q08_monthly_running_rev"  -> (q08MonthlyRunningRevenue _),
+    "q09_distinct_customers"   -> (q09DistinctCustomers _),
+    "q10_rollup_orders"        -> (q10RollupOrders _),
+    "q11_set_ops"              -> (q11SetOps _),
+    "q12_semi_join_parts"      -> (q12SemiJoinParts _),
+    "q13_status_rate_by_year"  -> (q13StatusRateByYear _),
+    "q14_order_revenue_by_region" -> (q14OrderRevenueByRegion _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"      -> q01Oracle,
+    "q02_topk_orders"          -> q02Oracle,
+    "q03_revenue_by_nation"    -> q03Oracle,
+    "q04_segment_order_stats"  -> q04Oracle,
+    "q05_customers_no_orders"  -> q05Oracle,
+    "q06_revenue_filter"       -> q06Oracle,
+    "q07_top3_per_segment"     -> q07Oracle,
+    "q08_monthly_running_rev"  -> q08Oracle,
+    "q09_distinct_customers"   -> q09Oracle,
+    "q10_rollup_orders"        -> q10Oracle,
+    "q11_set_ops"              -> q11Oracle,
+    "q12_semi_join_parts"      -> q12Oracle,
+    "q13_status_rate_by_year"  -> q13Oracle,
+    "q14_order_revenue_by_region" -> q14Oracle,
+  )
+}
