@@ -21,7 +21,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+    * as a timestamp (PARQUET_TYPE_ILLEGAL). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests do);
+    * the raw ns long is then floor-converted here to the µs TimestampType
+    * the rest of the engine expects (FIXTURES.md: "ns — Spark truncates to
+    * µs; align oracle"). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,8 +1,204 @@
 package graft.ops
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators (SURVEY.md §2.11 — mandated LLM-pipeline
+  * extensions): exact (hash groupBy + latest-per-key window), MinHash+LSH
+  * near-dup (shingle → minhash → band → bucket join → Jaccard verify), and
+  * SimHash.
+  *
+  * Scale design (100 TB): nothing here is O(n²). Exact dedup is one
+  * hash-partitioned groupBy. MinHash LSH reduces the near-dup search to a
+  * self-equi-join on (band_idx, band_hash) — candidates shuffle only by
+  * bucket, and the expensive Jaccard verification runs on candidate pairs
+  * only (planted near-dups at Jaccard ≈0.99 ⇒ band-collision probability
+  * ≈1 with 4 bands × 2 rows). SimHash maps each doc to a 16-bit signature
+  * whose buckets cluster near-dups with no pairwise work at all.
+  *
+  * All hashing is md5 (identical hex output in Spark and DuckDB) so every
+  * step — including the LSH pipeline — is oracle-checkable.
+  */
 object Dedup {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Latest-row-per-key dedup — the canonical window dedup the reference's
+    * append-mode ingest implicitly needs (SURVEY.md §2.5:
+    * `airflow/dags/spacex_api_dag.py:49` appends daily snapshots and nothing
+    * ever dedups them; `README.md:80` sidesteps with replace). Key =
+    * (lang, source), recency = doc_id. */
+  def q44LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id").desc)
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id").as("latest_doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q44Oracle: String =
+    """SELECT lang, source, doc_id AS latest_doc_id, n_chars FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id DESC) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1
+      |ORDER BY lang, source""".stripMargin
+
+  /** Exact duplicate detection: group by content hash. Emits corpus-level
+    * stats (total docs, distinct texts, duplicate groups/docs) — one row. */
+  def q45ExactDupStats(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    groups.agg(
+      sum(col("n")).as("n_docs"),
+      count(lit(1)).as("n_distinct_texts"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"))
+  }
+
+  val q45Oracle: String =
+    """SELECT sum(n) AS n_docs, count(*) AS n_distinct_texts,
+      |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+      |  sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup_docs
+      |FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1) g""".stripMargin
+
+  private val NumHashes = 8
+  private val BandRows = 2 // 4 bands × 2 rows
+
+  /** doc_id + distinct 5-gram shingle set + minhash signature m0..m7. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.shingles5(Text.tokens(col("text"))).as("sh"))
+    (0 until NumHashes).foldLeft(base) { (df, i) =>
+      df.withColumn(s"m$i",
+        array_min(transform(col("sh"), g => md5(concat(lit(s"$i|"), g).cast("binary")))))
+    }
+  }
+
+  private def signaturesSql: String = {
+    val toks = Text.tokensSql
+    val mins = (0 until NumHashes)
+      .map(i => s"  list_min(list_transform(sh, g -> md5('$i|' || g))) AS m$i")
+      .mkString(",\n")
+    s"""sigs AS (
+       |  SELECT doc_id, sh,
+       |$mins
+       |  FROM (SELECT doc_id, ${Text.shingles5Sql(toks)} AS sh FROM documents) d)""".stripMargin
+  }
+
+  /** MinHash + LSH near-duplicate pairs, Jaccard-verified.
+    *
+    * shingle(5-gram) → 8× minhash (md5-keyed) → 4 bands of 2 → self-join on
+    * (band_idx, band_hash) → exact Jaccard on candidate pairs → keep ≥ 0.5.
+    * The band join is the only pairwise step and touches only colliding
+    * buckets — the 100 TB-safe LSH shape. */
+  def q46MinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(s, dir)
+    val nBands = NumHashes / BandRows
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"m${BandRows * b}"), col(s"m${BandRows * b + 1}")).cast("binary")).as("band_val"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("long").as("inter"),
+        size(col("x.sh")).cast("long").as("size_a"),
+        size(col("y.sh")).cast("long").as("size_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q46Oracle: String = {
+    val nBands = NumHashes / BandRows
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, md5(m${BandRows * b} || m${BandRows * b + 1}) AS band_val FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${signaturesSql},
+      |bands AS (
+      |  $bandSelects),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(x.sh, y.sh)) AS inter,
+      |    len(x.sh) AS size_a, len(y.sh) AS size_b
+      |  FROM cands JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id)
+      |SELECT doc_a, doc_b, inter, size_a, size_b,
+      |  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+      |FROM scored
+      |WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val SimBits = 16
+  private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** SimHash (16-bit): per token, md5 hex digit b contributes ±1 to bit b by
+    * its high nibble bit; signature bit b set iff the weighted sum is
+    * positive. Near-dup docs land in the same (or Hamming-close) bucket —
+    * no pairwise work. */
+  def q47Simhash(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .withColumn("h", md5(col("token").cast("binary")))
+    val bitSums = (0 until SimBits).map { b =>
+      sum(when(substring(col("h"), b + 1, 1).isin(hiHex: _*), 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val sim = (0 until SimBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ex.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Oracle: String = {
+    val inList = hiHex.map(h => s"'$h'").mkString(", ")
+    val bitSums = (0 until SimBits)
+      .map(b => s"  sum(CASE WHEN substr(h, ${b + 1}, 1) IN ($inList) THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n")
+    val sim = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ex AS (
+      |  SELECT doc_id, md5(token) AS h
+      |  FROM (SELECT doc_id, unnest(${Text.tokensSql}) AS token FROM documents) t),
+      |bits AS (
+      |  SELECT doc_id,
+      |$bitSums
+      |  FROM ex GROUP BY doc_id)
+      |SELECT doc_id, $sim AS simhash16
+      |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
+    "q45_exact_dup_stats"      -> (q45ExactDupStats _),
+    "q46_minhash_lsh_pairs"    -> (q46MinhashLshPairs _),
+    "q47_simhash"              -> (q47Simhash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q44_dedup_latest_per_key" -> q44Oracle,
+    "q45_exact_dup_stats"      -> q45Oracle,
+    "q46_minhash_lsh_pairs"    -> q46Oracle,
+    "q47_simhash"              -> q47Oracle,
+  )
 }

@@ -1,8 +1,159 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Event-stream operators (SURVEY.md §2.10): time-bucketed aggregation,
+  * sessionization, and semi-structured JSON extraction, expressed as batch
+  * DataFrame plans. (The reference has no true streaming — its cadence is a
+  * daily batch re-pull, `/root/reference/airflow/dags/spacex_api_dag.py:58` —
+  * so these are the engine-capability rows; the Structured Streaming variant
+  * lives in graft.streaming.)
+  *
+  * Timestamp discipline: `events.ts` is nanosecond parquet (FIXTURES.md);
+  * Spark truncates to µs on read while DuckDB keeps ns. All temporal logic
+  * therefore runs on integer *milliseconds* — `unix_micros(ts) / 1000` in
+  * Spark vs `epoch_ms(ts)` in DuckDB, both floor-truncations to the same
+  * value — never on raw timestamps.
+  *
+  * Scale stance: hourly aggregation is a single partial+final HashAggregate;
+  * sessionization shuffles once on user_id (the window partition key) and
+  * every per-user window is tiny. `value` money math uses exact cents
+  * ([[graft.Exact.cents]]).
+  */
 object Events {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** ts as integer epoch milliseconds (floor) — engine-portable. `div` is
+    * true integer division (Spark's `/` on longs returns double, whose
+    * truncation can round across the floor at epoch-µs magnitudes). */
+  private def tsMs: Column = expr("unix_micros(ts) div 1000").as("ts_ms")
+
+  /** Tumbling-window aggregation: events per (hour, type) with exact value
+    * sums. Hour bucket = epoch seconds of the hour start (BIGINT). */
+  def q20HourlyByType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        (expr("unix_micros(ts) div 3600000000") * lit(3600L)).as("hour_epoch_s"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(Exact.cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy(col("hour_epoch_s"), col("event_type"))
+
+  val q20Oracle: String =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600 AS hour_epoch_s, event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization (gaps-and-islands, 30-minute inactivity gap): a session
+    * starts when a user's gap since their previous event exceeds 30 min; the
+    * session id is the running count of session starts. One shuffle on
+    * user_id; both windows share that partitioning. */
+  def q21Sessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), Exact.cents(col("value")).as("value_cents"), tsMs)
+    ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > lit(1800000L), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_start")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
+        (sum(col("value_cents")).cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val q21Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |    epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL
+      |           OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_start
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq,
+      |  count(*) AS n_events,
+      |  min(ts_ms) AS start_ms,
+      |  max(ts_ms) - min(ts_ms) AS duration_ms,
+      |  CAST(sum(value_cents) AS DOUBLE) / 100.0 AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Semi-structured extraction: parse the `props` JSON text column
+    * (SURVEY.md §2.8 F10 — the `details`/`props` free-text mapping), bucket
+    * by the extracted integer, aggregate. get_json_object stays inside
+    * whole-stage codegen. */
+  def q22JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % lit(10L)).as("k_mod10"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod10"), col("event_type"))
+
+  val q22Oracle: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10, event_type,
+      |  count(*) AS n_events,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Top-k per group over time: for each event_type, the 5 highest-value
+    * events (rank window + filter; deterministic tie-break on event_id). */
+  def q23TopEventsPerType(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val q23Oracle: String =
+    """SELECT event_type, event_id, user_id, value, rk FROM (
+      |  SELECT event_type, event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+      |  FROM events) t
+      |WHERE rk <= 5
+      |ORDER BY event_type, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_hourly_by_type"   -> (q20HourlyByType _),
+    "q21_sessions"         -> (q21Sessions _),
+    "q22_json_extract"     -> (q22JsonExtract _),
+    "q23_top_events_per_type" -> (q23TopEventsPerType _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_hourly_by_type"   -> q20Oracle,
+    "q21_sessions"         -> q21Oracle,
+    "q22_json_extract"     -> q22Oracle,
+    "q23_top_events_per_type" -> q23Oracle,
+  )
 }

@@ -1,8 +1,193 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.11 —
+  * mandated LLM-pipeline extensions; no reference implementation exists):
+  * tokenization + term stats, quality scoring, language ID, fingerprinting.
+  *
+  * All token work happens inside codegen'd builtins (split / filter /
+  * transform / explode) — no UDFs — so the hot path stays in whole-stage
+  * codegen and distributes trivially: per-document work is embarrassingly
+  * parallel; only the term-frequency groupBy shuffles (partial counts first,
+  * map-side combined).
+  *
+  * Oracle parity: tokenization is `lower` + split on `[^a-z0-9]+` with empty
+  * tokens dropped — DuckDB mirror:
+  * `list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')`.
+  * Ratios are int/int double divisions (IEEE-deterministic); no float
+  * aggregation anywhere.
+  */
 object Text {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Lowercased alphanumeric tokens, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  val tokensSql: String =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Distinct 5-gram shingles of the token stream (word n-grams joined by a
+    * single space) — the unit for minhash/Jaccard dedup (ops.Dedup). */
+  def shingles5(toks: Column): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - lit(4), lit(0))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2)),
+        element_at(toks, i + lit(3)), element_at(toks, i + lit(4))))
+    array_distinct(when(size(toks) >= 5, grams).otherwise(array()))
+  }
+
+  /** DuckDB mirror of [[shingles5]] over a token-list expression `t`. */
+  def shingles5Sql(t: String): String =
+    s"list_distinct(CASE WHEN len($t) >= 5 THEN list_transform(range(1, len($t) - 3), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2] || ' ' || $t[i+3] || ' ' || $t[i+4]) " +
+      "ELSE [] END)"
+
+  private val stopEn = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+  private val stopEs = Seq("el", "la", "los", "de", "y", "en", "que", "un", "una", "es")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu")
+  private val stopFr = Seq("le", "les", "des", "et", "est", "une", "du", "dans", "pour", "sur")
+  private val stopZh = Seq("de5", "shi4", "zai4", "le5", "he2", "you3", "wo3", "ta1", "men5", "bu4")
+  private val langStops: Seq[(String, Seq[String])] =
+    Seq("en" -> stopEn, "es" -> stopEs, "de" -> stopDe, "fr" -> stopFr, "zh" -> stopZh)
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  private def countInSql(t: String, words: Seq[String]): String =
+    s"len(list_filter($t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Term frequency: explode tokens → count → top 100 (count desc, token). */
+  def q40TokenFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
+  val q40Oracle: String =
+    s"""SELECT token, count(*) AS n
+      |FROM (SELECT unnest($tokensSql) AS token FROM documents) t
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
+
+  /** Per-document quality scoring: token/char counts, punctuation ratio,
+    * stopword ratio, and a deterministic composite score — the standard
+    * pretraining-corpus quality gates, as pure column algebra. */
+  def q41DocQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars_txt", length(col("text")).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
+      .withColumn("n_stop", countIn(toks, stopEn))
+      .withColumn("n_ws_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_txt"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        col("stop_ratio") * lit(0.5) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.2))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("n_chars_txt"),
+        col("n_punct"), col("n_stop"), col("n_ws_tokens"), col("punct_ratio"),
+        col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41Oracle: String =
+    s"""WITH t AS (SELECT *, $tokensSql AS toks FROM documents),
+      |b AS (SELECT doc_id, lang, source,
+      |  len(toks) AS n_tokens,
+      |  length(text) AS n_chars_txt,
+      |  length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+      |  ${countInSql("toks", stopEn)} AS n_stop,
+      |  len(string_split_regex(text, '\\s+')) AS n_ws_tokens
+      |FROM t)
+      |SELECT doc_id, lang, source, n_tokens, n_chars_txt, n_punct, n_stop, n_ws_tokens,
+      |  CAST(n_punct AS DOUBLE) / n_chars_txt AS punct_ratio,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_txt) * 0.3 +
+      |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Language ID: n-gram-free stopword-vote heuristic — count hits from each
+    * language's stopword list, argmax with fixed priority tie-break
+    * (en,es,de,fr,zh). Deterministic; accuracy is secondary to the operator
+    * shape (the labeled `lang` column rides along for evaluation). */
+  def q42LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val withVotes = langStops.foldLeft(Tables.documents(s, dir)) {
+      case (df, (lang, words)) => df.withColumn(s"v_$lang", countIn(toks, words))
+    }
+    val langs = langStops.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => col(s"v_$l") >= col(s"v_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    withVotes
+      .select((Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        langs.map(l => col(s"v_$l")) :+ pred.as("predicted_lang")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val q42Oracle: String = {
+    val langs = langStops.map(_._1)
+    val votes = langStops.map { case (l, words) => s"  ${countInSql("toks", words)} AS v_$l" }
+      .mkString(",\n")
+    val pred = {
+      val whens = langs.init.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"v_$l >= v_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"CASE $whens ELSE '${langs.last}' END"
+    }
+    s"""WITH t AS (SELECT *, $tokensSql AS toks FROM documents),
+      |v AS (SELECT doc_id, lang AS labeled_lang,
+      |$votes
+      |FROM t)
+      |SELECT doc_id, labeled_lang, ${langs.map(l => s"v_$l").mkString(", ")},
+      |  $pred AS predicted_lang
+      |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of the token-normalized text (content
+    * fingerprint robust to whitespace/punctuation), plus the minimum 5-gram
+    * shingle hash (a 1-permutation minhash — the rolling-hash-style sketch). */
+  def q43Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", col("toks")).cast("binary")).as("content_md5"),
+        array_min(transform(Text.shingles5(col("toks")), g => md5(g.cast("binary")))).as("min_shingle_hash"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q43Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+      |SELECT doc_id,
+      |  md5(array_to_string(toks, ' ')) AS content_md5,
+      |  list_min(list_transform(${shingles5Sql("toks")}, g -> md5(g))) AS min_shingle_hash,
+      |  len(toks) AS n_tokens
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_token_freq"  -> (q40TokenFreq _),
+    "q41_doc_quality" -> (q41DocQuality _),
+    "q42_lang_id"     -> (q42LangId _),
+    "q43_fingerprint" -> (q43Fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_freq"  -> q40Oracle,
+    "q41_doc_quality" -> q41Oracle,
+    "q42_lang_id"     -> q42Oracle,
+    "q43_fingerprint" -> q43Oracle,
+  )
 }
