@@ -1,8 +1,144 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** The reference pipeline itself — SpaceX launches ingest → staging → mart —
+  * replayed Spark-first over a hand-authored fixture (FIXTURES.md §2).
+  *
+  * Reference shape (`/root/reference/README.md:5`):
+  * API JSON → raw (typed ingest, `airflow/dags/spacex_api_dag.py:30-49`) →
+  * staging view (casts + year, `dbt/models/staging/stg_spacex_launches.sql:3-24`) →
+  * mart table (group-by-year agg, `dbt/models/marts/fct_spacex_launches_by_year.sql:3-11`).
+  *
+  * Spark mapping: ingest = `spark.read.schema(...).json` + lenient
+  * `try_*` casts (the DAG's `errors="coerce"`, `spacex_api_dag.py:40-43`);
+  * staging = a pure DataFrame→DataFrame function; mart = groupBy().agg()
+  * with the reference's three-valued NULL semantics (SURVEY.md §2.6) and
+  * HALF_UP decimal rounding (§7.4) preserved bit-for-bit.
+  *
+  * The fixture is not part of the driver's sfDir tables, so these queries
+  * carry no DuckDB oracle (rows-only check); their semantics are pinned
+  * instead by LaunchesSpec golden tests, including the NULL-counts-as-
+  * failure-and-inflates-the-denominator quirk the reference documents
+  * (`/root/reference/README.md:140`).
+  */
 object Launches {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Union of the reference's two ingest schemas (DAG 7-col,
+    * `spacex_api_dag.py:36-38`; one-shot README 6-col+load_ts,
+    * `README.md:67-76`) — one superset schema, nullable where absent
+    * (SURVEY.md §7.4 "ingest duality"). Raw-edge types are loose (strings)
+    * exactly where the reference tolerates junk. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("date_utc", StringType),
+    StructField("success", BooleanType),
+    StructField("rocket", StringType),
+    StructField("flight_number", StringType),
+    StructField("upcoming", BooleanType),
+    StructField("details", StringType),
+    StructField("load_ts", StringType)))
+
+  /** Filesystem path of the bundled fixture. The classpath resource may live
+    * inside a jar (non-hierarchical URI), so it is materialized once to a
+    * temp file — driver-side only, before any Spark plan runs. */
+  lazy val fixturePath: String = {
+    val in = Thread.currentThread.getContextClassLoader
+      .getResourceAsStream("fixtures/launches_raw.jsonl")
+    require(in != null, "fixtures/launches_raw.jsonl missing from classpath")
+    val tmp = java.nio.file.Files.createTempFile("launches_raw", ".jsonl")
+    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
+  /** Typed ingest (S1–S3, P1–P4, F4–F5): fixed-schema JSON read, lenient
+    * timestamp/long coercion (`try_to_timestamp`/`try_cast` ≡ pandas
+    * `errors="coerce"`, null on junk — Spark 4 ANSI mode would throw on a
+    * plain cast). */
+  def ingest(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(rawSchema).json(path)
+      .select(
+        col("id").as("launch_id"),
+        col("name"),
+        expr("try_to_timestamp(date_utc, \"yyyy-MM-dd'T'HH:mm:ss.SSSX\")").as("date_utc"),
+        col("success"),
+        col("rocket"),
+        expr("try_cast(flight_number AS BIGINT)").as("flight_number"),
+        col("upcoming"),
+        col("details"),
+        col("load_ts").cast("timestamp").as("load_ts"))
+
+  /** Staging transform (`stg_spacex_launches.sql:3-24`): defensive casts +
+    * derived `year`. Pure DataFrame→DataFrame — the dbt view materialization
+    * maps to lazy composition (SURVEY.md §3.2). */
+  def staging(raw: DataFrame): DataFrame =
+    raw.select(
+      col("launch_id"),
+      col("name"),
+      col("date_utc").cast("timestamp").as("date_utc"),
+      col("success").cast("boolean").as("success"),
+      col("rocket"),
+      col("flight_number").cast("long").as("flight_number"),
+      col("details"),
+      col("load_ts"))
+      .withColumn("year", year(col("date_utc")))
+
+  /** Latest-snapshot-per-launch dedup over the append-mode raw layer
+    * (SURVEY.md §2.5 — the dedup the reference's daily append,
+    * `spacex_api_dag.py:49`, implicitly needs). */
+  def latestSnapshot(stg: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("launch_id"))
+      .orderBy(col("load_ts").desc, col("date_utc").desc_nulls_last)
+    stg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Mart aggregate (`fct_spacex_launches_by_year.sql:3-11`), semantics
+    * preserved exactly:
+    *   - `CASE WHEN success THEN 1 ELSE 0` → NULL success lands in ELSE in
+    *     BOTH sums ⇒ successes + failures = launches (SURVEY.md §2.6);
+    *   - `success_rate_pct = round(100.0 * successes / nullif(launches,0), 2)`
+    *     computed in DecimalType so rounding is HALF_UP on the exact value,
+    *     matching Postgres `round(numeric, 2)` (SURVEY.md §7.4) — a
+    *     double-then-round path can differ in the last digit;
+    *   - NULL-year rows (unparseable dates) form their own group, like a
+    *     Postgres GROUP BY.
+    */
+  def mart(stg: DataFrame): DataFrame =
+    stg.groupBy(col("year"))
+      .agg(
+        count(lit(1)).as("launches"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("successes"),
+        sum(when(col("success"), 0L).otherwise(1L)).as("failures"))
+      .withColumn("success_rate_pct",
+        round(
+          (lit(BigDecimal(100)).cast(DecimalType(20, 1)) * col("successes"))
+            / nullif(col("launches"), lit(0L)).cast(DecimalType(20, 1)),
+          2).cast(DecimalType(10, 2)))
+      .orderBy(col("year").asc_nulls_first)
+
+  /** Full pipeline on the bundled fixture: ingest → staging → dedup → mart. */
+  def q30LaunchesMart(s: SparkSession, dir: String): DataFrame =
+    mart(latestSnapshot(staging(ingest(s, fixturePath))))
+
+  /** Staging output (latest snapshot per launch) — the stg view replay. */
+  def q31LaunchesLatest(s: SparkSession, dir: String): DataFrame =
+    latestSnapshot(staging(ingest(s, fixturePath)))
+      .select(col("launch_id"), col("name"), col("year"), col("success"),
+        col("flight_number"), col("load_ts"))
+      .orderBy(col("launch_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_launches_mart"   -> (q30LaunchesMart _),
+    "q31_launches_latest" -> (q31LaunchesLatest _),
+  )
+
+  /** No DuckDB oracle: inputs are a bundled fixture, not sfDir tables —
+    * driver records rows-only; semantics pinned by LaunchesSpec. */
   val oracles: Map[String, String] = Map()
 }

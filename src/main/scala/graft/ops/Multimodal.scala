@@ -1,8 +1,108 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Multimodal-column plumbing (SURVEY.md §2.11 — mandated extension):
+  * image/audio/video-style payloads as opaque BINARY columns with typed
+  * metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * No binary fixture table exists, so payloads are derived deterministically
+  * from `documents.text` (`encode(text)` → BLOB); the *plumbing* — binary
+  * schema, struct metadata, chunked frame extraction, per-frame hashing,
+  * batch-shaped aggregation — is real and oracle-checked.
+  *
+  * STUB: true media decoding (JPEG/PCM/H.264) needs native libraries absent
+  * from this container. `decodeStub` stands in with a deterministic
+  * byte-level "feature" (length, content hash, leading-bytes digest) so the
+  * operator shape, schema, and distribution properties are exercised
+  * end-to-end; swap `decodeStub` for a real codec UDF (or `mapInPandas` on
+  * the PySpark side) in production. At 100 TB this stays embarrassingly
+  * parallel: per-row column algebra, no shuffle until the final tiny
+  * aggregate.
+  */
 object Multimodal {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val FrameBytes = 64
+
+  /** Deterministic fake decode of a binary payload: byte length + md5 +
+    * "thumbnail" digest of the first 16 bytes. STUB for a real codec. */
+  private def decodeStub(payload: Column): Column = struct(
+    octet_length(payload).cast("long").as("n_bytes"),
+    md5(payload).as("content_md5"),
+    md5(substring(payload, 1, 16)).as("head_md5"))
+
+  /** Payload + typed metadata + stub-decoded features + sampled "frames"
+    * (fixed 64-byte chunks, first 4): the full multimodal column pipeline. */
+  def q60MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    val nFrames = expr(s"octet_length(text) div $FrameBytes") + lit(1L)
+    val frames = transform(
+      sequence(lit(0), least(nFrames - 1, lit(3L))),
+      i => md5(substring(col("text"), (i * FrameBytes + 1).cast("int"), lit(FrameBytes)).cast("binary")))
+    Tables.documents(s, dir)
+      .withColumn("payload", payload)
+      .withColumn("meta", struct(
+        col("source").as("origin"),
+        lit("text/plain").as("mime"),
+        col("n_chars").as("declared_size")))
+      .withColumn("decoded", decodeStub(col("payload")))
+      .withColumn("frame_md5s", frames)
+      .select(
+        col("doc_id"),
+        col("meta.origin").as("origin"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.content_md5").as("content_md5"),
+        col("decoded.head_md5").as("head_md5"),
+        size(col("frame_md5s")).cast("long").as("n_sampled_frames"),
+        element_at(col("frame_md5s"), 1).as("frame0_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Oracle: String =
+    s"""SELECT doc_id,
+      |  source AS origin,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  md5(substr(text, 1, 16)) AS head_md5,
+      |  least(octet_length(encode(text)) // $FrameBytes + 1, 4) AS n_sampled_frames,
+      |  md5(substr(text, 1, $FrameBytes)) AS frame0_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level multimodal stats: bytes and frame counts per origin —
+    * the partition-shaping aggregate a media pipeline runs before sharding
+    * decode work. */
+  def q61MultimodalStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_bytes", octet_length(col("text").cast("binary")).cast("long"))
+      .withColumn("n_frames", expr(s"octet_length(text) div $FrameBytes") + lit(1L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        sum(col("n_frames")).as("total_frames"))
+      .orderBy(col("source"))
+
+  val q61Oracle: String =
+    s"""SELECT source,
+      |  count(*) AS n_docs,
+      |  sum(octet_length(encode(text))) AS total_bytes,
+      |  max(octet_length(encode(text))) AS max_bytes,
+      |  sum(octet_length(encode(text)) // $FrameBytes + 1) AS total_frames
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_multimodal_decode" -> (q60MultimodalDecode _),
+    "q61_multimodal_stats"  -> (q61MultimodalStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_multimodal_decode" -> q60Oracle,
+    "q61_multimodal_stats"  -> q61Oracle,
+  )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.Launches
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the reference-pipeline replay — pins the semantics the
+  * DuckDB oracle can't reach (fixture inputs): SURVEY.md §2.6 NULL
+  * three-valued logic, §7.4 HALF_UP decimal rounding, F4/F5 lenient coercion,
+  * latest-snapshot dedup, empty input. */
+class LaunchesSpec extends SparkSpec {
+
+  private lazy val raw = Launches.ingest(spark, Launches.fixturePath)
+  private lazy val stg = Launches.staging(raw)
+  private lazy val deduped = Launches.latestSnapshot(stg)
+  private lazy val fct = Launches.mart(deduped).collect()
+
+  test("ingest coerces malformed date and non-numeric flight_number to NULL") {
+    val crs2 = raw.filter(col("name") === "CRS-2").collect()
+    assert(crs2.length == 1 && crs2.head.isNullAt(crs2.head.fieldIndex("date_utc")))
+    val edge = raw.filter(col("name") === "Edge Null Date").collect()
+    assert(edge.length == 1 && edge.head.isNullAt(edge.head.fieldIndex("flight_number")))
+  }
+
+  test("latest-snapshot dedup keeps one row per launch_id, newest load_ts") {
+    assert(deduped.count() == deduped.select("launch_id").distinct().count())
+    val demo = deduped.filter(col("launch_id") === "5eb87cdaffd86e000604b32b").collect()
+    assert(demo.head.getAs[String]("details") == "Second snapshot of DemoSat")
+  }
+
+  test("mart: successes + failures == launches in every year (NULL → else in both sums)") {
+    fct.foreach { r =>
+      assert(r.getAs[Long]("successes") + r.getAs[Long]("failures") == r.getAs[Long]("launches"),
+        s"row $r")
+    }
+  }
+
+  test("mart: NULL success counts as failure and inflates the rate denominator") {
+    // 2012: COTS 2 (null) + CRS-1 (null) -> launches=2, successes=0, rate 0.00
+    val y2012 = fct.find(r => r.getAs[Integer]("year") == 2012).get
+    assert(y2012.getAs[Long]("launches") == 2)
+    assert(y2012.getAs[Long]("successes") == 0)
+    assert(y2012.getAs[Long]("failures") == 2)
+    assert(y2012.getAs[java.math.BigDecimal]("success_rate_pct").toPlainString == "0.00")
+    // 2014: Thaicom 6 (true), CRS-3 (null), OG2 (true) -> 2/3 = 66.67 (HALF_UP)
+    val y2014 = fct.find(r => r.getAs[Integer]("year") == 2014).get
+    assert(y2014.getAs[Long]("launches") == 3)
+    assert(y2014.getAs[java.math.BigDecimal]("success_rate_pct").toPlainString == "66.67")
+  }
+
+  test("mart: HALF_UP rounding on exact decimal (1/8 = 12.50, not banker's 12.4)") {
+    // Synthetic: 8 launches, 1 success -> 12.5 must render 12.50 (and 1/3 -> 33.33)
+    import spark.implicits._
+    val df = Seq(
+      (2000, Some(true)), (2000, Some(false)), (2000, Some(false)), (2000, Some(false)),
+      (2000, Some(false)), (2000, Some(false)), (2000, Some(false)), (2000, None),
+      (2001, Some(true)), (2001, Some(false)), (2001, None)
+    ).toDF("year", "success")
+    val got = Launches.mart(df).collect().map(r =>
+      r.getAs[Integer]("year") -> r.getAs[java.math.BigDecimal]("success_rate_pct").toPlainString).toMap
+    assert(got(2000) == "12.50")
+    assert(got(2001) == "33.33")
+  }
+
+  test("mart: NULL-year group (unparseable date) survives as its own row") {
+    assert(fct.exists(r => r.isNullAt(r.fieldIndex("year"))))
+  }
+
+  test("mart on empty input produces zero rows (nullif guard, no crash)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Integer, Option[Boolean])].toDF("year", "success")
+    assert(Launches.mart(empty).collect().isEmpty)
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Cross-operator invariants and edge cases over the sf0.001 testdata —
+  * complements the DuckDB oracle (which pins values) with property-style
+  * checks that must hold at any scale. */
+class OperatorsSpec extends SparkSpec {
+
+  test("q13 three-valued logic: completed + other == n_orders in every year") {
+    Relational.q13StatusRateByYear(spark, sf()).collect().foreach { r =>
+      assert(r.getAs[Long]("completed") + r.getAs[Long]("other") == r.getAs[Long]("n_orders"))
+    }
+  }
+
+  test("q01 pricing summary: count_order sums to filtered lineitem count") {
+    val total = Relational.q01PricingSummary(spark, sf()).agg(sum("count_order")).head.getLong(0)
+    val expected = Tables.lineitem(spark, sf())
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q11 set ops: inclusion-exclusion (both + only_a + only_b == either)") {
+    val m = Relational.q11SetOps(spark, sf()).collect()
+      .map(r => r.getAs[String]("cohort") -> r.getAs[Long]("n_customers")).toMap
+    assert(m("both_years") + m("only_1996") + m("only_1997") == m("either_year"))
+  }
+
+  test("sessionization: session counts bounded and durations within gap bound") {
+    val sess = Events.q21Sessions(spark, sf()).collect()
+    val events = Tables.events(spark, sf()).count()
+    assert(sess.map(_.getAs[Long]("n_events")).sum == events)
+    sess.foreach { r =>
+      val d = r.getAs[Long]("duration_ms")
+      assert(d >= 0 && d <= (r.getAs[Long]("n_events") - 1) * 1800000L)
+    }
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = Dedup.q44LatestPerKey(spark, sf())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source")).orderBy(col("latest_doc_id").desc)
+    val twice = once.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    assert(once.count() == twice.count())
+  }
+
+  test("minhash LSH finds high-Jaccard planted near-dups and no false ≥0.99 misses") {
+    val pairs = Dedup.q46MinhashLshPairs(spark, sf()).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+    // with 4 bands × 2 rows and J ≥ 0.9, candidate-miss probability < 1e-4
+    assert(pairs.count(_.getAs[Double]("jaccard") >= 0.9) > 0)
+  }
+
+  test("shingles of <5-token docs are empty (guard, not sequence explosion)") {
+    import spark.implicits._
+    val tiny = Seq("one two three four", "a b c d e f").toDF("text")
+      .select(Text.shingles5(Text.tokens(col("text"))).as("sh"))
+      .collect()
+    assert(tiny(0).getSeq[String](0).isEmpty)
+    assert(tiny(1).getSeq[String](0).size == 2)
+  }
+
+  // The testdata embeddings are isotropic random (no cluster structure), so
+  // IVF recall ≈ the probed fraction (nprobe/k = 25%); beating that shows the
+  // probe targets the right buckets. Real clustered corpora recall far higher.
+  test("IVF top-k recall vs brute force ≥ 0.25 at nprobe=2/8") {
+    val brute = Vector.q50CosineTopk(spark, sf()).filter(col("rk") <= 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Vector.q51IvfTopk(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall=$recall")
+  }
+
+  test("cosine is symmetric and self-similarity is 1.0") {
+    val emb = Tables.embeddings(spark, sf()).limit(1)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val self = emb.select(
+      (aggregate(zip_with(col("v"), col("v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)) *
+          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))).as("c"))
+      .head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("multimodal frame sampling: ≤4 frames, n_bytes matches text length") {
+    Multimodal.q60MultimodalDecode(spark, sf()).collect().foreach { r =>
+      assert(r.getAs[Long]("n_sampled_frames") >= 1 && r.getAs[Long]("n_sampled_frames") <= 4)
+    }
+  }
+
+  test("all declared oracle keys have matching query entries") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+  }
+}
