@@ -66,35 +66,50 @@ object Dedup {
   private val NumHashes = 8
   private val BandRows = 2 // 4 bands × 2 rows
 
-  /** doc_id + distinct 5-gram shingle set + minhash signature m0..m7. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), Text.shingles5(Text.tokens(col("text"))).as("sh"))
-    (0 until NumHashes).foldLeft(base) { (df, i) =>
-      df.withColumn(s"m$i",
-        array_min(transform(col("sh"), g => md5(concat(lit(s"$i|"), g).cast("binary")))))
-    }
+  /** One row per (doc_id, distinct 5-gram shingle) with the shingle's md5 —
+    * the shared base for signatures and Jaccard counting.
+    *
+    * Built with posexplode + window `lead`s instead of array lambdas: Spark's
+    * higher-order functions evaluate interpreted (no codegen), which
+    * profiled at ~60µs per shingle; the explode/window/concat path is fully
+    * codegen'd apart from the (cheap, partition-local) WindowExec. One
+    * shuffle on doc_id, then everything is narrow. Hashing happens exactly
+    * once per shingle; the 8 minhash "functions" are cheap re-digests of the
+    * fixed-width hg (`md5("i|" ++ hg)`), not of the full shingle text. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("p", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    toks
+      .withColumn("g", concat_ws(" ", col("tok"),
+        lead("tok", 1).over(w), lead("tok", 2).over(w), lead("tok", 3).over(w), lead("tok", 4).over(w)))
+      .withColumn("ok", lead("tok", 4).over(w).isNotNull)
+      .filter(col("ok"))
+      .select(col("doc_id"), col("g"))
+      .dropDuplicates("doc_id", "g")
+      .withColumn("hg", md5(col("g").cast("binary")))
   }
 
-  private def signaturesSql: String = {
-    val toks = Text.tokensSql
-    val mins = (0 until NumHashes)
-      .map(i => s"  list_min(list_transform(sh, g -> md5('$i|' || g))) AS m$i")
-      .mkString(",\n")
-    s"""sigs AS (
-       |  SELECT doc_id, sh,
-       |$mins
-       |  FROM (SELECT doc_id, ${Text.shingles5Sql(toks)} AS sh FROM documents) d)""".stripMargin
-  }
+  private def hashedShinglesSql: String =
+    s"""hx AS (
+       |  SELECT doc_id, g, md5(g) AS hg
+       |  FROM (SELECT doc_id, unnest(${Text.shingles5Sql(Text.tokensSql)}) AS g FROM documents) ex)""".stripMargin
 
   /** MinHash + LSH near-duplicate pairs, Jaccard-verified.
     *
-    * shingle(5-gram) → 8× minhash (md5-keyed) → 4 bands of 2 → self-join on
-    * (band_idx, band_hash) → exact Jaccard on candidate pairs → keep ≥ 0.5.
-    * The band join is the only pairwise step and touches only colliding
-    * buckets — the 100 TB-safe LSH shape. */
+    * shingle(5-gram) → md5 once → 8× minhash (re-digest of the md5) → 4
+    * bands of 2 → self-join on (band_idx, band_hash) → Jaccard on candidate
+    * pairs via a shingle-equality join (no arrays carried through shuffles)
+    * → keep ≥ 0.5. The band join is the only pairwise step and touches only
+    * colliding buckets; everything aggregates with map-side combine — the
+    * 100 TB-safe LSH shape. */
   def q46MinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(s, dir)
+    val hx = hashedShingles(s, dir)
+    val minCols = (0 until NumHashes)
+      .map(i => min(md5(concat(lit(s"$i|"), col("hg")).cast("binary"))).as(s"m$i"))
+    val sigs = hx.groupBy(col("doc_id"))
+      .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("sz")): _*)
     val nBands = NumHashes / BandRows
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band_idx"),
@@ -108,41 +123,51 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = sigs.select(col("doc_id"), col("sh"))
-    cands
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("x.sh"), col("y.sh"))).cast("long").as("inter"),
-        size(col("x.sh")).cast("long").as("size_a"),
-        size(col("y.sh")).cast("long").as("size_b"))
+    val inter = cands
+      .join(hx.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(hx.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sigs.select(col("doc_id"), col("sz"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val q46Oracle: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"  min(md5('$i|' || hg)) AS m$i").mkString(",\n")
     val nBands = NumHashes / BandRows
     val bandSelects = (0 until nBands).map { b =>
       s"SELECT doc_id, $b AS band_idx, md5(m${BandRows * b} || m${BandRows * b + 1}) AS band_val FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH ${signaturesSql},
+    s"""WITH $hashedShinglesSql,
+      |sigs AS (
+      |  SELECT doc_id,
+      |$mins,
+      |  count(*) AS sz
+      |  FROM hx GROUP BY doc_id),
       |bands AS (
       |  $bandSelects),
       |cands AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-      |scored AS (
-      |  SELECT doc_a, doc_b,
-      |    len(list_intersect(x.sh, y.sh)) AS inter,
-      |    len(x.sh) AS size_a, len(y.sh) AS size_b
-      |  FROM cands JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id)
-      |SELECT doc_a, doc_b, inter, size_a, size_b,
-      |  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
-      |FROM scored
-      |WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS inter
+      |  FROM cands
+      |  JOIN hx x ON doc_a = x.doc_id
+      |  JOIN hx y ON doc_b = y.doc_id AND x.g = y.g
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM inter JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 

