@@ -406,6 +406,86 @@ object Relational {
       |WHERE year(o_orderdate) = 1997
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** Scalar string-function surface (SURVEY §2.8 F10 — ABSENT in reference):
+    * upper/substr/length/regexp_replace/concat_ws over `part`, row-level. */
+  def q15StringFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_tag"))
+      .orderBy(col("p_partkey"))
+
+  val q15Oracle: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  substr(p_name, 1, 8) AS name_prefix,
+      |  length(p_name) AS name_len,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+      |  concat_ws('#', p_brand, p_type) AS brand_tag
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Equi + range join (SURVEY §2.3 theta/range row): lineitems shipped
+    * within 30 days of their order's date. The equi key keeps it a hash/sort
+    * join; the range predicate filters post-match — no nested-loop blowup. */
+  def q16RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q16Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_fast_items
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** As-of lookup (SURVEY §2.3 as-of row): for each event, the most recent
+    * strictly-prior 'signup' by the same user — `last(..., ignoreNulls)` over
+    * an unbounded-to-(-1) frame composes the as-of join from builtins (no
+    * custom operator needed when the lookup is within one keyed stream);
+    * aggregated per event_type. Time is integer ms (see ops.Events). */
+  def q17AsofSignup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      .withColumn("prior_signup_ms",
+        last(when(col("event_type") === "signup", col("ts_ms")), ignoreNulls = true).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("prior_signup_ms").isNotNull, 1L).otherwise(0L)).as("n_with_prior_signup"),
+        sum(when(col("ts_ms") - col("prior_signup_ms") <= 86400000L, 1L).otherwise(0L)).as("n_within_24h"))
+      .orderBy(col("event_type"))
+  }
+
+  val q17Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |marked AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'signup' THEN ts_ms END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_ms
+      |  FROM ev)
+      |SELECT event_type,
+      |  count(*) AS n_events,
+      |  sum(CASE WHEN prior_signup_ms IS NOT NULL THEN 1 ELSE 0 END) AS n_with_prior_signup,
+      |  sum(CASE WHEN ts_ms - prior_signup_ms <= 86400000 THEN 1 ELSE 0 END) AS n_within_24h
+      |FROM marked GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"      -> (q01PricingSummary _),
     "q02_topk_orders"          -> (q02TopkOrders _),
@@ -421,6 +501,9 @@ object Relational {
     "q12_semi_join_parts"      -> (q12SemiJoinParts _),
     "q13_status_rate_by_year"  -> (q13StatusRateByYear _),
     "q14_order_revenue_by_region" -> (q14OrderRevenueByRegion _),
+    "q15_string_functions"     -> (q15StringFunctions _),
+    "q16_range_join"           -> (q16RangeJoin _),
+    "q17_asof_signup"          -> (q17AsofSignup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,5 +521,8 @@ object Relational {
     "q12_semi_join_parts"      -> q12Oracle,
     "q13_status_rate_by_year"  -> q13Oracle,
     "q14_order_revenue_by_region" -> q14Oracle,
+    "q15_string_functions"     -> q15Oracle,
+    "q16_range_join"           -> q16Oracle,
+    "q17_asof_signup"          -> q17Oracle,
   )
 }

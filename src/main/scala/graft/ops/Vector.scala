@@ -30,9 +30,13 @@ object Vector {
   private def v(c: Column): Column = transform(c, x => x.cast("double"))
   private def vSql(c: String): String = s"list_transform($c, x -> CAST(x AS DOUBLE))"
 
-  /** Sequential left-fold dot product (see class doc for parity argument). */
+  /** Sequential left-fold dot product — the codegen'd native expression
+    * ([[graft.functions.DotProduct]]); emits the identical `acc += a[i]*b[i]`
+    * fold as the HOF formulation and DuckDB's list_reduce, just compiled.
+    * Sessions must call [[graft.functions.VectorExpressions.register]] first
+    * (each query entry does). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot_product(a, b)
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
@@ -43,6 +47,7 @@ object Vector {
     * are the query set (broadcast); each scans the full corpus once
     * (BroadcastNestedLoopJoin) and keeps its 10 nearest by cosine. */
   def q50CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), v(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val q = emb.filter(col("vec_id") % 100 === 0)
@@ -78,6 +83,7 @@ object Vector {
     * an equi-join on centroid id, which is what makes IVF the 100 TB path.
     * Self-matches are excluded. */
   def q51IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), v(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cent = emb.filter(col("vec_id") < 8)
