@@ -75,4 +75,16 @@ class LaunchesSpec extends SparkSpec {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("catalog materialization (SURVEY S8–S11): database + saveAsTable + view round-trip") {
+    // S8: create namespace; S10: physical table; S9: view; S11: catalog listing
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    Launches.mart(deduped).write.mode("overwrite").saveAsTable("analytics.fct_launches_by_year")
+    stg.createOrReplaceTempView("stg_launches_v")
+    val tables = spark.catalog.listTables("analytics").collect().map(_.name)
+    assert(tables.contains("fct_launches_by_year"))
+    assert(spark.table("analytics.fct_launches_by_year").count() == fct.length)
+    assert(spark.table("stg_launches_v").count() == stg.count())
+    spark.sql("DROP TABLE analytics.fct_launches_by_year")
+  }
 }

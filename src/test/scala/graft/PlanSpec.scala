@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops._
+
+/** Physical-plan shape assertions (SURVEY.md §4): the plans we want at
+  * 100 TB, pinned so a refactor can't silently regress them — filters and
+  * projections must reach the parquet scan, bounded dims must broadcast,
+  * top-k must not global-sort, and hot paths must stay in whole-stage
+  * codegen. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE only materializes WholeStageCodegen spans in the final plan —
+    * execute first, then render the formatted explain (the adaptive plan's
+    * plain toString collapses once final). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q06: shipdate/discount/quantity predicates push into the parquet scan") {
+    val p = plan(Relational.q06RevenueFilter(spark, sf()))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // column pruning: only the 4 referenced columns are read
+    assert(p.contains("ReadSchema") &&
+      !p.split("ReadSchema")(1).takeWhile(_ != '\n').contains("l_orderkey"), p)
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan(Relational.q03RevenueByNation(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q02: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q02TopkOrders(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q12: EXISTS compiles to a left-semi join") {
+    val p = plan(Relational.q12SemiJoinParts(spark, sf()))
+    assert(p.toLowerCase.contains("leftsemi"), p)
+  }
+
+  test("q05: NOT EXISTS compiles to a left-anti join") {
+    val p = plan(Relational.q05CustomersWithoutOrders(spark, sf()))
+    assert(p.toLowerCase.contains("leftanti"), p)
+  }
+
+  test("q01: aggregation is partial+final HashAggregate inside codegen") {
+    val p = finalPlan(Relational.q01PricingSummary(spark, sf()))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("[codegen id"), p)
+  }
+
+  test("q50: native dot product keeps the projection in codegen") {
+    val p = finalPlan(Vector.q50CosineTopk(spark, sf()))
+    assert(p.contains("graft_dot") || p.toLowerCase.contains("dotproduct"), p)
+    assert(p.contains("[codegen id"), p)
+  }
+}
