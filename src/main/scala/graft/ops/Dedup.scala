@@ -105,7 +105,11 @@ object Dedup {
     * colliding buckets; everything aggregates with map-side combine — the
     * 100 TB-safe LSH shape. */
   def q46MinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val hx = hashedShingles(s, dir)
+    // hx feeds three consumers (signatures + both sides of the Jaccard
+    // join); persist so the tokenize/shingle/window pipeline runs once.
+    // The cluster-scale analogue is materializing the signature table to
+    // storage between the sketch and verify stages.
+    val hx = hashedShingles(s, dir).persist()
     val minCols = (0 until NumHashes)
       .map(i => min(md5(concat(lit(s"$i|"), col("hg")).cast("binary"))).as(s"m$i"))
     val sigs = hx.groupBy(col("doc_id"))

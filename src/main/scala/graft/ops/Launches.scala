@@ -56,12 +56,26 @@ object Launches {
     tmp.toString
   }
 
+  /** REST-payload ingest (SURVEY §2.1 S1–S2): the reference fetches the
+    * launches API driver-side (`spacex_api_dag.py:32-34`) and parses the
+    * JSON body; the Spark-native equivalent is a `Dataset[String]` of the
+    * payload lines fed to the JSON reader — identical plan to the file path,
+    * no temp files. (The HTTP GET itself is environment I/O, not a Spark
+    * operator; in this zero-egress container callers pass the body.) */
+  def ingestPayload(spark: SparkSession, jsonLines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    typed(spark.read.schema(rawSchema).json(jsonLines.toDS()))
+  }
+
   /** Typed ingest (S1–S3, P1–P4, F4–F5): fixed-schema JSON read, lenient
     * timestamp/long coercion (`try_to_timestamp`/`try_cast` ≡ pandas
     * `errors="coerce"`, null on junk — Spark 4 ANSI mode would throw on a
     * plain cast). */
   def ingest(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(rawSchema).json(path)
+    typed(spark.read.schema(rawSchema).json(path))
+
+  private def typed(raw: DataFrame): DataFrame =
+    raw
       .select(
         col("id").as("launch_id"),
         col("name"),

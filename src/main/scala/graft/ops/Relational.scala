@@ -406,6 +406,20 @@ object Relational {
       |WHERE year(o_orderdate) = 1997
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** Approximate aggregates (SURVEY §2.4 A7 approx row): HLL distinct and
+    * approximate percentiles. Sketch internals differ across engines, so no
+    * DuckDB oracle — OperatorsSpec bounds the error against exact values
+    * instead (rows-only driver check). */
+  def q18ApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+      .orderBy(col("o_orderstatus"))
+
   /** Scalar string-function surface (SURVEY §2.8 F10 — ABSENT in reference):
     * upper/substr/length/regexp_replace/concat_ws over `part`, row-level. */
   def q15StringFunctions(s: SparkSession, dir: String): DataFrame =
@@ -504,6 +518,7 @@ object Relational {
     "q15_string_functions"     -> (q15StringFunctions _),
     "q16_range_join"           -> (q16RangeJoin _),
     "q17_asof_signup"          -> (q17AsofSignup _),
+    "q18_approx_stats"         -> (q18ApproxStats _),
   )
 
   val oracles: Map[String, String] = Map(

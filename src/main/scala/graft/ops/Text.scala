@@ -87,14 +87,17 @@ object Text {
         (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
       .withColumn("n_stop", countIn(toks, stopEn))
       .withColumn("n_ws_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      // BPE-ish subword units: letter runs, digit runs, single punctuation
+      .withColumn("n_bpe_tokens",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
       .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_txt"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
         col("stop_ratio") * lit(0.5) + (lit(1.0) - col("punct_ratio")) * lit(0.3) +
           least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.2))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("n_chars_txt"),
-        col("n_punct"), col("n_stop"), col("n_ws_tokens"), col("punct_ratio"),
-        col("stop_ratio"), col("quality_score"))
+        col("n_punct"), col("n_stop"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -105,9 +108,10 @@ object Text {
       |  length(text) AS n_chars_txt,
       |  length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
       |  ${countInSql("toks", stopEn)} AS n_stop,
-      |  len(string_split_regex(text, '\\s+')) AS n_ws_tokens
+      |  len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
       |FROM t)
-      |SELECT doc_id, lang, source, n_tokens, n_chars_txt, n_punct, n_stop, n_ws_tokens,
+      |SELECT doc_id, lang, source, n_tokens, n_chars_txt, n_punct, n_stop, n_ws_tokens, n_bpe_tokens,
       |  CAST(n_punct AS DOUBLE) / n_chars_txt AS punct_ratio,
       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
       |  (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_txt) * 0.3 +

@@ -91,6 +91,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("payload ingest (S1/S2): Dataset[String] JSON body matches file ingest") {
+    val lines = scala.io.Source.fromFile(graft.ops.Launches.fixturePath).getLines().toSeq
+    val fromPayload = graft.ops.Launches.ingestPayload(spark, lines)
+    val fromFile = graft.ops.Launches.ingest(spark, graft.ops.Launches.fixturePath)
+    assert(fromPayload.count() == fromFile.count())
+    assert(fromPayload.schema == fromFile.schema)
+    assert(fromPayload.exceptAll(fromFile).isEmpty && fromFile.exceptAll(fromPayload).isEmpty)
+  }
+
+  test("approx aggregates bounded vs exact (HLL ±5%, median within p25–p75)") {
+    Relational.q18ApproxStats(spark, sf()).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"HLL off: $exact vs $approx")
+      assert(r.getAs[Double]("approx_median_price") > 0.0)
+    }
+  }
+
   test("all declared oracle keys have matching query entries") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
