@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Events.queries ++ ops.Text.queries ++
       ops.Dedup.queries ++ ops.Vector.queries ++ ops.Launches.queries ++
-      ops.Multimodal.queries ++ streaming.Streaming.queries
+      ops.Multimodal.queries ++ streaming.Streaming.queries ++
+      streaming.StatefulSessions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Events.oracles ++ ops.Text.oracles ++
       ops.Dedup.oracles ++ ops.Vector.oracles ++ ops.Launches.oracles ++
-      ops.Multimodal.oracles ++ streaming.Streaming.oracles
+      ops.Multimodal.oracles ++ streaming.Streaming.oracles ++
+      streaming.StatefulSessions.oracles
 }

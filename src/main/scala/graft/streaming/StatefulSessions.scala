@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed stateful sessionization (SURVEY.md §2.10 custom-state row):
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` with the same 30-minute
+  * gap semantics as the window-based ops.Events.q21 — and checked against
+  * the identical DuckDB oracle.
+  *
+  * Run here over the bounded events table (Spark executes the state
+  * function once per key in batch mode); the same code drives a live
+  * `readStream` with `GroupStateTimeout.EventTimeTimeout` for incremental
+  * session emission. Typed `Dataset[Ev]` + case-class Encoders are the
+  * SURVEY §1.4 "where type safety helps" path: per-user session folding is
+  * genuinely imperative, which is exactly the mapGroups escape hatch.
+  * Scale: one shuffle on user_id; per-group memory is one sorted user
+  * timeline (bounded by per-user activity, not corpus size).
+  */
+object StatefulSessions {
+
+  case class Ev(user_id: Long, event_id: Long, ts_ms: Long, value_cents: Long)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      start_ms: Long, duration_ms: Long, sum_value: Double)
+
+  private val GapMs = 1800000L
+
+  /** Fold one user's (sorted) events into sessions. */
+  private[streaming] def sessionize(userId: Long, evs: Iterator[Ev],
+      state: GroupState[Int]): Iterator[SessionOut] = {
+    val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var seq = 0L
+      var start = 0L; var last = 0L; var n = 0L; var cents = 0L
+      def flush(): Unit = if (n > 0)
+        out += SessionOut(userId, seq, n, start, last - start, cents.toDouble / 100.0)
+      sorted.foreach { e =>
+        if (n == 0 || e.ts_ms - last > GapMs) {
+          flush(); seq += 1; start = e.ts_ms; n = 0; cents = 0
+        }
+        last = e.ts_ms; n += 1; cents += e.value_cents
+      }
+      flush()
+      out.iterator
+    }
+  }
+
+  /** Sessionization through the stateful-API shape, as a driver-contract
+    * query (bounded input ⇒ deterministic). Output equals ops.Events.q21. */
+  def q25StatefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        graft.Exact.cents(col("value")).as("value_cents"))
+      .as[Ev]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+      .toDF()
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Same sessions as the window formulation — same oracle (ops.Events). */
+  val q25Oracle: String = graft.ops.Events.q21Oracle
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_stateful_sessions" -> (q25StatefulSessions _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_stateful_sessions" -> q25Oracle,
+  )
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.{Relational, Skew}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern specs: salting correctness, partition pruning, and the
+  * stateful sessionizer's equivalence to the window formulation. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join returns exactly the unsalted join's rows") {
+    val li = Tables.lineitem(spark, sf()).select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+    val su = Tables.supplier(spark, sf()).withColumnRenamed("s_suppkey", "l_suppkey")
+    val plain = li.join(su, Seq("l_suppkey")).agg(
+      count(lit(1)), sum("l_quantity"), sum("s_acctbal")).head()
+    val salted = Skew.saltedEquiJoin(li, su, "l_suppkey", col("l_orderkey"), buckets = 8).agg(
+      count(lit(1)), sum("l_quantity"), sum("s_acctbal")).head()
+    assert(plain == salted)
+  }
+
+  test("partitioned materialization prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mart").toString
+    val mart = Tables.orders(spark, sf())
+      .withColumn("order_year", year(col("o_orderdate")))
+    Materialize.asPartitionedTable(mart, dir, "order_year")
+    val back = Materialize.readTable(spark, dir).filter(col("order_year") === 1997)
+    assert(back.count() == mart.filter(col("order_year") === 1997).count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("order_year"), plan)
+    // pruned scan reads only the matching partition directory
+    assert(plan.split("PartitionFilters")(1).takeWhile(_ != ']').contains("1997"), plan)
+  }
+
+  test("stateful sessionizer equals the window-based q21 exactly") {
+    val w = ops.Events.q21Sessions(spark, sf())
+    val st = streaming.StatefulSessions.q25StatefulSessions(spark, sf())
+    assert(w.exceptAll(st).isEmpty && st.exceptAll(w).isEmpty)
+  }
+}
