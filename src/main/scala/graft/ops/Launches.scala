@@ -87,6 +87,15 @@ object Launches {
         col("details"),
         col("load_ts").cast("timestamp").as("load_ts"))
 
+  /** Batch-constant audit column (SURVEY §2.2 P4,
+    * `spacex_api_dag.py:44` — `df["load_ts"] = datetime.utcnow()` evaluates
+    * ONCE per batch): capture the instant driver-side and stamp it as a
+    * literal, so every row of the batch shares one value — unlike a per-row
+    * `current_timestamp()` re-evaluation (Catalyst folds it per-query, but
+    * the literal matches the reference's batch semantics explicitly). */
+  def withLoadTs(df: DataFrame, at: java.time.Instant = java.time.Instant.now()): DataFrame =
+    df.withColumn("load_ts", lit(java.sql.Timestamp.from(at)))
+
   /** Staging transform (`stg_spacex_launches.sql:3-24`): defensive casts +
     * derived `year`. Pure DataFrame→DataFrame — the dbt view materialization
     * maps to lazy composition (SURVEY.md §3.2). */

@@ -420,6 +420,36 @@ object Relational {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** Full outer join (SURVEY §2.3 — the remaining join kind): each year's
+    * top-20 customers by order count, stitched FULL OUTER on custkey so
+    * customers prominent in only one year keep a NULL side. */
+  def q19FullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    def top20(yr: Int): DataFrame =
+      Tables.orders(s, dir)
+        .filter(yearL(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("o_custkey").asc)
+        .limit(20)
+    val a = top20(1996).select(col("o_custkey").as("custkey"), col("n").as("n_1996"))
+    val b = top20(1997).select(col("o_custkey").as("custkey"), col("n").as("n_1997"))
+    a.join(b, Seq("custkey"), "full_outer")
+      .orderBy(col("custkey"))
+  }
+
+  val q19Oracle: String =
+    """WITH a AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_1996 FROM orders
+      |  WHERE year(o_orderdate) = 1996 GROUP BY 1
+      |  ORDER BY n_1996 DESC, custkey ASC LIMIT 20),
+      |b AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_1997 FROM orders
+      |  WHERE year(o_orderdate) = 1997 GROUP BY 1
+      |  ORDER BY n_1997 DESC, custkey ASC LIMIT 20)
+      |SELECT coalesce(a.custkey, b.custkey) AS custkey, n_1996, n_1997
+      |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+      |ORDER BY custkey""".stripMargin
+
   /** Scalar string-function surface (SURVEY §2.8 F10 — ABSENT in reference):
     * upper/substr/length/regexp_replace/concat_ws over `part`, row-level. */
   def q15StringFunctions(s: SparkSession, dir: String): DataFrame =
@@ -519,6 +549,7 @@ object Relational {
     "q16_range_join"           -> (q16RangeJoin _),
     "q17_asof_signup"          -> (q17AsofSignup _),
     "q18_approx_stats"         -> (q18ApproxStats _),
+    "q19_full_outer_join"      -> (q19FullOuterJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -539,5 +570,6 @@ object Relational {
     "q15_string_functions"     -> q15Oracle,
     "q16_range_join"           -> q16Oracle,
     "q17_asof_signup"          -> q17Oracle,
+    "q19_full_outer_join"      -> q19Oracle,
   )
 }

@@ -30,6 +30,24 @@ class ScaleSpec extends SparkSpec {
     assert(plan.split("PartitionFilters")(1).takeWhile(_ != ']').contains("1997"), plan)
   }
 
+  test("append sink accumulates snapshots; overwrite replaces (S6/S7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val snap = Tables.region(spark, sf())
+    snap.write.mode("append").parquet(dir)
+    snap.write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 2 * snap.count())
+    snap.write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).count() == snap.count())
+  }
+
+  test("load_ts audit column is one batch-constant value (P4)") {
+    val at = java.time.Instant.parse("2024-05-01T00:00:00Z")
+    val stamped = ops.Launches.withLoadTs(Tables.region(spark, sf()), at)
+    val distinct = stamped.select("load_ts").distinct().collect()
+    assert(distinct.length == 1)
+    assert(distinct.head.getTimestamp(0).toInstant == at)
+  }
+
   test("stateful sessionizer equals the window-based q21 exactly") {
     val w = ops.Events.q21Sessions(spark, sf())
     val st = streaming.StatefulSessions.q25StatefulSessions(spark, sf())
