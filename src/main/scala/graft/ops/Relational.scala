@@ -450,6 +450,51 @@ object Relational {
       |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Pivot (SURVEY §2.4 A3 generalized — the mart's conditional sums are a
+    * 2-value pivot): order counts by year × status, explicit value list so
+    * the output schema is static and deterministic. */
+  def q26PivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(yearL(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("order_year"))
+
+  val q26Oracle: String =
+    """SELECT year(o_orderdate) AS order_year,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  /** Correlated scalar subquery through the SQL entry point (SURVEY §3.3 /
+    * §4 decorrelation row): parts priced above their brand's average.
+    * Catalyst's RewriteCorrelatedScalarSubquery turns the correlation into
+    * an aggregate + join — check `.explain`: no per-row subquery execution. */
+  def q27CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_part_v")
+    s.sql(
+      """SELECT p_brand, count(*) AS n_above_brand_avg,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_above_price
+        |FROM graft_part_v p
+        |WHERE CAST(round(p_retailprice * 100) AS BIGINT) >
+        |      (SELECT CAST(sum(CAST(round(i.p_retailprice * 100) AS BIGINT)) AS DOUBLE) / count(*)
+        |       FROM graft_part_v i WHERE i.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val q27Oracle: String =
+    """SELECT p_brand, count(*) AS n_above_brand_avg,
+      |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_above_price
+      |FROM part p
+      |WHERE CAST(round(p_retailprice * 100) AS BIGINT) >
+      |      (SELECT CAST(sum(CAST(round(i.p_retailprice * 100) AS BIGINT)) AS DOUBLE) / count(*)
+      |       FROM part i WHERE i.p_brand = p.p_brand)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** Scalar string-function surface (SURVEY §2.8 F10 — ABSENT in reference):
     * upper/substr/length/regexp_replace/concat_ws over `part`, row-level. */
   def q15StringFunctions(s: SparkSession, dir: String): DataFrame =
@@ -550,6 +595,8 @@ object Relational {
     "q17_asof_signup"          -> (q17AsofSignup _),
     "q18_approx_stats"         -> (q18ApproxStats _),
     "q19_full_outer_join"      -> (q19FullOuterJoin _),
+    "q26_pivot_status"         -> (q26PivotStatus _),
+    "q27_correlated_subquery"  -> (q27CorrelatedSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,5 +618,7 @@ object Relational {
     "q16_range_join"           -> q16Oracle,
     "q17_asof_signup"          -> q17Oracle,
     "q19_full_outer_join"      -> q19Oracle,
+    "q26_pivot_status"         -> q26Oracle,
+    "q27_correlated_subquery"  -> q27Oracle,
   )
 }
