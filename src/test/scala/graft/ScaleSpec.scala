@@ -48,6 +48,33 @@ class ScaleSpec extends SparkSpec {
     assert(distinct.head.getTimestamp(0).toInstant == at)
   }
 
+  test("bucketed tables join with no shuffle exchange (co-located join)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftbuckets")
+    Tables.orders(spark, sf()).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graftbuckets.orders_b")
+    Tables.lineitem(spark, sf()).select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graftbuckets.lineitem_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graftbuckets.lineitem_b")
+        .join(spark.table("graftbuckets.orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")))
+      j.collect()
+      val plan = j.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // co-located: neither join input reshuffles — the only Exchange is the
+      // final aggregation's
+      val joinSection = plan.split("SortMergeJoin")(0)
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stateful sessionizer equals the window-based q21 exactly") {
     val w = ops.Events.q21Sessions(spark, sf())
     val st = streaming.StatefulSessions.q25StatefulSessions(spark, sf())
