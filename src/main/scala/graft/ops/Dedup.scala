@@ -220,11 +220,110 @@ object Dedup {
       |FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup clusters: connected components over the LSH pair graph
+    * (q46's Jaccard-verified edges), labeled by the component's minimum
+    * doc_id; the representative ("kept") doc is that minimum — the final
+    * step of a dedup pipeline (drop every member but the representative).
+    *
+    * Distributed min-label propagation: each iteration is one join +
+    * aggregate; the driver loop only checks a monotone convergence
+    * checksum (sum of labels strictly decreases until fixpoint), which is
+    * how Pregel-style algorithms run on Spark — iterations ≈ cluster
+    * diameter (tiny for near-dup graphs), data never leaves executors.
+    * Oracle: DuckDB recursive CTE computing the same transitive min. */
+  def q48DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint truncates lineage: without it every iteration's
+    // LOGICAL plan doubles (persist caches data but keeps the plan), and
+    // Catalyst re-analysis grows exponentially — measured 56 s of pure
+    // driver planning by iteration 2. On a cluster this would be a
+    // reliable checkpoint() to storage instead.
+    val pairs = q46MinhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v").localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var checksum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      // (1) hop: take the min label over neighbors
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val hopped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // (2) pointer-jump: follow my label's label (path compression) —
+      // together with (1) this converges in O(log diameter) iterations
+      // instead of O(diameter), which matters on chain-shaped clusters.
+      val par = hopped.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val next = hopped.join(par, hopped("lbl") === par("pid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+    }
+    val sizes = labels.groupBy(col("lbl").as("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels
+      .join(sizes, labels("lbl") === sizes("cluster_rep"))
+      .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"),
+        when(col("id") === col("cluster_rep"), 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col("cluster_rep"), col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
+  val q48Oracle: String = {
+    // q46's pipeline as CTEs, then a recursive transitive-min closure.
+    val mins = (0 until NumHashes)
+      .map(i => s"  min(md5('$i|' || hg)) AS m$i").mkString(",\n")
+    val nBands = NumHashes / BandRows
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, md5(m${BandRows * b} || m${BandRows * b + 1}) AS band_val FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $hashedShinglesSql,
+      |sigs AS (
+      |  SELECT doc_id,
+      |$mins,
+      |  count(*) AS sz
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS inter
+      |  FROM cands
+      |  JOIN hx x ON doc_a = x.doc_id
+      |  JOIN hx y ON doc_b = y.doc_id AND x.g = y.g
+      |  GROUP BY doc_a, doc_b),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+      |labels AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1)
+      |SELECT id AS doc_id, l.cluster_rep, cluster_size,
+      |  CASE WHEN id = l.cluster_rep THEN 1 ELSE 0 END AS is_kept
+      |FROM labels l JOIN sizes s ON l.cluster_rep = s.cluster_rep
+      |ORDER BY l.cluster_rep, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
     "q45_exact_dup_stats"      -> (q45ExactDupStats _),
     "q46_minhash_lsh_pairs"    -> (q46MinhashLshPairs _),
     "q47_simhash"              -> (q47Simhash _),
+    "q48_dedup_clusters"       -> (q48DedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +331,6 @@ object Dedup {
     "q45_exact_dup_stats"      -> q45Oracle,
     "q46_minhash_lsh_pairs"    -> q46Oracle,
     "q47_simhash"              -> q47Oracle,
+    "q48_dedup_clusters"       -> q48Oracle,
   )
 }

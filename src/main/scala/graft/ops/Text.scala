@@ -181,11 +181,54 @@ object Text {
       |  len(toks) AS n_tokens
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF-style term salience: per document, the top-3 terms by
+    * `tf · N / df` (linear inverse document frequency — a log() would be
+    * libm-dependent and break cross-engine bit parity; the RANKING is what
+    * matters and is order-isomorphic for fixed tf). All counts exact ints;
+    * the score division is one deterministic double op. Two shuffles total
+    * (term stats, per-doc rank) — the classic distributed TF-IDF shape. */
+  def q49TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q49Oracle: String =
+    s"""WITH terms AS (
+      |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM terms) t GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf.tf, df.df,
+      |    CAST(tf.tf * n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, token, tf, df, score FROM ranked
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_freq"  -> (q40TokenFreq _),
     "q41_doc_quality" -> (q41DocQuality _),
     "q42_lang_id"     -> (q42LangId _),
     "q43_fingerprint" -> (q43Fingerprint _),
+    "q49_tfidf_top_terms" -> (q49TfidfTopTerms _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +236,6 @@ object Text {
     "q41_doc_quality" -> q41Oracle,
     "q42_lang_id"     -> q42Oracle,
     "q43_fingerprint" -> q43Oracle,
+    "q49_tfidf_top_terms" -> q49Oracle,
   )
 }

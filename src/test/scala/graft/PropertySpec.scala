@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Launches
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY.md §5.2.3) over generated launch
+  * frames: the mart's three-valued-logic identities must hold for ANY
+  * input, not just the fixtures. */
+class PropertySpec extends SparkSpec {
+
+  /** Raw-scalacheck bridge (no scalatestplus in the dep set): draw n
+    * samples from a Gen and run the assertion block on each. */
+  private def forAllSampled[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(body)
+
+  private val rowGen = for {
+    year <- Gen.chooseNum(1990, 2030)
+    success <- Gen.oneOf(Some(true), Some(false), None)
+  } yield (year, success)
+
+  private val frameGen = Gen.listOfN(40, rowGen)
+
+  test("mart invariants hold on arbitrary inputs") {
+    import spark.implicits._
+    forAllSampled(frameGen, 15) { rows =>
+      val df = rows.toDF("year", "success")
+      val out = Launches.mart(df).collect()
+      // successes + failures == launches, rate in [0,100] and non-null
+      out.foreach { r =>
+        val launches = r.getAs[Long]("launches")
+        val s = r.getAs[Long]("successes")
+        val f = r.getAs[Long]("failures")
+        assert(s + f == launches)
+        val rate = r.getAs[java.math.BigDecimal]("success_rate_pct")
+        assert(rate != null)
+        assert(rate.doubleValue >= 0.0 && rate.doubleValue <= 100.0)
+      }
+      // total rows preserved
+      assert(out.map(_.getAs[Long]("launches")).sum == rows.size)
+    }
+  }
+
+  test("latest-snapshot dedup is idempotent and keeps one row per key on arbitrary inputs") {
+    import spark.implicits._
+    val snapGen = Gen.listOfN(60, for {
+      id <- Gen.chooseNum(1, 10)
+      ts <- Gen.chooseNum(1L, 5L)
+    } yield (s"launch$id", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(ts * 86400)))
+    )
+    forAllSampled(snapGen, 10) { rows =>
+      val df = rows.toDF("launch_id", "load_ts")
+        .withColumn("date_utc", lit(null).cast("timestamp"))
+      val once = Launches.latestSnapshot(df)
+      val twice = Launches.latestSnapshot(once)
+      assert(once.count() == df.select("launch_id").distinct().count())
+      assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+    }
+  }
+}
