@@ -450,6 +450,46 @@ object Relational {
       |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Dispersion statistics (SURVEY §2.4 A9: min/max/avg/stddev) with exact
+    * arithmetic: built-in `stddev` sums doubles (order-dependent, breaks
+    * hash parity), so the sample variance comes from exact integer/decimal
+    * moments — S1 = Σcents (int64), S2 = Σcents² (decimal — 600k rows of
+    * 2.5e15 squares overflow int64) — then one deterministic double
+    * conversion at the end: sqrt((n·S2 − S1²)/(n(n−1)))/100. */
+  def q28Dispersion(s: SparkSession, dir: String): DataFrame = {
+    val xq = Exact.cents(col("o_totalprice"))
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        (min(xq).cast("double") / 100.0).as("min_price"),
+        (max(xq).cast("double") / 100.0).as("max_price"),
+        sum(xq).as("s1"),
+        sum((xq * xq).cast("decimal(38,0)")).as("s2"))
+      .select(
+        col("o_orderstatus"),
+        col("n"),
+        col("min_price"),
+        col("max_price"),
+        (col("s1").cast("double") / 100.0 / col("n")).as("avg_price"),
+        (sqrt((col("n") * col("s2") - col("s1").cast("decimal(38,0)") * col("s1")).cast("double")
+          / (col("n") * (col("n") - 1))) / 100.0).as("stddev_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q28Oracle: String =
+    """SELECT o_orderstatus, n, min_price, max_price,
+      |  CAST(s1 AS DOUBLE) / 100.0 / n AS avg_price,
+      |  sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) / (n * (n - 1))) / 100.0 AS stddev_price
+      |FROM (
+      |  SELECT o_orderstatus, count(*) AS n,
+      |    CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price,
+      |    CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+      |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) * CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS s2
+      |  FROM orders GROUP BY o_orderstatus) t
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Pivot (SURVEY §2.4 A3 generalized — the mart's conditional sums are a
     * 2-value pivot): order counts by year × status, explicit value list so
     * the output schema is static and deterministic. */
@@ -595,6 +635,7 @@ object Relational {
     "q17_asof_signup"          -> (q17AsofSignup _),
     "q18_approx_stats"         -> (q18ApproxStats _),
     "q19_full_outer_join"      -> (q19FullOuterJoin _),
+    "q28_dispersion"           -> (q28Dispersion _),
     "q26_pivot_status"         -> (q26PivotStatus _),
     "q27_correlated_subquery"  -> (q27CorrelatedSubquery _),
   )
@@ -618,6 +659,7 @@ object Relational {
     "q16_range_join"           -> q16Oracle,
     "q17_asof_signup"          -> q17Oracle,
     "q19_full_outer_join"      -> q19Oracle,
+    "q28_dispersion"           -> q28Oracle,
     "q26_pivot_status"         -> q26Oracle,
     "q27_correlated_subquery"  -> q27Oracle,
   )

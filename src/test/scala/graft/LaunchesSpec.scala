@@ -76,6 +76,25 @@ class LaunchesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("nested JSON flattens via struct access (SURVEY S3, pd.json_normalize analogue)") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"id":"a1","rocket":{"rid":"r9","name":"Falcon 9"},"cores":[{"flight":1},{"flight":2}]}""",
+      """{"id":"a2","rocket":{"rid":"rh","name":"Heavy"},"cores":[]}""").toDS()
+    val nested = spark.read.json(lines)
+    val flat = nested.select(
+      col("id"),
+      col("rocket.rid").as("rocket_rid"),
+      col("rocket.name").as("rocket_name"),
+      size(col("cores")).as("n_cores"))
+    val rows = flat.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("rocket_rid")).toSeq == Seq("r9", "rh"))
+    assert(rows.map(_.getAs[Int]("n_cores")).toSeq == Seq(2, 0))
+    // arrays flatten via explode
+    assert(nested.select(col("id"), explode(col("cores")).as("core"))
+      .select(col("core.flight")).count() == 2)
+  }
+
   test("catalog materialization (SURVEY S8–S11): database + saveAsTable + view round-trip") {
     // S8: create namespace; S10: physical table; S9: view; S11: catalog listing
     spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
