@@ -252,15 +252,97 @@ object Vector {
       |WHERE cos_sim >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  private val PqBlocks = 8  // 8 subspaces × 8 dims
+  private val PqDims = Dim / PqBlocks
+  private val PqK = 16      // centroids per subspace
+
+  /** Product-quantization ANN top-k (the third ANN family beside IVF and
+    * hyperplane LSH): vectors compress to 8 one-byte codes (argmin-L2
+    * centroid per 8-dim block); queries score candidates with an asymmetric
+    * distance — per-block lookup tables of query→centroid distances, summed
+    * over the stored codes. Everything runs in exact fixed-point integers
+    * (`round(x·2²⁴)`), so every argmin and every distance sum is an exact
+    * int64 decision: order-independent, engine-identical, oracle-checkable.
+    *
+    * "Training" is deterministic (centroid c of block b = vec c's block-b
+    * subvector, c < 16). At scale: codes are 8 bytes/vector (64× smaller
+    * than raw), encode is one broadcast join + argmin, and query cost is
+    * |queries|·|corpus|·8 integer adds on precomputed tables — the classic
+    * IVF-PQ building block. */
+  def q53PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val xq = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        expr("j0 div " + PqDims).as("block"),
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq"))
+    val cent = xq.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("j"), col("block").as("cblock"), col("xq").as("cq"))
+    // per (vector, block, centroid): exact squared L2 over the 8 block dims
+    val blockDists = xq.join(broadcast(cent), xq("j") === cent("j") && xq("block") === cent("cblock"))
+      .groupBy(col("vec_id"), col("block"), col("cid"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val codes = blockDists
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("cid").as("code"))
+    val qdt = blockDists.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("block"), col("cid"), col("d2"))
+    val approx = codes
+      .join(qdt, codes("block") === qdt("block") && codes("code") === qdt("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    approx
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("approx_d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q53Oracle: String =
+    s"""WITH xq AS (
+      |  SELECT vec_id, j,
+      |    CAST((j - 1) // $PqDims AS BIGINT) AS block,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $FixedPoint) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |cent AS (
+      |  SELECT vec_id AS cid, j, block AS cblock, xq AS cq FROM xq WHERE vec_id < $PqK),
+      |bd AS (
+      |  SELECT x.vec_id, x.block, c.cid, sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+      |  FROM xq x JOIN cent c ON x.j = c.j AND x.block = c.cblock
+      |  GROUP BY x.vec_id, x.block, c.cid),
+      |codes AS (
+      |  SELECT vec_id, block, cid AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2 ASC, cid ASC) AS rn
+      |    FROM bd) t WHERE rn = 1),
+      |qdt AS (
+      |  SELECT vec_id AS query_id, block, cid, d2 FROM bd WHERE vec_id % 100 = 0),
+      |approx AS (
+      |  SELECT query_id, codes.vec_id, sum(qdt.d2) AS approx_d2
+      |  FROM codes JOIN qdt ON codes.block = qdt.block AND codes.code = qdt.cid
+      |  WHERE query_id <> codes.vec_id
+      |  GROUP BY query_id, codes.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+      |  FROM approx)
+      |SELECT query_id, rk, vec_id, approx_d2 FROM ranked
+      |WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_cosine_topk"        -> (q50CosineTopk _),
     "q51_ivf_topk"           -> (q51IvfTopk _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
+    "q53_pq_topk"            -> (q53PqTopk _),
   )
 
   val oracles: Map[String, String] = Map(
     "q50_cosine_topk"        -> q50Oracle,
     "q51_ivf_topk"           -> q51Oracle,
     "q52_embedding_near_dup" -> q52Oracle,
+    "q53_pq_topk"            -> q53Oracle,
   )
 }

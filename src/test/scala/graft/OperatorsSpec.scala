@@ -74,6 +74,16 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall=$recall")
   }
 
+  test("PQ top-k overlaps brute-force top-k (sanity recall on random data)") {
+    val brute = Vector.q50CosineTopk(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val pq = Vector.q53PqTopk(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(pq.nonEmpty)
+    // 16-centroid PQ on isotropic 64-d data is coarse; require nonzero overlap
+    assert((brute & pq).nonEmpty, s"no overlap between PQ and brute-force top-k")
+  }
+
   test("cosine is symmetric and self-similarity is 1.0") {
     val emb = Tables.embeddings(spark, sf()).limit(1)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
