@@ -75,6 +75,27 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("streaming dropDuplicates collapses a replayed source to exactly-once counts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-replay")
+    val src = Paths.get(sf(), "events.parquet")
+    // simulate an at-least-once source: the same snapshot lands twice
+    Files.copy(src, dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("graft_dedup_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val deduped = spark.table("graft_dedup_stream").agg(sum(col("n"))).head.getLong(0)
+    val original = Tables.events(spark, sf()).count()
+    assert(deduped == original, s"expected $original exactly-once events, got $deduped")
+  }
+
   test("stateful sessionizer equals the window-based q21 exactly") {
     val w = ops.Events.q21Sessions(spark, sf())
     val st = streaming.StatefulSessions.q25StatefulSessions(spark, sf())
