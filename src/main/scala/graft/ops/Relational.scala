@@ -615,6 +615,120 @@ object Relational {
       |  sum(CASE WHEN ts_ms - prior_signup_ms <= 86400000 THEN 1 ELSE 0 END) AS n_within_24h
       |FROM marked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CUBE (SURVEY §2.4 A8, completing rollup): all grouping-set combinations
+    * of (status, priority) with grouping flags for disambiguation. */
+  def q54CubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q54Oracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  ${moneySumSql("o_totalprice")} AS total_price,
+      |  GROUPING(o_orderstatus) AS g_status,
+      |  GROUPING(o_orderpriority) AS g_priority
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Ranking/analytic window variants (SURVEY §2.5): rank, dense_rank,
+    * ntile, lag, lead over a totally-ordered per-year frame. The order key
+    * is unique (price, orderkey) so ntile/lag/lead are deterministic. */
+  def q55RankVariants(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("order_year"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("order_year", yearL(col("o_orderdate")))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("drk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .filter(col("rk") <= 5)
+      .select(col("order_year"), col("rk"), col("drk"), col("quartile"),
+        col("o_orderkey"), col("o_totalprice"), col("prev_price"), col("next_price"))
+      .orderBy(col("order_year"), col("rk"))
+  }
+
+  val q55Oracle: String =
+    """SELECT order_year, rk, drk, quartile, o_orderkey, o_totalprice, prev_price, next_price
+      |FROM (
+      |  SELECT year(o_orderdate) AS order_year, o_orderkey, o_totalprice,
+      |    rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk,
+      |    ntile(4) OVER w AS quartile,
+      |    lag(o_totalprice, 1) OVER w AS prev_price,
+      |    lead(o_totalprice, 1) OVER w AS next_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY year(o_orderdate) ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+      |WHERE rk <= 5
+      |ORDER BY order_year, rk""".stripMargin
+
+  /** Right outer join (SURVEY §2.3 — the remaining explicit join kind):
+    * order counts per nation keep every nation row even with no 1996-Q1
+    * orders on the left. */
+  def q56RightJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val na = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(na, col("c_nationkey") === col("n_nationkey"), "right_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val q56Oracle: String =
+    """SELECT n_name, count(o_orderkey) AS n_orders
+      |FROM (SELECT * FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00') o
+      |JOIN customer ON o_custkey = c_custkey
+      |RIGHT OUTER JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Date/interval arithmetic (SURVEY §2.8 date functions): day diffs,
+    * day adds, and calendar field extraction — all integer outputs. */
+  def q57DateArithmetic(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_delay_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).cast("long"))
+      .groupBy(
+        yearL(col("o_orderdate")).as("order_year"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("ship_delay_days")).as("min_delay"),
+        max(col("ship_delay_days")).as("max_delay"),
+        sum(col("ship_delay_days")).as("total_delay_days"),
+        sum(when(col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60), 1L)
+          .otherwise(0L)).as("n_late"))
+      .orderBy(col("order_year"), col("order_quarter"))
+  }
+
+  val q57Oracle: String =
+    """SELECT year(o_orderdate) AS order_year, quarter(o_orderdate) AS order_quarter,
+      |  count(*) AS n_items,
+      |  min(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS min_delay,
+      |  max(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_delay,
+      |  sum(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS total_delay_days,
+      |  sum(CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      |      THEN 1 ELSE 0 END) AS n_late
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"      -> (q01PricingSummary _),
     "q02_topk_orders"          -> (q02TopkOrders _),
@@ -638,6 +752,10 @@ object Relational {
     "q28_dispersion"           -> (q28Dispersion _),
     "q26_pivot_status"         -> (q26PivotStatus _),
     "q27_correlated_subquery"  -> (q27CorrelatedSubquery _),
+    "q54_cube_orders"          -> (q54CubeOrders _),
+    "q55_rank_variants"        -> (q55RankVariants _),
+    "q56_right_join"           -> (q56RightJoin _),
+    "q57_date_arithmetic"      -> (q57DateArithmetic _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -662,5 +780,9 @@ object Relational {
     "q28_dispersion"           -> q28Oracle,
     "q26_pivot_status"         -> q26Oracle,
     "q27_correlated_subquery"  -> q27Oracle,
+    "q54_cube_orders"          -> q54Oracle,
+    "q55_rank_variants"        -> q55Oracle,
+    "q56_right_join"           -> q56Oracle,
+    "q57_date_arithmetic"      -> q57Oracle,
   )
 }
