@@ -7,13 +7,29 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet result produced by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB against the sfDir
-parquet tables, and compares: column names (sorted), row count, and
-value-hash over rows sorted by all columns. Mirrors BASELINE.md's
-"hash-match" gate as strictly as we can guess it — exact value equality,
-no float tolerance.
+parquet tables, and compares: column names (sorted), COLUMN TYPES (sorted
+by name, normalized), row count, and value-hash over rows sorted by all
+columns. Mirrors BASELINE.md's "hash-match" gate as strictly as we can
+guess it — exact value equality, no float tolerance.
+
+The type check matters: the driver's compare hashes *typed* values (DuckDB
+HUGEINT exports to Arrow as decimal128, not int64), so an oracle `sum()` of
+an integer column that is value-equal but HUGEINT-typed still fails the
+driver gate. Round 1 lost 10 queries to exactly that while this script
+printed PASS (ADVICE.md r1) — hence TYPES-MISMATCH is now a FAIL here.
 """
 import sys, json, glob, os
 import duckdb
+
+def norm_type(t):
+    # Collapse integer widths (the driver compares python ints equal across
+    # int32/int64 parquet/arrow) but keep HUGEINT distinct — it round-trips
+    # as decimal128 and breaks the typed hash.
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    return s
 
 def norm_cell(v):
     # Normalize engine-representation differences that are not value
@@ -47,21 +63,28 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        got_cols = [c[0] for c in got.description]
+        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        got_cols = list(got.columns)
+        got_types = dict(zip(got_cols, [norm_type(t) for t in got.types]))
         got_rows = got.fetchall()
         if name not in oracles:
             results[name] = f"NO-ORACLE rows={len(got_rows)}"
             continue
         try:
-            exp = con.execute(oracles[name])
-            exp_cols = [c[0] for c in exp.description]
+            exp = con.sql(oracles[name])
+            exp_cols = list(exp.columns)
+            exp_types = dict(zip(exp_cols, [norm_type(t) for t in exp.types]))
             exp_rows = exp.fetchall()
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
             continue
         if sorted(got_cols) != sorted(exp_cols):
             results[name] = f"COLS-MISMATCH got={sorted(got_cols)} exp={sorted(exp_cols)}"
+            continue
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_cols
+                 if got_types[c] != exp_types[c]}
+        if tdiff:
+            results[name] = f"TYPES-MISMATCH (spark,oracle)={tdiff}"
             continue
         if len(got_rows) != len(exp_rows):
             results[name] = f"ROWS-MISMATCH got={len(got_rows)} exp={len(exp_rows)}"

@@ -58,9 +58,9 @@ object Dedup {
   }
 
   val q45Oracle: String =
-    """SELECT sum(n) AS n_docs, count(*) AS n_distinct_texts,
-      |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-      |  sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup_docs
+    """SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct_texts,
+      |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
       |FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1) g""".stripMargin
 
   private val NumHashes = 8
@@ -109,9 +109,10 @@ object Dedup {
     // join); persist so the tokenize/shingle/window pipeline runs once.
     // Spark's CacheManager matches by canonical plan, so q48 (which embeds
     // this query) and repeated invocations reuse the same cached table —
-    // a few MB per sf dir. The cluster-scale analogue is materializing the
-    // signature table to storage between the sketch and verify stages.
-    val hx = hashedShingles(s, dir).persist()
+    // a few MB per sf dir — until the harness's post-query Caches.releaseAll.
+    // The cluster-scale analogue is materializing the signature table to
+    // storage between the sketch and verify stages.
+    val hx = graft.Caches.persist(hashedShingles(s, dir))
     val minCols = (0 until NumHashes)
       .map(i => min(md5(concat(lit(s"$i|"), col("hg")).cast("binary"))).as(s"m$i"))
     val sigs = hx.groupBy(col("doc_id"))
@@ -240,9 +241,16 @@ object Dedup {
       .localCheckpoint()
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v").localCheckpoint()
+    // edges is materialized (localCheckpoint is eager) — pairs can go now.
+    graft.Caches.releaseCheckpoint(pairs)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
-    var checksum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    // coalesce: on a corpus with no Jaccard-verified pairs labels is empty
+    // and sum() returns NULL (ADVICE.md r1 — .getLong NPE'd on clean data);
+    // checksum 0 then converges on the first iteration with an empty result.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var checksum = labelSum(labels)
     var converged = false
     while (!converged) {
       // (1) hop: take the min label over neighbors
@@ -257,7 +265,10 @@ object Dedup {
       val next = hopped.join(par, hopped("lbl") === par("pid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      val nextSum = labelSum(next)
+      // next is materialized — the superseded iteration's checkpoint RDD
+      // can be released immediately (ADVICE.md r1: they accumulated).
+      graft.Caches.releaseCheckpoint(labels)
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
@@ -268,7 +279,10 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"),
         when(col("id") === col("cluster_rep"), 1L).otherwise(0L).as("is_kept"))
       .orderBy(col("cluster_rep"), col("doc_id"))
-    edges.unpersist()
+    // edges + final labels feed the returned (lazy) plan — released by the
+    // harness's Caches.releaseAll after the query's action completes.
+    graft.Caches.trackCheckpoint(edges)
+    graft.Caches.trackCheckpoint(labels)
     out
   }
 

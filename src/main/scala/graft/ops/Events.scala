@@ -86,8 +86,8 @@ object Events {
       |  FROM ev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
       |sessions AS (
-      |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq,
       |  count(*) AS n_events,
@@ -118,7 +118,7 @@ object Events {
       |  count(*) AS n_events,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin

@@ -89,9 +89,9 @@ object Multimodal {
   val q61Oracle: String =
     s"""SELECT source,
       |  count(*) AS n_docs,
-      |  sum(octet_length(encode(text))) AS total_bytes,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  max(octet_length(encode(text))) AS max_bytes,
-      |  sum(octet_length(encode(text)) // $FrameBytes + 1) AS total_frames
+      |  CAST(sum(octet_length(encode(text)) // $FrameBytes + 1) AS BIGINT) AS total_frames
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin

@@ -366,8 +366,8 @@ object Relational {
       |FROM (
       |  SELECT year(o_orderdate) AS order_year,
       |    count(*) AS n_orders,
-      |    sum(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 1 ELSE 0 END) AS completed,
-      |    sum(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 0 ELSE 1 END) AS other
+      |    CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+      |    CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS other
       |  FROM orders GROUP BY 1) t
       |ORDER BY order_year""".stripMargin
 
@@ -503,9 +503,9 @@ object Relational {
 
   val q26Oracle: String =
     """SELECT year(o_orderdate) AS order_year,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
 
   /** Correlated scalar subquery through the SQL entry point (SURVEY §3.3 /
@@ -611,8 +611,8 @@ object Relational {
       |  FROM ev)
       |SELECT event_type,
       |  count(*) AS n_events,
-      |  sum(CASE WHEN prior_signup_ms IS NOT NULL THEN 1 ELSE 0 END) AS n_with_prior_signup,
-      |  sum(CASE WHEN ts_ms - prior_signup_ms <= 86400000 THEN 1 ELSE 0 END) AS n_within_24h
+      |  CAST(sum(CASE WHEN prior_signup_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prior_signup,
+      |  CAST(sum(CASE WHEN ts_ms - prior_signup_ms <= 86400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_24h
       |FROM marked GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** CUBE (SURVEY §2.4 A8, completing rollup): all grouping-set combinations
@@ -723,9 +723,9 @@ object Relational {
       |  count(*) AS n_items,
       |  min(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS min_delay,
       |  max(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_delay,
-      |  sum(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS total_delay_days,
-      |  sum(CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
-      |      THEN 1 ELSE 0 END) AS n_late
+      |  CAST(sum(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS total_delay_days,
+      |  CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

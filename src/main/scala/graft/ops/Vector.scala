@@ -181,14 +181,14 @@ object Vector {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
       .select(col("vec_id"), (col("j0") + 1).as("j"),
         round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq"))
-    // Persisted: the band table feeds both sides of the candidate self-join.
-    val bands = xq.join(broadcast(coefs), Seq("j"))
+    // Persisted: the band table feeds both sides of the candidate self-join
+    // (released by the harness's post-query Caches.releaseAll).
+    val bands = graft.Caches.persist(xq.join(broadcast(coefs), Seq("j"))
       .groupBy(col("vec_id"), col("b"))
       .agg(sum(col("xq") * col("c")).as("pq"))
       .groupBy(col("vec_id"), (col("b") / BandBits).cast("int").as("band_idx"))
       .agg(sum(when(col("pq") > 0, expr(s"shiftleft(cast(1 as bigint), cast(b % $BandBits as int))"))
-        .otherwise(0L)).as("band_val"))
-      .persist()
+        .otherwise(0L)).as("band_val")))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
@@ -320,7 +320,7 @@ object Vector {
       |qdt AS (
       |  SELECT vec_id AS query_id, block, cid, d2 FROM bd WHERE vec_id % 100 = 0),
       |approx AS (
-      |  SELECT query_id, codes.vec_id, sum(qdt.d2) AS approx_d2
+      |  SELECT query_id, codes.vec_id, CAST(sum(qdt.d2) AS BIGINT) AS approx_d2
       |  FROM codes JOIN qdt ON codes.block = qdt.block AND codes.code = qdt.cid
       |  WHERE query_id <> codes.vec_id
       |  GROUP BY query_id, codes.vec_id),

@@ -45,6 +45,22 @@ class OperatorsSpec extends SparkSpec {
     assert(once.count() == twice.count())
   }
 
+  test("q48 on a clean corpus (no near-dup pairs) returns empty, no NPE") {
+    // ADVICE.md r1: empty labels made agg(sum(lbl)).head.getLong(0) NPE.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    (1L to 6L).map(i =>
+        (i, s"totally distinct document number $i with unique content " +
+          s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.q48DedupClusters(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "cluster_rep", "cluster_size", "is_kept"))
+    assert(out.count() == 0)
+    Caches.releaseAll()
+  }
+
   test("minhash LSH finds high-Jaccard planted near-dups and no false ≥0.99 misses") {
     val pairs = Dedup.q46MinhashLshPairs(spark, sf()).collect()
     assert(pairs.nonEmpty)

@@ -17,6 +17,22 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("salted join also matches for left and left_anti; rejects preserved-small-side types") {
+    val li = Tables.lineitem(spark, sf()).select(col("l_suppkey"), col("l_orderkey"))
+    val su = Tables.supplier(spark, sf()).filter(col("s_suppkey") % 2 === 0)
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    for (jt <- Seq("left", "left_anti")) {
+      val plain = li.join(su, Seq("l_suppkey"), jt).count()
+      val salted = Skew.saltedEquiJoin(li, su, "l_suppkey", col("l_orderkey"), 8, jt).count()
+      assert(plain == salted, jt)
+    }
+    // right/full would emit unmatched small-side rows once per bucket (ADVICE.md r1)
+    for (jt <- Seq("right", "full_outer", "right_outer", "full"))
+      assertThrows[IllegalArgumentException] {
+        Skew.saltedEquiJoin(li, su, "l_suppkey", col("l_orderkey"), 8, jt)
+      }
+  }
+
   test("partitioned materialization prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mart").toString
     val mart = Tables.orders(spark, sf())
