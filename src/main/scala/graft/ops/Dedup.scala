@@ -66,8 +66,13 @@ object Dedup {
   private val NumHashes = 8
   private val BandRows = 2 // 4 bands × 2 rows
 
-  /** One row per (doc_id, distinct 5-gram shingle) with the shingle's md5 —
-    * the shared base for signatures and Jaccard counting.
+  /** One row per (doc_id, distinct 5-gram shingle hash) — the shared base
+    * for signatures and Jaccard counting. Only the 32-hex md5 survives past
+    * this point: the raw shingle string is hashed and dropped immediately,
+    * so every downstream shuffle (dedup, signature agg, the Jaccard
+    * equality join) carries a fixed-width key instead of arbitrary-length
+    * text. Jaccard on hashes ≡ Jaccard on shingles modulo md5 collisions,
+    * and the oracle applies the identical transformation.
     *
     * Built with posexplode + window `lead`s instead of array lambdas: Spark's
     * higher-order functions evaluate interpreted (no codegen), which
@@ -86,14 +91,13 @@ object Dedup {
         lead("tok", 1).over(w), lead("tok", 2).over(w), lead("tok", 3).over(w), lead("tok", 4).over(w)))
       .withColumn("ok", lead("tok", 4).over(w).isNotNull)
       .filter(col("ok"))
-      .select(col("doc_id"), col("g"))
-      .dropDuplicates("doc_id", "g")
-      .withColumn("hg", md5(col("g").cast("binary")))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("hg"))
+      .dropDuplicates("doc_id", "hg")
   }
 
   private def hashedShinglesSql: String =
     s"""hx AS (
-       |  SELECT doc_id, g, md5(g) AS hg
+       |  SELECT doc_id, md5(g) AS hg
        |  FROM (SELECT doc_id, unnest(${Text.shingles5Sql(Text.tokensSql)}) AS g FROM documents) ex)""".stripMargin
 
   /** MinHash + LSH near-duplicate pairs, Jaccard-verified.
@@ -131,8 +135,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val inter = cands
-      .join(hx.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(hx.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .join(hx.select(col("doc_id").as("doc_a"), col("hg")), Seq("doc_a"))
+      .join(hx.select(col("doc_id").as("doc_b"), col("hg")), Seq("doc_b", "hg"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sz = sigs.select(col("doc_id"), col("sz"))
@@ -169,7 +173,7 @@ object Dedup {
       |  SELECT doc_a, doc_b, count(*) AS inter
       |  FROM cands
       |  JOIN hx x ON doc_a = x.doc_id
-      |  JOIN hx y ON doc_b = y.doc_id AND x.g = y.g
+      |  JOIN hx y ON doc_b = y.doc_id AND x.hg = y.hg
       |  GROUP BY doc_a, doc_b)
       |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -310,7 +314,7 @@ object Dedup {
       |  SELECT doc_a, doc_b, count(*) AS inter
       |  FROM cands
       |  JOIN hx x ON doc_a = x.doc_id
-      |  JOIN hx y ON doc_b = y.doc_id AND x.g = y.g
+      |  JOIN hx y ON doc_b = y.doc_id AND x.hg = y.hg
       |  GROUP BY doc_a, doc_b),
       |pairs AS (
       |  SELECT doc_a, doc_b

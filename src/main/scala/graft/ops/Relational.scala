@@ -294,8 +294,11 @@ object Relational {
     * INTERSECT / EXCEPT / UNION, one labeled count per op. */
   def q11SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    def custIn(y: Int): DataFrame =
-      o.filter(yearL(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    // Each cohort feeds three of the four set ops — persist so the orders
+    // scan + distinct runs once per year, not per op (released by the
+    // harness's post-query Caches.releaseAll).
+    def custIn(y: Int): DataFrame = graft.Caches.persist(
+      o.filter(yearL(col("o_orderdate")) === y).select(col("o_custkey")).distinct())
     val a = custIn(1996)
     val b = custIn(1997)
     val rows = Seq(

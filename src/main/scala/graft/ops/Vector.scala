@@ -168,27 +168,39 @@ object Vector {
     * and stays correct under any partial-aggregation order at cluster
     * scale. */
   def q52EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     // Bilinear b·j term decorrelates the planes: a purely affine mix makes
     // every plane a cyclic shift of the same mod-97 sawtooth (19349663 ≡ 6
     // mod 97), which correlates all sign bits and degenerates the banding to
     // near-all-pairs (measured: 817k candidate pairs affine vs 72k bilinear
     // on 2000 isotropic vectors ≈ the 62k independence ideal).
-    val coefs = (0 until SimBits).flatMap { b =>
-      (1 to Dim).map(j => (b, j, (b * 73856093L + j * 19349663L + b.toLong * j * 83492791L) % 97 - 48))
-    }.toDF("b", "j", "c")
-    val xq = Tables.embeddings(s, dir)
+    //
+    // The 64 projections are inlined as codegen'd column expressions — the
+    // coefficient c(b,j) is a closed-form function of (b, j), so each plane
+    // b contributes one `sum(xq * c(b,j))` agg column over the exploded
+    // (vec_id, j, xq) rows. That keeps the whole sketch phase one narrow
+    // HashAggregate (Dim rows/vector in, 64 longs/vector out) instead of a
+    // 64×-exploding coefficient join (r1 shape: |corpus|·Dim·64 intermediate
+    // rows through a shuffle — measured ~2.5× slower at sf0.1).
+    def coef(b: Int): Column =
+      (lit(b * 73856093L) + col("j") * 19349663L + col("j") * lit(b.toLong * 83492791L)) % 97 - 48
+    val xq = graft.Caches.persist(Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
       .select(col("vec_id"), (col("j0") + 1).as("j"),
-        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq"))
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq")))
+    val projCols = (0 until SimBits).map(b => sum(col("xq") * coef(b)).as(s"p$b"))
+    val proj = xq.groupBy(col("vec_id")).agg(projCols.head, projCols.tail: _*)
+    val bandStructs = (0 until SimBits / BandBits).map { bi =>
+      val bits = (0 until BandBits)
+        .map(r => when(col(s"p${bi * BandBits + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(bi).as("band_idx"), bits.as("band_val"))
+    }
     // Persisted: the band table feeds both sides of the candidate self-join
     // (released by the harness's post-query Caches.releaseAll).
-    val bands = graft.Caches.persist(xq.join(broadcast(coefs), Seq("j"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(sum(col("xq") * col("c")).as("pq"))
-      .groupBy(col("vec_id"), (col("b") / BandBits).cast("int").as("band_idx"))
-      .agg(sum(when(col("pq") > 0, expr(s"shiftleft(cast(1 as bigint), cast(b % $BandBits as int))"))
-        .otherwise(0L)).as("band_val")))
+    val bands = graft.Caches.persist(
+      proj.select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("vec_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val")))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
