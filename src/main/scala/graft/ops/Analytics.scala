@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave analytics surface (round 2): the SQL-standard aggregate and
+  * join forms SURVEY.md §2 marks ABSENT in the reference that round 1 did
+  * not yet cover — explicit GROUPING SETS, ordered array aggregation +
+  * array functions, arg-extremes (max_by/min_by), exact interpolated
+  * percentiles, FILTER-clause aggregates, and a true as-of join between two
+  * tables (events ⋈ latest prior order — the cross-stream form; q17 covers
+  * the within-one-stream form).
+  *
+  * Scale stance matches the rest of the engine: single partial+final
+  * HashAggregates wherever possible, the as-of join is one shuffle on the
+  * join key (union + window — no per-row subqueries, no nested loop), and
+  * every output is deterministically ordered and typed for the DuckDB
+  * oracle (integer sums CAST to BIGINT — DuckDB sums to HUGEINT).
+  */
+object Analytics {
+
+  private def yearL(c: Column): Column = year(c).cast("long")
+
+  /** Explicit GROUPING SETS (SURVEY §2.4 A8, completing rollup/cube): the
+    * three sets ((year,status),(year),(status)) — a shape neither rollup
+    * nor cube produces. Spark 4's Dataset.groupingSets API; one
+    * ExpandExec + HashAggregate, same as rollup. */
+  def q58GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).withColumn("order_year", yearL(col("o_orderdate")))
+    o.groupingSets(
+        Seq(Seq(col("order_year"), col("o_orderstatus")),
+          Seq(col("order_year")), Seq(col("o_orderstatus"))),
+        col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(Exact.cents(col("o_totalprice"))).cast("double") / 100.0).as("total_price"),
+        grouping(col("order_year")).cast("long").as("g_year"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"))
+      .orderBy(col("g_year"), col("g_status"),
+        col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  val q58Oracle: String =
+    """SELECT year(o_orderdate) AS order_year, o_orderstatus,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+      |  GROUPING(year(o_orderdate)) AS g_year,
+      |  GROUPING(o_orderstatus) AS g_status
+      |FROM orders
+      |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+      |                        (year(o_orderdate)), (o_orderstatus))
+      |ORDER BY g_year, g_status,
+      |  order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  /** Ordered array aggregation + array functions (SURVEY §2.8 F10 array
+    * row): per year, the sorted key list of big-ticket orders —
+    * collect_list is order-nondeterministic so sort_array pins it; then
+    * size/slice/element_at/array_contains over the result. Arrays stay
+    * bounded (only the 5-element head is emitted). */
+  def q59ArrayOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .groupBy(yearL(col("o_orderdate")).as("order_year"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"))
+      .select(
+        col("order_year"),
+        size(col("keys")).cast("long").as("n_big"),
+        slice(col("keys"), 1, 5).as("first5_keys"),
+        element_at(col("keys"), 1).as("min_key"),
+        element_at(col("keys"), -1).as("max_key"),
+        array_contains(col("keys"), 42L).as("has_key_42"))
+      .orderBy(col("order_year"))
+
+  val q59Oracle: String =
+    """SELECT order_year, len(keys) AS n_big, keys[1:5] AS first5_keys,
+      |  keys[1] AS min_key, keys[-1] AS max_key,
+      |  list_contains(keys, 42) AS has_key_42
+      |FROM (
+      |  SELECT year(o_orderdate) AS order_year,
+      |    list_sort(array_agg(o_orderkey)) AS keys
+      |  FROM orders WHERE o_totalprice > 400000.0
+      |  GROUP BY 1) t
+      |ORDER BY order_year""".stripMargin
+
+  /** arg-extreme aggregates (SURVEY §2.4 A9 family): the order carrying the
+    * max/min price per priority via max_by/min_by ≡ DuckDB arg_max/arg_min.
+    * The arg is a composite `cents·10⁷ + orderkey` so ties on price resolve
+    * deterministically (cents ≤ 5·10⁷ and orderkey < 10⁷ keep it exact in
+    * int64). */
+  def q62ArgExtremes(s: SparkSession, dir: String): DataFrame = {
+    val uniq = Exact.cents(col("o_totalprice")) * lit(10000000L) + col("o_orderkey")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max_by(col("o_orderkey"), uniq).as("priciest_orderkey"),
+        min_by(col("o_orderkey"), uniq).as("cheapest_orderkey"),
+        (max(Exact.cents(col("o_totalprice"))).cast("double") / 100.0).as("max_price"),
+        (min(Exact.cents(col("o_totalprice"))).cast("double") / 100.0).as("min_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q62Oracle: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_orderkey,
+      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_orderkey,
+      |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price,
+      |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact interpolated percentiles (SURVEY §2.4 A9; the exact counterpart
+    * of q18's sketches): Spark `percentile(x, array(p…))` and `median` use
+    * the same `index = p·(n−1)` linear interpolation as DuckDB
+    * quantile_cont/median. Operands are exact integer cents, so the
+    * interpolated halves/quarters are exact in double — bit-identical
+    * across engines. */
+  def q63Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val cents = Exact.cents(col("o_totalprice"))
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(cents, array(lit(0.25), lit(0.5), lit(0.75))).as("price_quartiles_cents"),
+        median(cents).as("median_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q63Oracle: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75]) AS price_quartiles_cents,
+      |  median(CAST(round(o_totalprice * 100) AS BIGINT)) AS median_cents
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** FILTER-clause aggregates + count_if/bool_or/bool_and (SURVEY §2.4 A3
+    * generalized — the SQL-standard alternative to CASE pivoting that both
+    * engines support natively). */
+  def q64FilteredAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("order_year", yearL(col("o_orderdate")))
+      .groupBy(col("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("count(*) FILTER (WHERE o_orderpriority = '1-URGENT')").as("n_urgent"),
+        count_if(col("o_totalprice") > 300000.0).as("n_bigticket"),
+        expr("count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')").as("n_open_custs"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"))
+      .orderBy(col("order_year"))
+
+  val q64Oracle: String =
+    """SELECT year(o_orderdate) AS order_year,
+      |  count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  count(*) FILTER (WHERE o_totalprice > 300000.0) AS n_bigticket,
+      |  count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS n_open_custs,
+      |  bool_or(o_orderstatus = 'P') AS any_pending,
+      |  bool_and(o_totalprice > 0.0) AS all_positive
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  /** As-of join ACROSS tables (SURVEY §2.3 as-of row, cross-stream form):
+    * each event matched to the same customer's latest order at-or-before
+    * the event time, then gap stats per event type. Composed from builtins
+    * as the classic union + keyed window: tag both sides, sort by
+    * (time, side) within key, carry the last order time forward. One
+    * shuffle on the key; per-key windows are bounded by per-customer
+    * activity — the 100 TB-safe as-of shape (vs a per-row subquery or an
+    * O(n·m) theta join). Ties (two orders at the same timestamp) are
+    * harmless: the carried value is the shared timestamp itself, mirroring
+    * DuckDB ASOF JOIN tie behavior.
+    *
+    * Oracle: DuckDB's native ASOF LEFT JOIN — a genuine cross-engine check
+    * of as-of semantics (boundary inclusivity, unmatched rows). */
+  def q65AsofJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("k"),
+      expr("unix_micros(ts) div 1000").as("t"),
+      col("event_type"),
+      lit(1).as("src"),
+      lit(null).cast("long").as("ord_t"))
+    val ords = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").as("t"),
+      lit(null).cast("string").as("event_type"),
+      lit(0).as("src"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").as("ord_t"))
+    // src orders (0) before events (1) at equal t ⇒ inclusive `<=` match.
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ords)
+      .withColumn("m", last(col("ord_t"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        min(col("t") - col("m")).as("min_gap_ms"),
+        max(col("t") - col("m")).as("max_gap_ms"),
+        sum(col("t") - col("m")).as("sum_gap_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val q65Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ot_ms FROM orders)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN ot_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  min(ts_ms - ot_ms) AS min_gap_ms,
+      |  max(ts_ms - ot_ms) AS max_gap_ms,
+      |  CAST(sum(ts_ms - ot_ms) AS BIGINT) AS sum_gap_ms
+      |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.o_custkey AND ev.ts_ms >= o.ot_ms
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_grouping_sets"   -> (q58GroupingSets _),
+    "q59_array_ops"       -> (q59ArrayOps _),
+    "q62_arg_extremes"    -> (q62ArgExtremes _),
+    "q63_percentiles"     -> (q63Percentiles _),
+    "q64_filtered_aggs"   -> (q64FilteredAggs _),
+    "q65_asof_join_orders" -> (q65AsofJoinOrders _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q58_grouping_sets"   -> q58Oracle,
+    "q59_array_ops"       -> q59Oracle,
+    "q62_arg_extremes"    -> q62Oracle,
+    "q63_percentiles"     -> q63Oracle,
+    "q64_filtered_aggs"   -> q64Oracle,
+    "q65_asof_join_orders" -> q65Oracle,
+  )
+}

@@ -45,6 +45,42 @@ class OperatorsSpec extends SparkSpec {
     assert(once.count() == twice.count())
   }
 
+  test("q63 percentiles: quartiles monotone, median == q2") {
+    Analytics.q63Percentiles(spark, sf()).collect().foreach { r =>
+      val qs = r.getSeq[Double](r.fieldIndex("price_quartiles_cents"))
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2))
+      assert(qs(1) == r.getAs[Double]("median_cents"))
+    }
+  }
+
+  test("q62 arg extremes: priciest/cheapest keys carry the group max/min price") {
+    val orders = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Analytics.q62ArgExtremes(spark, sf()).collect().foreach { r =>
+      assert(orders(r.getAs[Long]("priciest_orderkey")) == r.getAs[Double]("max_price"))
+      assert(orders(r.getAs[Long]("cheapest_orderkey")) == r.getAs[Double]("min_price"))
+    }
+  }
+
+  test("q65 as-of join: gaps non-negative, matched <= total, totals cover all events") {
+    val rows = Analytics.q65AsofJoinOrders(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf()).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_events"))
+      if (!r.isNullAt(r.fieldIndex("min_gap_ms"))) assert(r.getAs[Long]("min_gap_ms") >= 0)
+    }
+  }
+
+  test("q58 grouping sets: each year's per-status counts sum to its year total") {
+    val rows = Analytics.q58GroupingSets(spark, sf()).collect()
+    val perYear = rows.filter(r => r.getAs[Long]("g_status") == 0 && r.getAs[Long]("g_year") == 0)
+      .groupBy(_.getAs[Long]("order_year")).view.mapValues(_.map(_.getAs[Long]("n_orders")).sum)
+    val yearTotals = rows.filter(r => r.getAs[Long]("g_status") == 1 && r.getAs[Long]("g_year") == 0)
+      .map(r => r.getAs[Long]("order_year") -> r.getAs[Long]("n_orders")).toMap
+    perYear.foreach { case (y, n) => assert(yearTotals(y) == n) }
+  }
+
   test("q48 on a clean corpus (no near-dup pairs) returns empty, no NPE") {
     // ADVICE.md r1: empty labels made agg(sum(lbl)).head.getLong(0) NPE.
     import spark.implicits._

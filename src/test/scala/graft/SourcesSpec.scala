@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage (SURVEY §2.1): parquet is the canonical
+  * format (driver contract); CSV and JSON line-format round-trips prove the
+  * reader/writer surface, and bucketed tables prove the co-located-join
+  * path (SURVEY §4 partitioning row — the "pre-shuffled at rest" layout a
+  * 100 TB fact-fact join wants).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip: write orders, read back with explicit schema, same aggregate") {
+    val dir = tmp("graft-csv")
+    val o = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    o.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(o.schema).option("header", "true").csv(dir)
+    val a = o.agg(count(lit(1)), sum(Exact.cents(col("o_totalprice"))),
+      countDistinct(col("o_orderstatus"))).head
+    val b = back.agg(count(lit(1)), sum(Exact.cents(col("o_totalprice"))),
+      countDistinct(col("o_orderstatus"))).head
+    assert(a == b)
+  }
+
+  test("JSON-lines round-trip preserves rows and types") {
+    val dir = tmp("graft-json")
+    val e = Tables.events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    e.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(e.schema).json(dir)
+    assert(back.schema == e.schema)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)), sum(Exact.cents(col("value"))), max(col("event_id"))).head
+    assert(key(back) == key(e))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark
+    wh.sql("DROP TABLE IF EXISTS graft_orders_b")
+    wh.sql("DROP TABLE IF EXISTS graft_cust_b")
+    Tables.orders(spark, sf()).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    Tables.customer(spark, sf()).select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_cust_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined =
+      try {
+        val j = spark.table("graft_orders_b")
+          .join(spark.table("graft_cust_b"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        j.collect() // force execution so executedPlan is final (AQE)
+        j
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not re-shuffle its bucketed inputs; the only
+    // exchange allowed is the post-join groupBy's
+    val joinSection = plan.split("(?i)hashaggregate").last
+    assert(!joinSection.toLowerCase.contains("exchange hashpartitioning(o_custkey"), plan)
+    assert(!joinSection.toLowerCase.contains("exchange hashpartitioning(c_custkey"), plan)
+    // cross-check the result is right
+    val expected = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf()), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+}
