@@ -65,6 +65,17 @@ object Dedup {
 
   private val NumHashes = 8
   private val BandRows = 2 // 4 bands × 2 rows
+  // Universal-hash family for the 8 minhash functions: m_i = (A_i·h1 +
+  // B_i·h2 + C_i) mod P over the two 32-bit halves (h1,h2) of the shingle
+  // md5's first 16 hex chars. 16-bit coefficients keep every product ≤ 2⁴⁸
+  // — exact int64 in both engines — and P = 2³¹−1 keeps minima < 2³¹ so a
+  // 2-row band packs into one BIGINT (m·2³¹ + m'). Replaces r1's 8 md5
+  // re-digests per shingle row (the dominant q46 cost at sf0.1: ~32M extra
+  // digests) with 2 hex-parses + 8 fused multiply-adds.
+  private val HashP = 2147483647L
+  private val HashA = Seq(45007L, 50021L, 53003L, 57037L, 60013L, 63029L, 49999L, 54001L)
+  private val HashB = Seq(39041L, 42043L, 46049L, 48073L, 51061L, 55057L, 58067L, 61051L)
+  private def hashC(i: Int): Long = i * 7919L
 
   /** One row per (doc_id, distinct 5-gram shingle hash) — the shared base
     * for signatures and Jaccard counting. Only the 32-hex md5 survives past
@@ -78,9 +89,9 @@ object Dedup {
     * higher-order functions evaluate interpreted (no codegen), which
     * profiled at ~60µs per shingle; the explode/window/concat path is fully
     * codegen'd apart from the (cheap, partition-local) WindowExec. One
-    * shuffle on doc_id, then everything is narrow. Hashing happens exactly
-    * once per shingle; the 8 minhash "functions" are cheap re-digests of the
-    * fixed-width hg (`md5("i|" ++ hg)`), not of the full shingle text. */
+    * shuffle on doc_id, then everything is narrow. Digesting happens exactly
+    * once per shingle; the 8 minhash "functions" are integer universal
+    * hashes over hex chunks of hg (see HashA/HashB above), not re-digests. */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("p", "tok")))
@@ -102,12 +113,13 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs, Jaccard-verified.
     *
-    * shingle(5-gram) → md5 once → 8× minhash (re-digest of the md5) → 4
-    * bands of 2 → self-join on (band_idx, band_hash) → Jaccard on candidate
-    * pairs via a shingle-equality join (no arrays carried through shuffles)
-    * → keep ≥ 0.5. The band join is the only pairwise step and touches only
-    * colliding buckets; everything aggregates with map-side combine — the
-    * 100 TB-safe LSH shape. */
+    * shingle(5-gram) → md5 once → 8× integer minhash (universal hash of the
+    * md5's hex chunks) → 4 bands of 2 packed into BIGINT keys → self-join on
+    * (band_idx, band_val) → Jaccard on candidate pairs via a hash-equality
+    * join (no arrays carried through shuffles) → keep ≥ 0.5. The band join
+    * is the only pairwise step and touches only colliding buckets;
+    * everything aggregates with map-side combine — the 100 TB-safe LSH
+    * shape. */
   def q46MinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     // hx feeds three consumers (signatures + both sides of the Jaccard
     // join); persist so the tokenize/shingle/window pipeline runs once.
@@ -117,14 +129,16 @@ object Dedup {
     // The cluster-scale analogue is materializing the signature table to
     // storage between the sketch and verify stages.
     val hx = graft.Caches.persist(hashedShingles(s, dir))
+    val h1 = conv(substring(col("hg"), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(col("hg"), 9, 8), 16, 10).cast("long")
     val minCols = (0 until NumHashes)
-      .map(i => min(md5(concat(lit(s"$i|"), col("hg")).cast("binary"))).as(s"m$i"))
+      .map(i => min((h1 * HashA(i) + h2 * HashB(i) + hashC(i)) % HashP).as(s"m$i"))
     val sigs = hx.groupBy(col("doc_id"))
       .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("sz")): _*)
     val nBands = NumHashes / BandRows
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band_idx"),
-        md5(concat(col(s"m${BandRows * b}"), col(s"m${BandRows * b + 1}")).cast("binary")).as("band_val"))
+        (col(s"m${BandRows * b}") * lit(2147483648L) + col(s"m${BandRows * b + 1}")).as("band_val"))
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
@@ -150,13 +164,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private def minsSql: String = (0 until NumHashes)
+    .map(i => s"  min((CAST('0x' || substr(hg, 1, 8) AS BIGINT) * ${HashA(i)} + " +
+      s"CAST('0x' || substr(hg, 9, 8) AS BIGINT) * ${HashB(i)} + ${hashC(i)}) % $HashP) AS m$i")
+    .mkString(",\n")
+
+  private def bandSelectsSql: String = (0 until NumHashes / BandRows).map { b =>
+    s"SELECT doc_id, $b AS band_idx, m${BandRows * b} * 2147483648 + m${BandRows * b + 1} AS band_val FROM sigs"
+  }.mkString("\n  UNION ALL ")
+
   val q46Oracle: String = {
-    val mins = (0 until NumHashes)
-      .map(i => s"  min(md5('$i|' || hg)) AS m$i").mkString(",\n")
-    val nBands = NumHashes / BandRows
-    val bandSelects = (0 until nBands).map { b =>
-      s"SELECT doc_id, $b AS band_idx, md5(m${BandRows * b} || m${BandRows * b + 1}) AS band_val FROM sigs"
-    }.mkString("\n  UNION ALL ")
+    val mins = minsSql
+    val bandSelects = bandSelectsSql
     s"""WITH $hashedShinglesSql,
       |sigs AS (
       |  SELECT doc_id,
@@ -292,12 +311,8 @@ object Dedup {
 
   val q48Oracle: String = {
     // q46's pipeline as CTEs, then a recursive transitive-min closure.
-    val mins = (0 until NumHashes)
-      .map(i => s"  min(md5('$i|' || hg)) AS m$i").mkString(",\n")
-    val nBands = NumHashes / BandRows
-    val bandSelects = (0 until nBands).map { b =>
-      s"SELECT doc_id, $b AS band_idx, md5(m${BandRows * b} || m${BandRows * b + 1}) AS band_val FROM sigs"
-    }.mkString("\n  UNION ALL ")
+    val mins = minsSql
+    val bandSelects = bandSelectsSql
     s"""WITH RECURSIVE $hashedShinglesSql,
       |sigs AS (
       |  SELECT doc_id,
