@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Analytics.queries ++ ops.Events.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vector.queries ++
-      ops.Launches.queries ++ ops.Multimodal.queries ++
+      ops.Launches.queries ++ ops.Multimodal.queries ++ ops.Skew.queries ++
       streaming.Streaming.queries ++ streaming.StatefulSessions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,6 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Analytics.oracles ++ ops.Events.oracles ++
       ops.Text.oracles ++ ops.Dedup.oracles ++ ops.Vector.oracles ++
-      ops.Launches.oracles ++ ops.Multimodal.oracles ++
+      ops.Launches.oracles ++ ops.Multimodal.oracles ++ ops.Skew.oracles ++
       streaming.Streaming.oracles ++ streaming.StatefulSessions.oracles
 }

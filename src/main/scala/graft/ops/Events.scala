@@ -98,6 +98,57 @@ object Events {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Native session windows (SURVEY §2.10): the same 30-minute-gap
+    * sessionization as q21, through Spark's built-in `session_window`
+    * (merge-on-overlap state windows — the construct that runs incrementally
+    * under readStream), aggregated per user. Time is floored to ms first so
+    * both engines see identical instants (ns parquet; see class doc).
+    *
+    * Boundary semantics differ from q21's islands by design: session_window
+    * starts a new session when `gap >= 30min` (merge condition is
+    * `next_start < prev_end`), while q21 breaks strictly `> 30min` — the
+    * oracle mirrors the `>=` rule. */
+  def q66SessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), timestamp_millis(expr("unix_micros(ts) div 1000")).as("tsm"))
+    val sess = ev
+      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        (expr("unix_millis(w.end)") - expr("unix_millis(w.start)") - lit(1800000L)).as("duration_ms"))
+    sess.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events_total"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("duration_ms")).as("total_duration_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val q66Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL
+      |           OR ts_ms - lag(ts_ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS is_start
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+      |sessions AS (
+      |  SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_seq, count(*) AS n_events,
+      |    max(ts_ms) - min(ts_ms) AS duration_ms
+      |  FROM sessions GROUP BY user_id, session_seq)
+      |SELECT user_id,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events_total,
+      |  max(n_events) AS max_session_events,
+      |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Semi-structured extraction: parse the `props` JSON text column
     * (SURVEY.md §2.8 F10 — the `details`/`props` free-text mapping), bucket
     * by the extracted integer, aggregate. get_json_object stays inside
@@ -148,6 +199,7 @@ object Events {
     "q21_sessions"         -> (q21Sessions _),
     "q22_json_extract"     -> (q22JsonExtract _),
     "q23_top_events_per_type" -> (q23TopEventsPerType _),
+    "q66_session_windows"  -> (q66SessionWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +207,6 @@ object Events {
     "q21_sessions"         -> q21Oracle,
     "q22_json_extract"     -> q22Oracle,
     "q23_top_events_per_type" -> q23Oracle,
+    "q66_session_windows"  -> q66Oracle,
   )
 }

@@ -96,6 +96,39 @@ object Multimodal {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Typed batch decode via `mapPartitions` — the Scala analogue of a
+    * `mapInPandas` media UDF (build-brief: the decode itself is a STUB; the
+    * batch shape is real): one partition = one batch, an expensive resource
+    * (here a MessageDigest; in production a codec context) is initialized
+    * once per batch, rows stream through it. Chunking is by characters to
+    * match q60's declarative `substring` frames, so OperatorsSpec can pin
+    * typed ≡ declarative. Embarrassingly parallel — no shuffle. */
+  def frameExtract(s: SparkSession, docs: DataFrame,
+      frameChars: Int = FrameBytes, maxFrames: Int = 4): org.apache.spark.sql.Dataset[FrameRow] = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-batch init
+        it.flatMap { case (id, text) =>
+          // q60 parity: frame count from BYTE length (floor/frame + 1, so a
+          // text of exactly k frames gets one empty tail frame), content
+          // from CHARACTER offsets (substring semantics).
+          val n = math.min(text.getBytes("UTF-8").length / frameChars + 1, maxFrames)
+          (0 until n).iterator.map { i =>
+            val from = i * frameChars
+            val chunk =
+              if (from >= text.length) ""
+              else text.substring(from, math.min(from + frameChars, text.length))
+            md.reset()
+            val hex = md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            FrameRow(id, i, hex)
+          }
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_multimodal_stats"  -> (q61MultimodalStats _),

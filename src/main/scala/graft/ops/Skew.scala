@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys (SURVEY.md §4 partitioning row; the
@@ -40,4 +41,39 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Driver-checked salted join: lineitem ⋈ supplier through
+    * [[saltedEquiJoin]] (8 buckets, salt from the high-cardinality
+    * l_orderkey), aggregated per supplier nation. The oracle is the PLAIN
+    * unsalted join — the whole point is that salting changes the shuffle
+    * layout, never the result. */
+  def q67SaltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val su = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    saltedEquiJoin(li, su, "l_suppkey", col("l_orderkey"), buckets = 8)
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        (sum(Exact.cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_price"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q67Oracle: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_salted_skew_join" -> (q67SaltedSkewJoin _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q67_salted_skew_join" -> q67Oracle,
+  )
 }

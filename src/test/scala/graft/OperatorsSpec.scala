@@ -81,6 +81,51 @@ class OperatorsSpec extends SparkSpec {
     perYear.foreach { case (y, n) => assert(yearTotals(y) == n) }
   }
 
+  test("typed mapPartitions frame extract == declarative q60 frames") {
+    val docs = Tables.documents(spark, sf())
+    val typed = Multimodal.frameExtract(spark, docs).collect()
+      .map(f => (f.doc_id, f.frame_idx, f.frame_md5)).toSet
+    val declarative = Multimodal.q60MultimodalDecode(spark, sf())
+      .select(col("doc_id"), col("n_sampled_frames"), col("frame0_md5")).collect()
+    // q60 only exposes frame 0 + the count; check both against the typed set
+    val byDoc = typed.groupBy(_._1)
+    declarative.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(byDoc(id).size.toLong == r.getAs[Long]("n_sampled_frames"), s"doc $id")
+      assert(byDoc(id).exists(f => f._2 == 0 && f._3 == r.getAs[String]("frame0_md5")), s"doc $id")
+    }
+  }
+
+  test("q66 native session windows agree with q21 gaps-and-islands on interior gaps") {
+    // Boundary rule differs only at exactly-30min gaps (>= vs >); verify
+    // totals that are boundary-insensitive on this data match.
+    val islands = Events.q21Sessions(spark, sf()).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("ev")).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n"), r.getAs[Long]("ev"))).toMap
+    Events.q66SessionWindows(spark, sf()).collect().foreach { r =>
+      val (n, ev) = islands(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events_total") == ev)
+      assert(r.getAs[Long]("n_sessions") == n) // no exact-30min gaps in testdata
+    }
+  }
+
+  test("GraftExtensions injection makes graft_dot resolvable from SQL text") {
+    // A shared-context test can't build a second session with withExtensions
+    // (builder reuses the existing one), so apply the injected functions to
+    // the live registry via the same public registerFunctions hook a real
+    // session build uses.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    // registerFunctions is private[sql] in Scala but public in bytecode
+    ext.getClass.getMethods.find(_.getName == "registerFunctions").get
+      .invoke(ext, registry)
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("q48 on a clean corpus (no near-dup pairs) returns empty, no NPE") {
     // ADVICE.md r1: empty labels made agg(sum(lbl)).head.getLong(0) NPE.
     import spark.implicits._
