@@ -212,6 +212,56 @@ object Analytics {
       |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.o_custkey AND ev.ts_ms >= o.ot_ms
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Custom typed UDAF (SURVEY §2.11 custom-agg row): bounded top-k via
+    * [[graft.functions.TopKAggregator]] — map-side combine caps every
+    * partial buffer at k entries, so the shuffle carries ≤ |groups|·k rows
+    * (vs the whole corpus for the q07 window formulation). Oracle: DuckDB
+    * ordered array_agg sliced to 3. */
+  def q68TopkAggregator(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        topk(col("o_orderkey"), Exact.cents(col("o_totalprice"))).as("top3_orderkeys"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q68Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  (array_agg(o_orderkey ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC))[1:3] AS top3_orderkeys
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Sliding windows (SURVEY §2.10 tumbling/sliding row): 1-hour windows
+    * every 30 minutes over events — each event lands in exactly two
+    * windows; Spark's `window(ts, "1 hour", "30 minutes")` vs an oracle
+    * that unions the two shifted bucketings explicitly. */
+  def q69SlidingWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(timestamp_millis(expr("unix_micros(ts) div 1000")).as("tsm"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("tsm"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Exact.cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+      .select(expr("unix_seconds(w.start)").as("win_start_s"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start_s"), col("event_type"))
+
+  val q69Oracle: String =
+    """WITH ev AS (
+      |  SELECT epoch_ms(ts) AS ts_ms, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |assigned AS (
+      |  SELECT (ts_ms // 1800000) * 1800 AS win_start_s, event_type, cents FROM ev
+      |  UNION ALL
+      |  SELECT (ts_ms // 1800000 - 1) * 1800, event_type, cents FROM ev)
+      |SELECT win_start_s, event_type, count(*) AS n_events,
+      |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+      |FROM assigned
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -219,6 +269,8 @@ object Analytics {
     "q63_percentiles"     -> (q63Percentiles _),
     "q64_filtered_aggs"   -> (q64FilteredAggs _),
     "q65_asof_join_orders" -> (q65AsofJoinOrders _),
+    "q68_topk_aggregator" -> (q68TopkAggregator _),
+    "q69_sliding_windows" -> (q69SlidingWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +280,7 @@ object Analytics {
     "q63_percentiles"     -> q63Oracle,
     "q64_filtered_aggs"   -> q64Oracle,
     "q65_asof_join_orders" -> q65Oracle,
+    "q68_topk_aggregator" -> q68Oracle,
+    "q69_sliding_windows" -> q69Oracle,
   )
 }

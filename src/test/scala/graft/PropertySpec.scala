@@ -57,4 +57,40 @@ class PropertySpec extends SparkSpec {
       assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
     }
   }
+
+  test("TopKAggregator merge is associative/commutative and equals sort-take on arbitrary inputs") {
+    import graft.functions.{ScoredKey, TopKAggregator}
+    val agg = new TopKAggregator(3)
+    val skGen = Gen.listOfN(25, for {
+      key <- Gen.chooseNum(1L, 50L)
+      score <- Gen.chooseNum(0L, 8L) // small range => plenty of score ties
+    } yield ScoredKey(key, score))
+    forAllSampled(Gen.zip(skGen, skGen, skGen), 40) { case (xs, ys, zs) =>
+      def fold(l: Seq[ScoredKey]) = l.foldLeft(agg.zero)(agg.reduce)
+      val (a, b, c) = (fold(xs), fold(ys), fold(zs))
+      assert(agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)))
+      assert(agg.merge(a, b) == agg.merge(b, a))
+      // equals the global sort-take on the concatenated input
+      val expected = (xs ++ ys ++ zs)
+        .sortBy(s => (-s.score, s.key)).take(3).map(_.key)
+      assert(agg.finish(agg.merge(agg.merge(a, b), c)) == expected)
+    }
+  }
+
+  test("scala UDF surface: registered UDF matches the builtin formulation") {
+    // SURVEY §2.11 UDF row: the engine prefers builtins, but the register
+    // path must work for user extension points.
+    import spark.implicits._
+    spark.udf.register("graft_tokens_count",
+      (text: String) => text.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty))
+    val df = Tables.documents(spark, sf()).limit(50)
+    df.createOrReplaceTempView("graft_udf_docs")
+    val viaUdf = spark.sql(
+      "SELECT doc_id, graft_tokens_count(text) AS n FROM graft_udf_docs ORDER BY doc_id")
+      .as[(Long, Int)].collect()
+    val viaBuiltin = df
+      .select(col("doc_id"), size(ops.Text.tokens(col("text"))).as("n"))
+      .orderBy(col("doc_id")).as[(Long, Int)].collect()
+    assert(viaUdf.sameElements(viaBuiltin))
+  }
 }
