@@ -262,6 +262,80 @@ object Analytics {
       |FROM assigned
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Unpivot/melt (SURVEY §2.4 A3 inverse): the q26-style wide pivot folded
+    * back to long form with `Dataset.unpivot` ≡ DuckDB UNPIVOT. Zero-count
+    * cells survive the round trip (na.fill(0) before unpivot). */
+  def q70Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir)
+      .groupBy(yearL(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+    wide.unpivot(Array(col("order_year")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+      .orderBy(col("order_year"), col("status"))
+  }
+
+  val q70Oracle: String =
+    """WITH wide AS (
+      |  SELECT year(o_orderdate) AS order_year,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |  FROM orders GROUP BY 1)
+      |SELECT order_year, status, n
+      |FROM (UNPIVOT wide ON "F", "O", "P" INTO NAME status VALUE n)
+      |ORDER BY order_year, status""".stripMargin
+
+  /** Ordered string aggregation (SURVEY §2.8 F10): distinct sorted type
+    * list per brand — `concat_ws ∘ sort_array ∘ array_distinct ∘
+    * collect_list` ≡ DuckDB `string_agg(DISTINCT … ORDER BY …)`. */
+  def q72StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        concat_ws("|", sort_array(array_distinct(collect_list(col("p_type"))))).as("types"),
+        countDistinct(col("p_type")).as("n_types"),
+        count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+
+  val q72Oracle: String =
+    """SELECT p_brand,
+      |  string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types,
+      |  count(DISTINCT p_type) AS n_types,
+      |  count(*) AS n_parts
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Data-cleaning surface (na.fill / na.replace — the standard corpus
+    * cleaning pass of a training pipeline): k values divisible by 7 are
+    * deterministically "corrupted" to NULL, then imputed with −1; the
+    * 'error' event type is canonicalized to 'err'. Oracle spells the same
+    * cleaning as CASE/COALESCE. */
+  def q76DataCleaning(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", when(col("k") % 7 === 0, lit(null)).otherwise(col("k")))
+      .na.fill(-1L, Seq("k"))
+      .na.replace("event_type", Map("error" -> "err"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_if(col("k") === -1L).as("n_imputed"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val q76Oracle: String =
+    """WITH cleaned AS (
+      |  SELECT CASE WHEN event_type = 'error' THEN 'err' ELSE event_type END AS event_type,
+      |    COALESCE(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+      |                  THEN NULL
+      |                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END, -1) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  count(*) FILTER (WHERE k = -1) AS n_imputed,
+      |  CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM cleaned GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -271,6 +345,9 @@ object Analytics {
     "q65_asof_join_orders" -> (q65AsofJoinOrders _),
     "q68_topk_aggregator" -> (q68TopkAggregator _),
     "q69_sliding_windows" -> (q69SlidingWindows _),
+    "q70_unpivot"         -> (q70Unpivot _),
+    "q72_string_agg"      -> (q72StringAgg _),
+    "q76_data_cleaning"   -> (q76DataCleaning _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,5 +359,8 @@ object Analytics {
     "q65_asof_join_orders" -> q65Oracle,
     "q68_topk_aggregator" -> q68Oracle,
     "q69_sliding_windows" -> q69Oracle,
+    "q70_unpivot"         -> q70Oracle,
+    "q72_string_agg"      -> q72Oracle,
+    "q76_data_cleaning"   -> q76Oracle,
   )
 }

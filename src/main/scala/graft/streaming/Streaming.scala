@@ -68,11 +68,53 @@ object Streaming {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Stream-static join (SURVEY §2.10): streaming events enriched with the
+    * static customer dimension (broadcast per micro-batch — the standard
+    * streaming-enrichment shape), then aggregated per market segment.
+    * Events with user_ids outside the customer table are dropped by the
+    * inner join; the oracle is the identical batch join. At scale the
+    * static side refreshes per batch and broadcasts; state is bounded by
+    * |segments|. */
+  def q77StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
+    val src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val cust = broadcast(graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = src
+      .join(cust, src("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(graft.Exact.cents(col("value"))).as("sum_value_cents"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("c_mktsegment"), col("n_events"),
+        (col("sum_value_cents").cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q77Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_streaming_hourly" -> (q24StreamingHourly _),
+    "q77_stream_static_join" -> (q77StreamStaticJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "q24_streaming_hourly" -> q24Oracle,
+    "q77_stream_static_join" -> q77Oracle,
   )
 }
