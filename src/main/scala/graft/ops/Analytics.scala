@@ -336,6 +336,121 @@ object Analytics {
       |  CAST(sum(k) AS BIGINT) AS sum_k
       |FROM cleaned GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Map-typed columns (SURVEY §2.8 F10 map row): per-year status→count map
+    * built with map_from_entries over a sorted entry list (map column order
+    * is engine-internal, so only scalar lookups and the sorted key list are
+    * emitted — never the raw map). */
+  def q78MapFunctions(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(yearL(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("order_year"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(
+        col("order_year"),
+        size(col("m")).cast("long").as("n_statuses"),
+        sort_array(map_keys(col("m"))).as("statuses"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+        coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+        coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"))
+      .orderBy(col("order_year"))
+  }
+
+  val q78Oracle: String =
+    """SELECT year(o_orderdate) AS order_year,
+      |  count(DISTINCT o_orderstatus) AS n_statuses,
+      |  list_sort(array_agg(DISTINCT o_orderstatus)) AS statuses,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  /** Distribution window functions (SURVEY §2.5): percent_rank and
+    * cume_dist over a unique per-year ordering (no ties ⇒ exact doubles in
+    * both engines); a deterministic key sample keeps the output small. */
+  def q79DistributionRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("order_year"))
+      .orderBy(Exact.cents(col("o_totalprice")).asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("order_year", yearL(col("o_orderdate")))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("order_year"), col("o_orderkey"), col("o_totalprice"), col("pr"), col("cd"))
+      .orderBy(col("order_year"), col("o_orderkey"))
+  }
+
+  val q79Oracle: String =
+    """SELECT order_year, o_orderkey, o_totalprice, pr, cd FROM (
+      |  SELECT year(o_orderdate) AS order_year, o_orderkey, o_totalprice,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY year(o_orderdate)
+      |    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC, o_orderkey ASC)) t
+      |WHERE o_orderkey % 997 = 0
+      |ORDER BY order_year, o_orderkey""".stripMargin
+
+  /** Multiset set operations (SURVEY §2.9, ALL variants): customer visit
+    * multisets of two years through intersectAll / exceptAll / unionAll —
+    * duplicates preserved, unlike q11's distinct set ops. */
+  def q80MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def custBag(y: Int): DataFrame = graft.Caches.persist(
+      o.filter(yearL(col("o_orderdate")) === y).select(col("o_custkey")))
+    val a = custBag(1996)
+    val b = custBag(1997)
+    val rows = Seq(
+      ("intersect_all", a.intersectAll(b)),
+      ("except_all_96_97", a.exceptAll(b)),
+      ("union_all", a.unionAll(b)))
+    rows.map { case (label, df) =>
+      df.agg(count(lit(1)).as("n_rows")).select(lit(label).as("op"), col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy(col("op"))
+  }
+
+  val q80Oracle: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT * FROM (
+      |  SELECT 'intersect_all' AS op, count(*) AS n_rows FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'except_all_96_97', count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'union_all', count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+      |ORDER BY op""".stripMargin
+
+  /** IN / NOT IN subqueries through the SQL entry point (SURVEY §3.3):
+    * Catalyst rewrites both to semi/anti joins (no per-row subquery
+    * execution — see PlanSpec's q12/q05 for the DataFrame forms). The NOT
+    * IN subquery is guaranteed non-null so ANSI 3VL doesn't empty it. */
+  def q81InSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer_v")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  count(CASE WHEN o_custkey IN (SELECT c_custkey FROM graft_customer_v
+        |                                WHERE c_mktsegment = 'BUILDING') THEN 1 END) AS n_building,
+        |  count(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM graft_customer_v
+        |                                    WHERE c_mktsegment = 'MACHINERY') THEN 1 END) AS n_not_machinery
+        |FROM graft_orders_v
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q81Oracle: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  count(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+      |                                WHERE c_mktsegment = 'BUILDING') THEN 1 END) AS n_building,
+      |  count(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                                    WHERE c_mktsegment = 'MACHINERY') THEN 1 END) AS n_not_machinery
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -348,6 +463,10 @@ object Analytics {
     "q70_unpivot"         -> (q70Unpivot _),
     "q72_string_agg"      -> (q72StringAgg _),
     "q76_data_cleaning"   -> (q76DataCleaning _),
+    "q78_map_functions"   -> (q78MapFunctions _),
+    "q79_distribution_ranks" -> (q79DistributionRanks _),
+    "q80_multiset_ops"    -> (q80MultisetOps _),
+    "q81_in_subquery"     -> (q81InSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,5 +481,9 @@ object Analytics {
     "q70_unpivot"         -> q70Oracle,
     "q72_string_agg"      -> q72Oracle,
     "q76_data_cleaning"   -> q76Oracle,
+    "q78_map_functions"   -> q78Oracle,
+    "q79_distribution_ranks" -> q79Oracle,
+    "q80_multiset_ops"    -> q80Oracle,
+    "q81_in_subquery"     -> q81Oracle,
   )
 }

@@ -62,4 +62,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot") || p.toLowerCase.contains("dotproduct"), p)
     assert(p.contains("[codegen id"), p)
   }
+
+  test("q68: top-k Aggregator aggregates partial+final (map-side combine caps the shuffle)") {
+    val p = finalPlan(Analytics.q68TopkAggregator(spark, sf()))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_topkaggregator") || p.toLowerCase.contains("partial_"), p)
+  }
+
+  test("q65: as-of join shuffles the union exactly once (window key)") {
+    val full = finalPlan(Analytics.q65AsofJoinOrders(spark, sf()))
+    // the AQE formatted explain repeats the tree under "Initial Plan" —
+    // count exchanges in the executed (final) section only
+    val p = full.split("== Initial Plan ==").head
+    assert("hashpartitioning\\(k".r.findAllIn(full).size >= 1, full)
+    // one window-key shuffle + one agg shuffle + the final sort — no more
+    assert("\\+- Exchange".r.findAllIn(p).size <= 3, p)
+  }
 }
