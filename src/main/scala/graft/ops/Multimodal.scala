@@ -96,6 +96,38 @@ object Multimodal {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** "Resize" stub (the decode/extract/RESIZE/sample quartet of a media
+    * pipeline): a deterministic 4:1 downsample — every 4th character of the
+    * payload — standing in for pixel decimation, with the thumbnail's
+    * digest and sizes as the verifiable output. Pure column algebra
+    * (sequence → transform → concat), no shuffle until the final sort. */
+  def q82MultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("thumb", concat_ws("",
+        transform(
+          sequence(lit(1), greatest(length(col("text")), lit(1)), lit(4)),
+          i => col("text").substr(i, lit(1)))))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_full"),
+        length(col("thumb")).cast("long").as("n_chars_thumb"),
+        md5(col("thumb").cast("binary")).as("thumb_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q82Oracle: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_full,
+      |  length(thumb) AS n_chars_thumb,
+      |  md5(thumb) AS thumb_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    list_aggregate(list_transform(range(1, greatest(length(text), 1) + 1, 4),
+      |                                  i -> substr(text, CAST(i AS INT), 1)),
+      |                   'string_agg', '') AS thumb
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Typed batch decode via `mapPartitions` — the Scala analogue of a
@@ -132,10 +164,12 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_multimodal_stats"  -> (q61MultimodalStats _),
+    "q82_multimodal_resize" -> (q82MultimodalResize _),
   )
 
   val oracles: Map[String, String] = Map(
     "q60_multimodal_decode" -> q60Oracle,
     "q61_multimodal_stats"  -> q61Oracle,
+    "q82_multimodal_resize" -> q82Oracle,
   )
 }
