@@ -451,6 +451,62 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  private val KmvK = 64
+  private val Pow60 = 1152921504606846976L // 2^60, exactly representable in double
+
+  /** KMV (k-minimum-values) distinct-count sketch (SURVEY §2.11 custom-agg
+    * row; the deterministic counterpart of q18's HLL): keep the 64 smallest
+    * 60-bit hashes of the values; estimate = (k−1)·2⁶⁰ / kth_min. Unlike
+    * HLL the whole computation is exact integer + one double division, so
+    * it is bit-identical in DuckDB — a sketch the oracle can check.
+    *
+    * The min-k collection reuses [[graft.functions.TopKAggregator]] with a
+    * negated score (bounded buffer, associative merge — the sketch merges
+    * exactly like production KMV). Values are pre-deduplicated per group
+    * (KMV is defined on distinct hashes); a production aggregator would
+    * dedup inside the buffer instead — noted, same asymptotics. */
+  def q83KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    val minK = udaf(new graft.functions.TopKAggregator(KmvK),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    val h = conv(substring(md5(col("o_custkey").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val distinctHashes = Tables.orders(s, dir)
+      .select(col("o_orderstatus"), h.as("h"))
+      .distinct()
+    val exact = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    distinctHashes
+      .groupBy(col("o_orderstatus"))
+      .agg(minK(col("h"), -col("h")).as("mins"))
+      .join(exact, Seq("o_orderstatus"))
+      .select(
+        col("o_orderstatus"),
+        col("n_exact"),
+        element_at(col("mins"), KmvK).as("kth_min_hash"),
+        when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(Pow60).cast("double")
+            / element_at(col("mins"), KmvK))
+          .as("kmv_estimate"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q83Oracle: String =
+    s"""WITH h AS (
+      |  SELECT DISTINCT o_orderstatus,
+      |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM orders),
+      |mins AS (
+      |  SELECT o_orderstatus, list_sort(array_agg(h)) AS hs FROM h GROUP BY 1),
+      |exact AS (
+      |  SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1)
+      |SELECT m.o_orderstatus, n_exact,
+      |  hs[$KmvK] AS kth_min_hash,
+      |  CASE WHEN len(hs) < $KmvK THEN CAST(len(hs) AS DOUBLE)
+      |       ELSE ${KmvK - 1}.0 * CAST($Pow60 AS DOUBLE) / hs[$KmvK] END AS kmv_estimate
+      |FROM mins m JOIN exact e ON m.o_orderstatus = e.o_orderstatus
+      |ORDER BY m.o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -467,6 +523,7 @@ object Analytics {
     "q79_distribution_ranks" -> (q79DistributionRanks _),
     "q80_multiset_ops"    -> (q80MultisetOps _),
     "q81_in_subquery"     -> (q81InSubquery _),
+    "q83_kmv_sketch"      -> (q83KmvSketch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -485,5 +542,6 @@ object Analytics {
     "q79_distribution_ranks" -> q79Oracle,
     "q80_multiset_ops"    -> q80Oracle,
     "q81_in_subquery"     -> q81Oracle,
+    "q83_kmv_sketch"      -> q83Oracle,
   )
 }

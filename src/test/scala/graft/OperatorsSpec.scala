@@ -126,6 +126,15 @@ class OperatorsSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
+  test("q83 KMV sketch estimates distinct counts within 4 standard errors") {
+    Analytics.q83KmvSketch(spark, sf("sf0.01")).collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("kmv_estimate")
+      assert(math.abs(est - exact) / exact <= 4.0 / math.sqrt(62.0),
+        s"${r.getAs[String]("o_orderstatus")}: est=$est exact=$exact")
+    }
+  }
+
   test("q48 on a clean corpus (no near-dup pairs) returns empty, no NPE") {
     // ADVICE.md r1: empty labels made agg(sum(lbl)).head.getLong(0) NPE.
     import spark.implicits._
