@@ -140,23 +140,25 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         (col(s"m${BandRows * b}") * lit(2147483648L) + col(s"m${BandRows * b + 1}")).as("band_val"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    // sz rides along with each band row so candidate pairs carry both
+    // signature sizes — the Jaccard denominator needs no extra joins back
+    // to sigs (two fewer shuffles; sz is functionally dependent on doc_id
+    // so the distinct/groupBy keys stay correct).
+    val bands = sigs.select(col("doc_id"), col("sz"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("sz"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("size_a"), col("b.sz").as("size_b"))
       .distinct()
-    val inter = cands
+    cands
       .join(hx.select(col("doc_id").as("doc_a"), col("hg")), Seq("doc_a"))
       .join(hx.select(col("doc_id").as("doc_b"), col("hg")), Seq("doc_b", "hg"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
       .agg(count(lit(1)).as("inter"))
-    val sz = sigs.select(col("doc_id"), col("sz"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= 0.5)
