@@ -507,6 +507,45 @@ object Analytics {
       |FROM mins m JOIN exact e ON m.o_orderstatus = e.o_orderstatus
       |ORDER BY m.o_orderstatus""".stripMargin
 
+  /** RANGE window frame (SURVEY §2.5 — the value-based frame, vs q08's
+    * ROWS frame): 7-day trailing revenue per order day. RANGE closes over
+    * calendar gaps — a missing day still shrinks the window, which ROWS
+    * BETWEEN 6 PRECEDING cannot express. Day numbers are integers so the
+    * frame bound is exact in both engines. */
+  def q84RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      .cast("long")
+    val daily = Tables.orders(s, dir)
+      .groupBy(dayNum.as("day_num"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .select(
+        col("day_num"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        col("n_orders"),
+        (sum(col("rev_cents")).over(w).cast("double") / 100.0).as("revenue_7d"),
+        count(lit(1)).over(w).as("n_days_7d"))
+      .filter(col("day_num") % 50 === 0)
+      .orderBy(col("day_num"))
+  }
+
+  val q84Oracle: String =
+    """WITH daily AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT day_num,
+      |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+      |  n_orders,
+      |  CAST(sum(rev_cents) OVER w AS DOUBLE) / 100.0 AS revenue_7d,
+      |  count(*) OVER w AS n_days_7d
+      |FROM daily
+      |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |QUALIFY day_num % 50 = 0
+      |ORDER BY day_num""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -524,6 +563,7 @@ object Analytics {
     "q80_multiset_ops"    -> (q80MultisetOps _),
     "q81_in_subquery"     -> (q81InSubquery _),
     "q83_kmv_sketch"      -> (q83KmvSketch _),
+    "q84_range_frame"     -> (q84RangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -543,5 +583,6 @@ object Analytics {
     "q80_multiset_ops"    -> q80Oracle,
     "q81_in_subquery"     -> q81Oracle,
     "q83_kmv_sketch"      -> q83Oracle,
+    "q84_range_frame"     -> q84Oracle,
   )
 }
