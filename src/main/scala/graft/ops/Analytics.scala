@@ -66,14 +66,19 @@ object Analytics {
       .select(
         col("order_year"),
         size(col("keys")).cast("long").as("n_big"),
-        slice(col("keys"), 1, 5).as("first5_keys"),
+        // joined to a string for the driver compare: r1 never exercised
+        // array-typed outputs through the driver's hasher, so outputs stay
+        // scalar; the array ops themselves (sort/slice/element_at/contains)
+        // still run inside the plan
+        array_join(slice(col("keys"), 1, 5), ",").as("first5_keys"),
         element_at(col("keys"), 1).as("min_key"),
         element_at(col("keys"), -1).as("max_key"),
         array_contains(col("keys"), 42L).as("has_key_42"))
       .orderBy(col("order_year"))
 
   val q59Oracle: String =
-    """SELECT order_year, len(keys) AS n_big, keys[1:5] AS first5_keys,
+    """SELECT order_year, len(keys) AS n_big,
+      |  array_to_string(keys[1:5], ',') AS first5_keys,
       |  keys[1] AS min_key, keys[-1] AS max_key,
       |  list_contains(keys, 42) AS has_key_42
       |FROM (
@@ -122,14 +127,22 @@ object Analytics {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        percentile(cents, array(lit(0.25), lit(0.5), lit(0.75))).as("price_quartiles_cents"),
+        percentile(cents, array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
         median(cents).as("median_cents"))
+      .select(
+        col("o_orderstatus"), col("n"),
+        element_at(col("qs"), 1).as("q1_cents"),
+        element_at(col("qs"), 2).as("q2_cents"),
+        element_at(col("qs"), 3).as("q3_cents"),
+        col("median_cents"))
       .orderBy(col("o_orderstatus"))
   }
 
   val q63Oracle: String =
     """SELECT o_orderstatus, count(*) AS n,
-      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75]) AS price_quartiles_cents,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75])[1] AS q1_cents,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75])[2] AS q2_cents,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75])[3] AS q3_cents,
       |  median(CAST(round(o_totalprice * 100) AS BIGINT)) AS median_cents
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -224,13 +237,14 @@ object Analytics {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        topk(col("o_orderkey"), Exact.cents(col("o_totalprice"))).as("top3_orderkeys"))
+        array_join(topk(col("o_orderkey"), Exact.cents(col("o_totalprice"))), ",")
+          .as("top3_orderkeys"))
       .orderBy(col("o_orderpriority"))
   }
 
   val q68Oracle: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |  (array_agg(o_orderkey ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC))[1:3] AS top3_orderkeys
+      |  array_to_string((array_agg(o_orderkey ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC))[1:3], ',') AS top3_orderkeys
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Sliding windows (SURVEY §2.10 tumbling/sliding row): 1-hour windows
@@ -350,7 +364,7 @@ object Analytics {
       .select(
         col("order_year"),
         size(col("m")).cast("long").as("n_statuses"),
-        sort_array(map_keys(col("m"))).as("statuses"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("statuses"),
         coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
         coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
         coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"))
@@ -360,7 +374,7 @@ object Analytics {
   val q78Oracle: String =
     """SELECT year(o_orderdate) AS order_year,
       |  count(DISTINCT o_orderstatus) AS n_statuses,
-      |  list_sort(array_agg(DISTINCT o_orderstatus)) AS statuses,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
       |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
       |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p

@@ -47,9 +47,10 @@ class OperatorsSpec extends SparkSpec {
 
   test("q63 percentiles: quartiles monotone, median == q2") {
     Analytics.q63Percentiles(spark, sf()).collect().foreach { r =>
-      val qs = r.getSeq[Double](r.fieldIndex("price_quartiles_cents"))
-      assert(qs(0) <= qs(1) && qs(1) <= qs(2))
-      assert(qs(1) == r.getAs[Double]("median_cents"))
+      val (q1, q2, q3) = (r.getAs[Double]("q1_cents"),
+        r.getAs[Double]("q2_cents"), r.getAs[Double]("q3_cents"))
+      assert(q1 <= q2 && q2 <= q3)
+      assert(q2 == r.getAs[Double]("median_cents"))
     }
   }
 
