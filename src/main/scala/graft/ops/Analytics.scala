@@ -442,28 +442,48 @@ object Analytics {
   def q81InSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders_v")
     Tables.customer(s, dir).createOrReplaceTempView("graft_customer_v")
+    // NOT IN stays a TOP-LEVEL predicate: nested inside CASE it becomes an
+    // ExistenceJoin that only plans as BroadcastNestedLoopJoin; as a WHERE
+    // predicate (with the set proven non-null) Spark plans the optimized
+    // null-aware broadcast hash anti join (plan lint enforces no BNLJ).
     s.sql(
-      """SELECT o_orderpriority,
-        |  count(*) AS n_orders,
-        |  count(CASE WHEN o_custkey IN (SELECT c_custkey FROM graft_customer_v
-        |                                WHERE c_mktsegment = 'BUILDING') THEN 1 END) AS n_building,
-        |  count(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM graft_customer_v
-        |                                    WHERE c_mktsegment = 'MACHINERY') THEN 1 END) AS n_not_machinery
-        |FROM graft_orders_v
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |    count(*) AS n_orders,
+        |    count(CASE WHEN o_custkey IN (SELECT c_custkey FROM graft_customer_v
+        |                                  WHERE c_mktsegment = 'BUILDING') THEN 1 END) AS n_building
+        |  FROM graft_orders_v
+        |  GROUP BY o_orderpriority),
+        |nm AS (
+        |  SELECT o_orderpriority, count(*) AS n_not_machinery
+        |  FROM graft_orders_v
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM graft_customer_v
+        |                          WHERE c_mktsegment = 'MACHINERY' AND c_custkey IS NOT NULL)
+        |  GROUP BY o_orderpriority)
+        |SELECT base.o_orderpriority, n_orders, n_building,
+        |  coalesce(n_not_machinery, 0) AS n_not_machinery
+        |FROM base LEFT JOIN nm ON base.o_orderpriority = nm.o_orderpriority
+        |ORDER BY base.o_orderpriority""".stripMargin)
   }
 
   val q81Oracle: String =
-    """SELECT o_orderpriority,
-      |  count(*) AS n_orders,
-      |  count(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
-      |                                WHERE c_mktsegment = 'BUILDING') THEN 1 END) AS n_building,
-      |  count(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer
-      |                                    WHERE c_mktsegment = 'MACHINERY') THEN 1 END) AS n_not_machinery
-      |FROM orders
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+    """WITH base AS (
+      |  SELECT o_orderpriority,
+      |    count(*) AS n_orders,
+      |    count(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+      |                                  WHERE c_mktsegment = 'BUILDING') THEN 1 END) AS n_building
+      |  FROM orders
+      |  GROUP BY o_orderpriority),
+      |nm AS (
+      |  SELECT o_orderpriority, count(*) AS n_not_machinery
+      |  FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                          WHERE c_mktsegment = 'MACHINERY' AND c_custkey IS NOT NULL)
+      |  GROUP BY o_orderpriority)
+      |SELECT base.o_orderpriority, n_orders, n_building,
+      |  coalesce(n_not_machinery, 0) AS n_not_machinery
+      |FROM base LEFT JOIN nm ON base.o_orderpriority = nm.o_orderpriority
+      |ORDER BY base.o_orderpriority""".stripMargin
 
   private val KmvK = 64
   private val Pow60 = 1152921504606846976L // 2^60, exactly representable in double
@@ -560,6 +580,39 @@ object Analytics {
       |QUALIFY day_num % 50 = 0
       |ORDER BY day_num""".stripMargin
 
+  /** first_value / last_value / nth_value (SURVEY §2.5 analytic row,
+    * completing lag/lead): per year, each sampled order sees the year's
+    * cheapest, priciest, and second-cheapest orders over an explicit
+    * full-partition frame (default frames differ between engines for
+    * last_value — unbounded-following makes it well-defined in both). */
+  def q85ValueWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("order_year"))
+      .orderBy(Exact.cents(col("o_totalprice")).asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .withColumn("order_year", yearL(col("o_orderdate")))
+      .withColumn("cheapest_key", first(col("o_orderkey")).over(w))
+      .withColumn("priciest_key", last(col("o_orderkey")).over(w))
+      .withColumn("second_cheapest_key", nth_value(col("o_orderkey"), 2).over(w))
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("order_year"), col("o_orderkey"),
+        col("cheapest_key"), col("priciest_key"), col("second_cheapest_key"))
+      .orderBy(col("order_year"), col("o_orderkey"))
+  }
+
+  val q85Oracle: String =
+    """SELECT order_year, o_orderkey, cheapest_key, priciest_key, second_cheapest_key FROM (
+      |  SELECT year(o_orderdate) AS order_year, o_orderkey,
+      |    first_value(o_orderkey) OVER w AS cheapest_key,
+      |    last_value(o_orderkey) OVER w AS priciest_key,
+      |    nth_value(o_orderkey, 2) OVER w AS second_cheapest_key
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY year(o_orderdate)
+      |    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+      |WHERE o_orderkey % 997 = 0
+      |ORDER BY order_year, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -578,6 +631,7 @@ object Analytics {
     "q81_in_subquery"     -> (q81InSubquery _),
     "q83_kmv_sketch"      -> (q83KmvSketch _),
     "q84_range_frame"     -> (q84RangeFrame _),
+    "q85_value_windows"   -> (q85ValueWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,5 +652,6 @@ object Analytics {
     "q81_in_subquery"     -> q81Oracle,
     "q83_kmv_sketch"      -> q83Oracle,
     "q84_range_frame"     -> q84Oracle,
+    "q85_value_windows"   -> q85Oracle,
   )
 }

@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topkaggregator") || p.toLowerCase.contains("partial_"), p)
   }
 
+  test("plan lint: no accidental cartesian or nested-loop joins across ALL queries") {
+    // BroadcastNestedLoop is legitimate only where a query intentionally
+    // scans query-points × corpus (brute-force ANN), probes with a
+    // non-equi condition against a broadcast-sized side, or cross-joins a
+    // single broadcast scalar row (q49's corpus doc count).
+    val nestedLoopOk = Set("q50_cosine_topk", "q51_ivf_topk", "q49_tfidf_top_terms")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val p = fn(spark, sf()).queryExecution.executedPlan.toString
+        val cartesian = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") && !nestedLoopOk(name)
+        if (cartesian || bnlj) Some(s"$name: cartesian=$cartesian bnlj=$bnlj") else None
+      } catch { case _: Throwable => None } // streaming queries execute eagerly; skip
+      finally Caches.releaseAll()
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q65: as-of join shuffles the union exactly once (window key)") {
     val full = finalPlan(Analytics.q65AsofJoinOrders(spark, sf()))
     // the AQE formatted explain repeats the tree under "Initial Plan" —
