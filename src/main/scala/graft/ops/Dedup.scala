@@ -352,6 +352,25 @@ object Dedup {
       |ORDER BY l.cluster_rep, doc_id""".stripMargin
   }
 
+  /** End-to-end dedup materialization — what a training pipeline actually
+    * runs: drop exact duplicates (keep the smallest doc_id per content
+    * hash), then drop near-duplicate cluster members (keep each q48
+    * cluster's representative), and write the cleaned corpus as parquet.
+    * Returns the cleaned frame; `outPath` gets the physical copy. At scale
+    * this is the classic two-stage corpus clean (exact pass first — cheap,
+    * shrinks the LSH input; LSH pass second). */
+  def cleanedCorpus(s: SparkSession, dir: String, outPath: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wExact = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    val exactKept = docs
+      .withColumn("rn", row_number().over(wExact)).filter(col("rn") === 1).drop("rn")
+    val nearDupDropped = q48DedupClusters(s, dir)
+      .filter(col("is_kept") === 0).select(col("doc_id"))
+    val cleaned = exactKept.join(nearDupDropped, Seq("doc_id"), "left_anti")
+    cleaned.write.mode("overwrite").parquet(outPath)
+    s.read.parquet(outPath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
     "q45_exact_dup_stats"      -> (q45ExactDupStats _),

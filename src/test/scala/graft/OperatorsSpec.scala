@@ -152,6 +152,23 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("cleanedCorpus drops exact dups + near-dup members, keeps reps, round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-clean-corpus").toString + "/docs"
+    val cleaned = Dedup.cleanedCorpus(spark, sf(), out)
+    val docs = Tables.documents(spark, sf())
+    val nDistinctTexts = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    val clusters = Dedup.q48DedupClusters(spark, sf()).collect()
+    val dropped = clusters.count(_.getAs[Long]("is_kept") == 0)
+    // every near-dup member with distinct text is dropped; reps retained
+    assert(cleaned.count() >= nDistinctTexts - dropped)
+    assert(cleaned.count() < docs.count())
+    val keptIds = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    clusters.foreach { r =>
+      if (r.getAs[Long]("is_kept") == 0) assert(!keptIds.contains(r.getAs[Long]("doc_id")))
+    }
+    Caches.releaseAll()
+  }
+
   test("minhash LSH finds high-Jaccard planted near-dups and no false ≥0.99 misses") {
     val pairs = Dedup.q46MinhashLshPairs(spark, sf()).collect()
     assert(pairs.nonEmpty)
