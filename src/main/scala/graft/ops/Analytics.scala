@@ -613,6 +613,94 @@ object Analytics {
       |WHERE o_orderkey % 997 = 0
       |ORDER BY order_year, o_orderkey""".stripMargin
 
+  /** Bitwise aggregates (SURVEY §2.4 A9 family): bit_and / bit_or /
+    * bit_xor over order keys per priority — set-membership style folds that
+    * are associative/commutative, so partial aggregation is free. */
+  def q86BitwiseAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        bit_and(col("o_orderkey")).as("key_and"),
+        bit_or(col("o_orderkey")).as("key_or"),
+        bit_xor(col("o_orderkey")).as("key_xor"))
+      .orderBy(col("o_orderpriority"))
+
+  val q86Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  bit_and(o_orderkey) AS key_and,
+      |  bit_or(o_orderkey) AS key_or,
+      |  bit_xor(o_orderkey) AS key_xor
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Histogram bucketing (SURVEY §2.4 — the data-profiling aggregate every
+    * corpus pass runs): order prices into exact 50k-wide integer-cent
+    * buckets; one partial+final HashAggregate. (DuckDB has no width_bucket,
+    * so bucketing is explicit integer division — identical in both.) */
+  def q87Histogram(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (Exact.cents(col("o_totalprice")) / lit(5000000L)).cast("long")
+    Tables.orders(s, dir)
+      .groupBy(bucket.as("price_bucket_50k"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (min(Exact.cents(col("o_totalprice"))).cast("double") / 100.0).as("min_price"),
+        (max(Exact.cents(col("o_totalprice"))).cast("double") / 100.0).as("max_price"))
+      .orderBy(col("price_bucket_50k"))
+  }
+
+  val q87Oracle: String =
+    """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS price_bucket_50k,
+      |  count(*) AS n_orders,
+      |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price,
+      |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact-moment Pearson correlation (SURVEY §2.4 A9; built-in `corr`
+    * sums doubles — order-dependent, breaks hash parity): price↔quantity
+    * correlation per returnflag from exact integer/decimal moments, with
+    * one double conversion per moment at the end (decimal→double is
+    * correctly rounded, so both engines see identical operands and the
+    * final IEEE arithmetic is bit-identical). Squares/products accumulate
+    * in DECIMAL(38,0) — int64 would overflow past ~sf1. */
+  def q88ExactCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val x = Exact.cents(col("l_extendedprice"))
+    val y = Exact.cents(col("l_quantity"))
+    val d = (c: Column) => c.cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"),
+        sum((y * y).cast("decimal(38,0)")).as("syy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            * sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("price_qty_corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q88Oracle: String =
+    """SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS price_qty_corr
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sx,
+      |    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sy,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag) t
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -632,6 +720,9 @@ object Analytics {
     "q83_kmv_sketch"      -> (q83KmvSketch _),
     "q84_range_frame"     -> (q84RangeFrame _),
     "q85_value_windows"   -> (q85ValueWindows _),
+    "q86_bitwise_aggs"    -> (q86BitwiseAggs _),
+    "q87_histogram"       -> (q87Histogram _),
+    "q88_exact_correlation" -> (q88ExactCorrelation _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -653,5 +744,8 @@ object Analytics {
     "q83_kmv_sketch"      -> q83Oracle,
     "q84_range_frame"     -> q84Oracle,
     "q85_value_windows"   -> q85Oracle,
+    "q86_bitwise_aggs"    -> q86Oracle,
+    "q87_histogram"       -> q87Oracle,
+    "q88_exact_correlation" -> q88Oracle,
   )
 }
