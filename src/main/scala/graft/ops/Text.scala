@@ -158,6 +158,54 @@ object Text {
       |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  private val langTrigrams: Seq[(String, String)] = Seq(
+    "en" -> "the|and|ing|ion|for",
+    "es" -> "que|los|cio|ada|una",
+    "de" -> "der|ein|ich|sch|und",
+    "fr" -> "les|ent|des|ait|our",
+    "zh" -> "shi|de5|zai|ang|ong")
+
+  /** Language ID via character n-gram profiles (SURVEY §2.11 text-analysis
+    * row — the classic trigram heuristic; q42 is the stopword-vote
+    * variant): count each language's characteristic trigrams in the raw
+    * lowercased text (regexp_count — codegen'd, no tokenization needed),
+    * argmax with a fixed priority tie-break. */
+  def q89LangIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val withVotes = langTrigrams.foldLeft(Tables.documents(s, dir)) {
+      case (df, (lang, pat)) =>
+        df.withColumn(s"g_$lang", regexp_count(lower(col("text")), lit(s"($pat)")).cast("long"))
+    }
+    val langs = langTrigrams.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => col(s"g_$l") >= col(s"g_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    withVotes
+      .select((Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        langs.map(l => col(s"g_$l")) :+ pred.as("predicted_lang")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Oracle: String = {
+    val langs = langTrigrams.map(_._1)
+    val votes = langTrigrams
+      .map { case (l, pat) => s"  len(regexp_extract_all(lower(text), '($pat)')) AS g_$l" }
+      .mkString(",\n")
+    val pred = {
+      val whens = langs.init.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"g_$l >= g_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"CASE $whens ELSE '${langs.last}' END"
+    }
+    s"""WITH v AS (SELECT doc_id, lang AS labeled_lang,
+      |$votes
+      |FROM documents)
+      |SELECT doc_id, labeled_lang, ${langs.map(l => s"g_$l").mkString(", ")},
+      |  $pred AS predicted_lang
+      |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprinting: md5 of the token-normalized text (content
     * fingerprint robust to whitespace/punctuation), plus the minimum 5-gram
     * shingle hash (a 1-permutation minhash — the rolling-hash-style sketch). */
@@ -229,6 +277,7 @@ object Text {
     "q42_lang_id"     -> (q42LangId _),
     "q43_fingerprint" -> (q43Fingerprint _),
     "q49_tfidf_top_terms" -> (q49TfidfTopTerms _),
+    "q89_langid_ngram" -> (q89LangIdNgram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +286,6 @@ object Text {
     "q42_lang_id"     -> q42Oracle,
     "q43_fingerprint" -> q43Oracle,
     "q49_tfidf_top_terms" -> q49Oracle,
+    "q89_langid_ngram" -> q89Oracle,
   )
 }
