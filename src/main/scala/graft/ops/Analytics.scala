@@ -701,6 +701,61 @@ object Analytics {
       |  FROM lineitem GROUP BY l_returnflag) t
       |ORDER BY l_returnflag""".stripMargin
 
+  /** LATERAL correlated subquery (SURVEY §3.3 — top-N-per-outer-row, the
+    * form window functions can't express when the inner query has its own
+    * aggregation): per region, the two nations with the most customers.
+    * Catalyst decorrelates the lateral into a ranked join. */
+  def q90LateralJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("graft_region_v")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_nation_v")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer_v")
+    s.sql(
+      """SELECT r_name, n_name, n_customers
+        |FROM graft_region_v r,
+        |LATERAL (
+        |  SELECT n_name, count(*) AS n_customers
+        |  FROM graft_nation_v n JOIN graft_customer_v c ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY n_customers DESC, n_name ASC LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  val q90Oracle: String =
+    """SELECT r_name, n_name, n_customers
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n_name, count(*) AS n_customers
+      |  FROM nation n JOIN customer c ON c_nationkey = n_nationkey
+      |  WHERE n_regionkey = r.r_regionkey
+      |  GROUP BY n_name
+      |  ORDER BY n_customers DESC, n_name ASC LIMIT 2) t
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Lenient coercion (SURVEY §2.8 F4/F5 — the DAG's errors="coerce"
+    * semantics, oracle-checked): try_cast salvages the numeric brand
+    * suffix and nulls the junk, try_divide nulls division by zero. */
+  def q91TryCasts(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        expr("try_cast(substr(p_brand, 7) AS BIGINT)").as("brand_num"),
+        expr("try_cast(p_type AS BIGINT)").as("type_as_int"),
+        expr("try_cast(p_name AS DATE)").as("name_as_date"),
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div_by_zero"),
+        expr("try_divide(CAST(round(p_retailprice * 100) AS BIGINT), 100)").as("price_ok"))
+      .orderBy(col("p_partkey"))
+
+  val q91Oracle: String =
+    """SELECT p_partkey,
+      |  TRY_CAST(substr(p_brand, 7) AS BIGINT) AS brand_num,
+      |  TRY_CAST(p_type AS BIGINT) AS type_as_int,
+      |  TRY_CAST(p_name AS DATE) AS name_as_date,
+      |  CASE WHEN p_size - p_size = 0 THEN NULL
+      |       ELSE p_retailprice / (p_size - p_size) END AS div_by_zero,
+      |  CAST(round(p_retailprice * 100) AS BIGINT) / 100 AS price_ok
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -723,6 +778,8 @@ object Analytics {
     "q86_bitwise_aggs"    -> (q86BitwiseAggs _),
     "q87_histogram"       -> (q87Histogram _),
     "q88_exact_correlation" -> (q88ExactCorrelation _),
+    "q90_lateral_join"    -> (q90LateralJoin _),
+    "q91_try_casts"       -> (q91TryCasts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -747,5 +804,7 @@ object Analytics {
     "q86_bitwise_aggs"    -> q86Oracle,
     "q87_histogram"       -> q87Oracle,
     "q88_exact_correlation" -> q88Oracle,
+    "q90_lateral_join"    -> q90Oracle,
+    "q91_try_casts"       -> q91Oracle,
   )
 }
