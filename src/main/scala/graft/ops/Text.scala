@@ -271,6 +271,36 @@ object Text {
       |WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Deterministic stratified sampling (training-pipeline staple: carve a
+    * reproducible eval split per language): keep a doc iff its md5-derived
+    * 16-bit value mod 16 == 0 — a content-stable 1/16 sample that is
+    * identical on any cluster, any partitioning, any engine (vs
+    * TABLESAMPLE/rand(), which are nondeterministic). Reports per-stratum
+    * totals, sample sizes, and rates. */
+  def q92StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val slot = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 16
+    Tables.documents(s, dir)
+      .withColumn("sampled", when(slot === 0, 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sampled")).as("n_sampled"),
+        (sum(col("sampled")).cast("double") / count(lit(1))).as("sample_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val q92Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(sampled) AS BIGINT) AS n_sampled,
+      |  CAST(sum(sampled) AS DOUBLE) / count(*) AS sample_rate
+      |FROM (
+      |  SELECT lang,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 = 0
+      |         THEN 1 ELSE 0 END AS sampled
+      |  FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_freq"  -> (q40TokenFreq _),
     "q41_doc_quality" -> (q41DocQuality _),
@@ -278,6 +308,7 @@ object Text {
     "q43_fingerprint" -> (q43Fingerprint _),
     "q49_tfidf_top_terms" -> (q49TfidfTopTerms _),
     "q89_langid_ngram" -> (q89LangIdNgram _),
+    "q92_stratified_sample" -> (q92StratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,5 +318,6 @@ object Text {
     "q43_fingerprint" -> q43Oracle,
     "q49_tfidf_top_terms" -> q49Oracle,
     "q89_langid_ngram" -> q89Oracle,
+    "q92_stratified_sample" -> q92Oracle,
   )
 }
