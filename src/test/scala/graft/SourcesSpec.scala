@@ -38,6 +38,21 @@ class SourcesSpec extends SparkSpec {
     assert(key(back) == key(e))
   }
 
+  test("upsert: insert-new + update-existing, latest version wins, idempotent") {
+    import spark.implicits._
+    val path = tmp("graft-upsert") + "/t"
+    val v1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+    Materialize.upsert(spark, path, v1, "id", "ver")
+    // update id=2, insert id=3
+    val v2 = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ver")
+    val merged = Materialize.upsert(spark, path, v2, "id", "ver")
+    val got = merged.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ("a", 1L), 2L -> ("b2", 2L), 3L -> ("c", 2L)))
+    // same-version replay: update side wins ties, result unchanged
+    val again = Materialize.upsert(spark, path, v2, "id", "ver")
+    assert(again.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap == got)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark
     wh.sql("DROP TABLE IF EXISTS graft_orders_b")
