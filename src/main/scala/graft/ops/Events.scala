@@ -149,6 +149,42 @@ object Events {
       |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Event funnel (SURVEY §2.10 family — sequence analytics over the event
+    * stream): per user, did signup happen, and did a purchase follow a
+    * signup in time order? One hash aggregate over conditional min/max —
+    * the funnel never materializes per-step joins, so it scales as a
+    * single pass. Emits corpus-level funnel counts. */
+  def q93EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), tsMs)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_ms"))).as("first_signup_ms"),
+        max(when(col("event_type") === "purchase", col("ts_ms"))).as("last_purchase_ms"),
+        count(lit(1)).as("n_events"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("first_signup_ms").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+      sum(when(col("first_signup_ms").isNotNull &&
+        col("last_purchase_ms") > col("first_signup_ms"), 1L).otherwise(0L))
+        .as("n_converted"),
+      sum(col("n_events")).as("n_events_total"))
+  }
+
+  val q93Oracle: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS first_signup_ms,
+      |    max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS last_purchase_ms,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN first_signup_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+      |  CAST(sum(CASE WHEN first_signup_ms IS NOT NULL
+      |                 AND last_purchase_ms > first_signup_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events_total
+      |FROM per_user""".stripMargin
+
   /** Semi-structured extraction: parse the `props` JSON text column
     * (SURVEY.md §2.8 F10 — the `details`/`props` free-text mapping), bucket
     * by the extracted integer, aggregate. get_json_object stays inside
@@ -200,6 +236,7 @@ object Events {
     "q22_json_extract"     -> (q22JsonExtract _),
     "q23_top_events_per_type" -> (q23TopEventsPerType _),
     "q66_session_windows"  -> (q66SessionWindows _),
+    "q93_event_funnel"     -> (q93EventFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +245,6 @@ object Events {
     "q22_json_extract"     -> q22Oracle,
     "q23_top_events_per_type" -> q23Oracle,
     "q66_session_windows"  -> q66Oracle,
+    "q93_event_funnel"     -> q93Oracle,
   )
 }
