@@ -756,6 +756,68 @@ object Analytics {
       |  CAST(round(p_retailprice * 100) AS BIGINT) / 100 AS price_ok
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Calendar-spine gap filling (the reporting-layer op behind every
+    * time-series dashboard): generate the full day spine between the
+    * corpus min/max order dates (sequence+explode over a 1-row aggregate —
+    * no cross join), left-join daily revenue, zero-fill missing days.
+    * Sampled output; n_missing_in_window shows the fill actually firing. */
+  def q94GapFill(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderdate").cast("date").as("day"),
+      Exact.cents(col("o_totalprice")).as("cents"))
+    val spine = o.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val daily = o.groupBy(col("day")).agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        (coalesce(col("cents"), lit(0L)).cast("double") / 100.0).as("revenue"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        when(col("n").isNull, 1L).otherwise(0L).as("was_missing"))
+      .filter(dayofmonth(col("day")) === 1)
+      .orderBy(col("day"))
+  }
+
+  val q94Oracle: String =
+    """WITH bounds AS (
+      |  SELECT min(CAST(o_orderdate AS DATE)) AS mn, max(CAST(o_orderdate AS DATE)) AS mx
+      |  FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, count(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT spine.day,
+      |  CAST(coalesce(cents, 0) AS DOUBLE) / 100.0 AS revenue,
+      |  coalesce(n, 0) AS n_orders,
+      |  CASE WHEN n IS NULL THEN 1 ELSE 0 END AS was_missing
+      |FROM spine LEFT JOIN daily ON spine.day = daily.day
+      |WHERE dayofmonth(spine.day) = 1
+      |ORDER BY spine.day""".stripMargin
+
+  /** Per-event sliding-window rate (abuse/rate-limit detection): for each
+    * event, how many events the same user produced in the preceding hour —
+    * a numeric RANGE frame over epoch-ms, one shuffle on user_id. Sampled
+    * output keeps the driver compare small. */
+  def q95SlidingRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3599999L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts) div 1000").as("ts_ms"))
+      .withColumn("n_prev_hour", count(lit(1)).over(w))
+      .filter(col("event_id") % 1009 === 0)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("n_prev_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q95Oracle: String =
+    """SELECT user_id, event_id, ts_ms, n_prev_hour FROM (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |      RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS n_prev_hour
+      |  FROM events) t
+      |WHERE event_id % 1009 = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -780,6 +842,8 @@ object Analytics {
     "q88_exact_correlation" -> (q88ExactCorrelation _),
     "q90_lateral_join"    -> (q90LateralJoin _),
     "q91_try_casts"       -> (q91TryCasts _),
+    "q94_gap_fill"        -> (q94GapFill _),
+    "q95_sliding_rate"    -> (q95SlidingRate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -806,5 +870,7 @@ object Analytics {
     "q88_exact_correlation" -> q88Oracle,
     "q90_lateral_join"    -> q90Oracle,
     "q91_try_casts"       -> q91Oracle,
+    "q94_gap_fill"        -> q94Oracle,
+    "q95_sliding_rate"    -> q95Oracle,
   )
 }
