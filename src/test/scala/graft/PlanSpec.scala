@@ -87,6 +87,25 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("join hints steer the physical strategy (broadcast / shuffle_hash / merge)") {
+    val li = Tables.lineitem(spark, sf()).select(org.apache.spark.sql.functions.col("l_orderkey"))
+    val o = Tables.orders(spark, sf()).select(org.apache.spark.sql.functions.col("o_orderkey"))
+    def planWith(hint: String): String =
+      finalPlan(li.join(o.hint(hint),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey")))
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+  }
+
+  test("repartitionByRange produces range partitioning (sorted-layout writes)") {
+    val df = Tables.orders(spark, sf())
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("o_orderdate"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+  }
+
   test("q65: as-of join shuffles the union exactly once (window key)") {
     val full = finalPlan(Analytics.q65AsofJoinOrders(spark, sf()))
     // the AQE formatted explain repeats the tree under "Initial Plan" —
