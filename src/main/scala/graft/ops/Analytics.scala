@@ -23,6 +23,11 @@ object Analytics {
 
   private def yearL(c: Column): Column = year(c).cast("long")
 
+  /** Unique temp-view suffix per invocation: fixed view names would race
+    * when two threads run the same SQL-entry query on a shared session
+    * (createOrReplaceTempView is last-writer-wins). */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Explicit GROUPING SETS (SURVEY §2.4 A8, completing rollup/cube): the
     * three sets ((year,status),(year),(status)) — a shape neither rollup
     * nor cube produces. Spark 4's Dataset.groupingSets API; one
@@ -440,24 +445,26 @@ object Analytics {
     * execution — see PlanSpec's q12/q05 for the DataFrame forms). The NOT
     * IN subquery is guaranteed non-null so ANSI 3VL doesn't empty it. */
   def q81InSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_v")
-    Tables.customer(s, dir).createOrReplaceTempView("graft_customer_v")
+    val id = viewSeq.incrementAndGet()
+    val (ov, cv) = (s"graft_orders_v$id", s"graft_customer_v$id")
+    Tables.orders(s, dir).createOrReplaceTempView(ov)
+    Tables.customer(s, dir).createOrReplaceTempView(cv)
     // NOT IN stays a TOP-LEVEL predicate: nested inside CASE it becomes an
     // ExistenceJoin that only plans as BroadcastNestedLoopJoin; as a WHERE
     // predicate (with the set proven non-null) Spark plans the optimized
     // null-aware broadcast hash anti join (plan lint enforces no BNLJ).
     s.sql(
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT o_orderpriority,
         |    count(*) AS n_orders,
-        |    count(CASE WHEN o_custkey IN (SELECT c_custkey FROM graft_customer_v
+        |    count(CASE WHEN o_custkey IN (SELECT c_custkey FROM $cv
         |                                  WHERE c_mktsegment = 'BUILDING') THEN 1 END) AS n_building
-        |  FROM graft_orders_v
+        |  FROM $ov
         |  GROUP BY o_orderpriority),
         |nm AS (
         |  SELECT o_orderpriority, count(*) AS n_not_machinery
-        |  FROM graft_orders_v
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM graft_customer_v
+        |  FROM $ov
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM $cv
         |                          WHERE c_mktsegment = 'MACHINERY' AND c_custkey IS NOT NULL)
         |  GROUP BY o_orderpriority)
         |SELECT base.o_orderpriority, n_orders, n_building,
@@ -706,15 +713,17 @@ object Analytics {
     * aggregation): per region, the two nations with the most customers.
     * Catalyst decorrelates the lateral into a ranked join. */
   def q90LateralJoin(s: SparkSession, dir: String): DataFrame = {
-    Tables.region(s, dir).createOrReplaceTempView("graft_region_v")
-    Tables.nation(s, dir).createOrReplaceTempView("graft_nation_v")
-    Tables.customer(s, dir).createOrReplaceTempView("graft_customer_v")
+    val id = viewSeq.incrementAndGet()
+    val (rv, nv, cv) = (s"graft_region_v$id", s"graft_nation_v$id", s"graft_customer_v$id")
+    Tables.region(s, dir).createOrReplaceTempView(rv)
+    Tables.nation(s, dir).createOrReplaceTempView(nv)
+    Tables.customer(s, dir).createOrReplaceTempView(cv)
     s.sql(
-      """SELECT r_name, n_name, n_customers
-        |FROM graft_region_v r,
+      s"""SELECT r_name, n_name, n_customers
+        |FROM $rv r,
         |LATERAL (
         |  SELECT n_name, count(*) AS n_customers
-        |  FROM graft_nation_v n JOIN graft_customer_v c ON c_nationkey = n_nationkey
+        |  FROM $nv n JOIN $cv c ON c_nationkey = n_nationkey
         |  WHERE n_regionkey = r.r_regionkey
         |  GROUP BY n_name
         |  ORDER BY n_customers DESC, n_name ASC LIMIT 2) t

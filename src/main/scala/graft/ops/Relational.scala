@@ -515,15 +515,19 @@ object Relational {
     * §4 decorrelation row): parts priced above their brand's average.
     * Catalyst's RewriteCorrelatedScalarSubquery turns the correlation into
     * an aggregate + join — check `.explain`: no per-row subquery execution. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def q27CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.part(s, dir).createOrReplaceTempView("graft_part_v")
+    // unique view name per invocation — fixed names race on shared sessions
+    val pv = s"graft_part_v${viewSeq.incrementAndGet()}"
+    Tables.part(s, dir).createOrReplaceTempView(pv)
     s.sql(
-      """SELECT p_brand, count(*) AS n_above_brand_avg,
+      s"""SELECT p_brand, count(*) AS n_above_brand_avg,
         |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_above_price
-        |FROM graft_part_v p
+        |FROM $pv p
         |WHERE CAST(round(p_retailprice * 100) AS BIGINT) >
         |      (SELECT CAST(sum(CAST(round(i.p_retailprice * 100) AS BIGINT)) AS DOUBLE) / count(*)
-        |       FROM graft_part_v i WHERE i.p_brand = p.p_brand)
+        |       FROM $pv i WHERE i.p_brand = p.p_brand)
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin)
   }

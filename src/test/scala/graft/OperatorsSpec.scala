@@ -136,6 +136,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("concurrent invocations on a shared session do not interfere") {
+    // view-backed SQL queries + cache-registering queries from multiple
+    // threads — a library embedder's multi-tenant shape
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = Seq("q27_correlated_subquery", "q81_in_subquery",
+      "q90_lateral_join", "q11_set_ops", "q27_correlated_subquery", "q90_lateral_join")
+    val expected = names.distinct.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf()).collect().toSeq
+    }.toMap
+    val results = Await.result(
+      Future.sequence(names.map { n =>
+        Future(n -> SparkEntry.queries(n)(spark, sf()).collect().toSeq)
+      }), 5.minutes)
+    results.foreach { case (n, rows) => assert(rows == expected(n), n) }
+    Caches.releaseAll()
+  }
+
   test("q48 on a clean corpus (no near-dup pairs) returns empty, no NPE") {
     // ADVICE.md r1: empty labels made agg(sum(lbl)).head.getLong(0) NPE.
     import spark.implicits._
