@@ -564,6 +564,37 @@ object Relational {
       |  concat_ws('#', p_brand, p_type) AS brand_tag
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Regex capture groups + the remaining scalar string surface (SURVEY
+    * §2.8 F10, completing q15): regexp_extract with group index, lpad,
+    * translate, repeat, reverse, left/right, split_part — all codegen'd
+    * row-level functions with exact DuckDB counterparts (initcap is absent
+    * in DuckDB, so it stays out of the oracle-checked set). */
+  def q96StringFunctions2(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        translate(col("p_brand"), "#", "-").as("brand_dashed"),
+        repeat(substring(col("p_name"), 1, 2), 3).as("prefix_x3"),
+        reverse(col("p_brand")).as("brand_rev"),
+        substring(col("p_type"), 1, 4).as("type_left4"),
+        expr("right(p_type, 3)").as("type_right3"),
+        expr("split_part(p_type, ' ', 1)").as("type_first_word"))
+      .orderBy(col("p_partkey"))
+
+  val q96Oracle: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+      |  translate(p_brand, '#', '-') AS brand_dashed,
+      |  repeat(substr(p_name, 1, 2), 3) AS prefix_x3,
+      |  reverse(p_brand) AS brand_rev,
+      |  left(p_type, 4) AS type_left4,
+      |  right(p_type, 3) AS type_right3,
+      |  split_part(p_type, ' ', 1) AS type_first_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Equi + range join (SURVEY §2.3 theta/range row): lineitems shipped
     * within 30 days of their order's date. The equi key keeps it a hash/sort
     * join; the range predicate filters post-match — no nested-loop blowup. */
@@ -752,6 +783,7 @@ object Relational {
     "q13_status_rate_by_year"  -> (q13StatusRateByYear _),
     "q14_order_revenue_by_region" -> (q14OrderRevenueByRegion _),
     "q15_string_functions"     -> (q15StringFunctions _),
+    "q96_string_functions2"    -> (q96StringFunctions2 _),
     "q16_range_join"           -> (q16RangeJoin _),
     "q17_asof_signup"          -> (q17AsofSignup _),
     "q18_approx_stats"         -> (q18ApproxStats _),
@@ -781,6 +813,7 @@ object Relational {
     "q13_status_rate_by_year"  -> q13Oracle,
     "q14_order_revenue_by_region" -> q14Oracle,
     "q15_string_functions"     -> q15Oracle,
+    "q96_string_functions2"    -> q96Oracle,
     "q16_range_join"           -> q16Oracle,
     "q17_asof_signup"          -> q17Oracle,
     "q19_full_outer_join"      -> q19Oracle,
