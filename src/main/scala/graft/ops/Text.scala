@@ -301,6 +301,46 @@ object Text {
       |  FROM documents) t
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val ChunkLen = 50
+  private val ChunkStride = 25
+
+  /** Document chunking into overlapping token windows (the packing prep
+    * before LLM training: context windows of 50 tokens, stride 25):
+    * per-doc chunk counts plus first/last chunk fingerprints — pure column
+    * algebra over the token array, embarrassingly parallel. */
+  def q97DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nChunks = when(n <= ChunkLen, lit(1L))
+      .otherwise(ceil((n - ChunkLen).cast("double") / ChunkStride).cast("long") + 1L)
+    val lastStart = ((nChunks - 1) * ChunkStride + 1).cast("int")
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        nChunks.as("n_chunks"),
+        md5(concat_ws(" ", slice(col("toks"), 1, ChunkLen)).cast("binary")).as("first_chunk_md5"),
+        md5(concat_ws(" ", slice(col("toks"), lastStart, lit(ChunkLen))).cast("binary"))
+          .as("last_chunk_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    CASE WHEN len(toks) <= $ChunkLen THEN 1
+      |         ELSE CAST(ceil(CAST(len(toks) - $ChunkLen AS DOUBLE) / $ChunkStride) AS BIGINT) + 1
+      |    END AS n_chunks
+      |  FROM t)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_chunks,
+      |  md5(array_to_string(toks[1:$ChunkLen], ' ')) AS first_chunk_md5,
+      |  md5(array_to_string(toks[CAST((n_chunks - 1) * $ChunkStride + 1 AS INT) :
+      |                           CAST((n_chunks - 1) * $ChunkStride + $ChunkLen AS INT)], ' '))
+      |    AS last_chunk_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_freq"  -> (q40TokenFreq _),
     "q41_doc_quality" -> (q41DocQuality _),
@@ -309,6 +349,7 @@ object Text {
     "q49_tfidf_top_terms" -> (q49TfidfTopTerms _),
     "q89_langid_ngram" -> (q89LangIdNgram _),
     "q92_stratified_sample" -> (q92StratifiedSample _),
+    "q97_doc_chunks" -> (q97DocChunks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,5 +360,6 @@ object Text {
     "q49_tfidf_top_terms" -> q49Oracle,
     "q89_langid_ngram" -> q89Oracle,
     "q92_stratified_sample" -> q92Oracle,
+    "q97_doc_chunks" -> q97Oracle,
   )
 }
