@@ -171,6 +171,22 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("prepareCorpus: dedup -> quality -> chunk -> split end-to-end") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val summary = Pipelines.prepareCorpus(spark, sf(), out).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chunks"))).toMap
+    assert(summary.contains("train") && summary.contains("eval"))
+    val chunks = spark.read.parquet(s"$out/chunks")
+    // chunk rows partition-prune by split and reconstruct counts
+    assert(chunks.filter(col("split") === "train").count() == summary("train")._2)
+    // every chunk has text; no doc appears in both splits
+    assert(chunks.filter(length(col("chunk_text")) === 0).count() == 0)
+    val both = chunks.select("doc_id", "split").distinct()
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(both == 0)
+    Caches.releaseAll()
+  }
+
   test("cleanedCorpus drops exact dups + near-dup members, keeps reps, round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-clean-corpus").toString + "/docs"
     val cleaned = Dedup.cleanedCorpus(spark, sf(), out)
