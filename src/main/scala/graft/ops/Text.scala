@@ -341,6 +341,45 @@ object Text {
       |    AS last_chunk_md5
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Per-stratum z-score normalization (feature scaling for ML pipelines):
+    * each document's n_chars standardized against its language's mean/std,
+    * with the moments accumulated exactly (int64 sums, DECIMAL(38) squares)
+    * and one fixed-order double conversion — reproducible at any
+    * partitioning, unlike avg/stddev over doubles. The per-lang moment
+    * table broadcasts back onto the docs. */
+  def q99ZscoreNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val moments = Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("s2"))
+    val mean = d(col("s1")) / d(col("n"))
+    val std = sqrt((d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1")))
+      / (d(col("n")) * (d(col("n")) - 1.0)))
+    Tables.documents(s, dir)
+      .join(broadcast(moments), Seq("lang"))
+      .withColumn("z_chars", (d(col("n_chars")) - mean) / std)
+      .filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("z_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q99Oracle: String =
+    """WITH m AS (
+      |  SELECT lang, count(*) AS n,
+      |    sum(n_chars) AS s1,
+      |    sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS s2
+      |  FROM documents GROUP BY lang)
+      |SELECT doc_id, d.lang, n_chars,
+      |  (CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z_chars
+      |FROM documents d JOIN m ON d.lang = m.lang
+      |WHERE doc_id % 29 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_freq"  -> (q40TokenFreq _),
     "q41_doc_quality" -> (q41DocQuality _),
@@ -350,6 +389,7 @@ object Text {
     "q89_langid_ngram" -> (q89LangIdNgram _),
     "q92_stratified_sample" -> (q92StratifiedSample _),
     "q97_doc_chunks" -> (q97DocChunks _),
+    "q99_zscore_normalize" -> (q99ZscoreNormalize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +401,6 @@ object Text {
     "q89_langid_ngram" -> q89Oracle,
     "q92_stratified_sample" -> q92Oracle,
     "q97_doc_chunks" -> q97Oracle,
+    "q99_zscore_normalize" -> q99Oracle,
   )
 }
