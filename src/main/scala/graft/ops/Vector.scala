@@ -343,11 +343,67 @@ object Vector {
       |WHERE rk <= 10
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Per-cluster centroid similarity / outlier scoring joined across
+    * modalities (SURVEY §2.11 multimodal + similarity rows): the label
+    * centroid is an exact fixed-point integer mean-direction (per-dimension
+    * int sums — order-independent, so the centroid is identical under any
+    * partial aggregation), each vector's cosine to its centroid is exact
+    * integer dot/norm with one double conversion, and the text side joins
+    * in on the shared id. Low cosine = cluster outlier — the curation
+    * signal a training pipeline uses to audit clusters. */
+  def q100CentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val xq = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), col("label"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq")))
+    val cent = xq.groupBy(col("label"), col("j")).agg(sum(col("xq")).as("cj"))
+    val scored = xq.join(cent, Seq("label", "j"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum((col("xq") * col("cj")).cast("decimal(38,0)")).as("dot"),
+        sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("n2v"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum((col("cj") * col("cj")).cast("decimal(38,0)")).as("n2c"))
+    scored.join(cnorm, Seq("label"))
+      .withColumn("cos_to_centroid",
+        col("dot").cast("double") /
+          (sqrt(col("n2v").cast("double")) * sqrt(col("n2c").cast("double"))))
+      .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      .filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("lang"),
+        col("cos_to_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q100Oracle: String =
+    s"""WITH xq AS (
+      |  SELECT vec_id, label, j,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $FixedPoint) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |cent AS (
+      |  SELECT label, j, CAST(sum(xq) AS BIGINT) AS cj FROM xq GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT vec_id, xq.label,
+      |    sum(xq.xq * cj) AS dot,
+      |    sum(xq.xq * xq.xq) AS n2v
+      |  FROM xq JOIN cent ON xq.label = cent.label AND xq.j = cent.j
+      |  GROUP BY 1, 2),
+      |cnorm AS (SELECT label, sum(cj * cj) AS n2c FROM cent GROUP BY 1)
+      |SELECT vec_id, CAST(s.label AS BIGINT) AS label, lang,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+      |    AS cos_to_centroid
+      |FROM scored s
+      |JOIN cnorm ON s.label = cnorm.label
+      |JOIN documents d ON s.vec_id = d.doc_id
+      |WHERE vec_id % 17 = 0
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_cosine_topk"        -> (q50CosineTopk _),
     "q51_ivf_topk"           -> (q51IvfTopk _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_pq_topk"            -> (q53PqTopk _),
+    "q100_centroid_outliers" -> (q100CentroidOutliers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -355,5 +411,6 @@ object Vector {
     "q51_ivf_topk"           -> q51Oracle,
     "q52_embedding_near_dup" -> q52Oracle,
     "q53_pq_topk"            -> q53Oracle,
+    "q100_centroid_outliers" -> q100Oracle,
   )
 }
