@@ -45,3 +45,35 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** [[TopKAggregator]] variant that keeps the (key, score) pairs in the
+  * output instead of projecting to keys — the building block for replacing
+  * low-cardinality-partition ranking windows (VERDICT r2 item 1): groupBy +
+  * this aggregator reduces each map partition to ≤ k rows per group BEFORE
+  * the shuffle, where `row_number().over(partitionBy(lowCardKey))` would
+  * funnel the whole fact table through |distinct keys| sort tasks. Ordered
+  * (score desc, key asc); negate the score for ascending extremes. */
+class TopKPairsAggregator(k: Int)
+    extends Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] {
+  require(k > 0)
+
+  private def lt(a: ScoredKey, b: ScoredKey): Boolean =
+    a.score > b.score || (a.score == b.score && a.key < b.key)
+
+  override def zero: Seq[ScoredKey] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredKey], in: ScoredKey): Seq[ScoredKey] = {
+    if (buf.size == k && !lt(in, buf.last)) buf
+    else ((buf :+ in).sortWith(lt)).take(k)
+  }
+
+  override def merge(a: Seq[ScoredKey], b: Seq[ScoredKey]): Seq[ScoredKey] =
+    (a ++ b).sortWith(lt).take(k)
+
+  override def finish(buf: Seq[ScoredKey]): Seq[ScoredKey] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredKey]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredKey]]()
+  override def outputEncoder: Encoder[Seq[ScoredKey]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredKey]]()
+}

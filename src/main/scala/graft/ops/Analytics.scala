@@ -94,18 +94,19 @@ object Analytics {
       |ORDER BY order_year""".stripMargin
 
   /** arg-extreme aggregates (SURVEY §2.4 A9 family): the order carrying the
-    * max/min price per priority via max_by/min_by ≡ DuckDB arg_max/arg_min.
-    * The arg is a composite `cents·10⁷ + orderkey` so ties on price resolve
-    * deterministically (cents ≤ 5·10⁷ and orderkey < 10⁷ keep it exact in
-    * int64). */
+    * max/min price per priority. Ties on price resolve deterministically via
+    * lexicographic `(cents, orderkey)` STRUCT min/max — both engines order
+    * structs/rows field-by-field, and unlike the r2 composite
+    * `cents·10⁷ + orderkey` (ADVICE r2: non-injective once orderkey ≥ 10⁷,
+    * i.e. around sf2) it cannot overflow at any scale factor. */
   def q62ArgExtremes(s: SparkSession, dir: String): DataFrame = {
-    val uniq = Exact.cents(col("o_totalprice")) * lit(10000000L) + col("o_orderkey")
+    val uniq = struct(Exact.cents(col("o_totalprice")).as("c"), col("o_orderkey").as("k"))
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        max_by(col("o_orderkey"), uniq).as("priciest_orderkey"),
-        min_by(col("o_orderkey"), uniq).as("cheapest_orderkey"),
+        max(uniq).getField("k").as("priciest_orderkey"),
+        min(uniq).getField("k").as("cheapest_orderkey"),
         (max(Exact.cents(col("o_totalprice"))).cast("double") / 100.0).as("max_price"),
         (min(Exact.cents(col("o_totalprice"))).cast("double") / 100.0).as("min_price"))
       .orderBy(col("o_orderpriority"))
@@ -114,8 +115,8 @@ object Analytics {
   val q62Oracle: String =
     """SELECT o_orderpriority,
       |  count(*) AS n_orders,
-      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_orderkey,
-      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_orderkey,
+      |  max({'c': CAST(round(o_totalprice * 100) AS BIGINT), 'k': o_orderkey}).k AS priciest_orderkey,
+      |  min({'c': CAST(round(o_totalprice * 100) AS BIGINT), 'k': o_orderkey}).k AS cheapest_orderkey,
       |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price,
       |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -387,16 +388,53 @@ object Analytics {
 
   /** Distribution window functions (SURVEY §2.5): percent_rank and
     * cume_dist over a unique per-year ordering (no ties ⇒ exact doubles in
-    * both engines); a deterministic key sample keeps the output small. */
+    * both engines); a deterministic key sample keeps the output small.
+    *
+    * Scale shape (VERDICT r2 item 1): the ordering key is unique, so
+    * `percent_rank = (pos−1)/(n−1)` and `cume_dist = pos/n` reduce to each
+    * sampled row's POSITION in its year — computed without the
+    * 7-partition-sort window via an exact two-level ECDF:
+    *   1. per-(year, $10k-bucket) row counts — one partial+final hash agg;
+    *   2. running below-bucket counts — a window over the ~60-buckets/year
+    *      AGGREGATED frame (bounded rows, not the fact table);
+    *   3. within-bucket refinement — fact rows equi-join the broadcast
+    *      sample on (year, bucket), so each row compares against only the
+    *      samples in ITS bucket (≈|samples|/|buckets| each, not a cross
+    *      product), then a count per sample.
+    * position = below_bucket + within_bucket + 1; the divisions are the
+    * same int64→double ops the window functions perform — bit-identical. */
   def q79DistributionRanks(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("order_year"))
-      .orderBy(Exact.cents(col("o_totalprice")).asc, col("o_orderkey").asc)
-    Tables.orders(s, dir)
-      .withColumn("order_year", yearL(col("o_orderdate")))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
-      .filter(col("o_orderkey") % 997 === 0)
-      .select(col("order_year"), col("o_orderkey"), col("o_totalprice"), col("pr"), col("cd"))
+    val base = Tables.orders(s, dir)
+      .select(yearL(col("o_orderdate")).as("order_year"), col("o_orderkey"),
+        col("o_totalprice"), Exact.cents(col("o_totalprice")).as("cents"))
+      .withColumn("bucket", expr("cents div 1000000"))
+    val bcounts = base.groupBy(col("order_year"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wYear = Window.partitionBy(col("order_year"))
+    val cum = bcounts.select(col("order_year"), col("bucket"),
+      coalesce(sum(col("c")).over(
+        wYear.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("below_bucket"),
+      sum(col("c")).over(wYear).as("n"))
+    val samples = base.filter(col("o_orderkey") % 997 === 0)
+    val sKeys = samples.select(col("order_year").as("s_year"), col("bucket").as("s_bucket"),
+      col("cents").as("s_cents"), col("o_orderkey").as("s_key"))
+    val within = base.join(broadcast(sKeys),
+        col("order_year") === col("s_year") && col("bucket") === col("s_bucket") &&
+          (col("cents") < col("s_cents") ||
+            (col("cents") === col("s_cents") && col("o_orderkey") < col("s_key"))))
+      .groupBy(col("s_year"), col("s_key"))
+      .agg(count(lit(1)).as("within_bucket"))
+    val pos = (col("below_bucket") + coalesce(col("within_bucket"), lit(0L)) + 1).as("pos")
+    samples
+      .join(broadcast(cum), Seq("order_year", "bucket"))
+      .join(broadcast(within),
+        col("order_year") === col("s_year") && col("o_orderkey") === col("s_key"), "left")
+      .select(col("order_year"), col("o_orderkey"), col("o_totalprice"), col("n"), pos)
+      .select(col("order_year"), col("o_orderkey"), col("o_totalprice"),
+        when(col("n") === 1, 0.0)
+          .otherwise((col("pos") - 1).cast("double") / (col("n") - 1).cast("double")).as("pr"),
+        (col("pos").cast("double") / col("n").cast("double")).as("cd"))
       .orderBy(col("order_year"), col("o_orderkey"))
   }
 
@@ -593,15 +631,27 @@ object Analytics {
     * full-partition frame (default frames differ between engines for
     * last_value — unbounded-following makes it well-defined in both). */
   def q85ValueWindows(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("order_year"))
-      .orderBy(Exact.cents(col("o_totalprice")).asc, col("o_orderkey").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.orders(s, dir)
-      .withColumn("order_year", yearL(col("o_orderdate")))
-      .withColumn("cheapest_key", first(col("o_orderkey")).over(w))
-      .withColumn("priciest_key", last(col("o_orderkey")).over(w))
-      .withColumn("second_cheapest_key", nth_value(col("o_orderkey"), 2).over(w))
-      .filter(col("o_orderkey") % 997 === 0)
+    // Scale shape (VERDICT r2 item 1): first/last/nth over an
+    // unbounded-frame window partitioned by ~7 years is really a per-year
+    // AGGREGATE — first = lexicographic min(cents, key), last = max,
+    // nth(2) = second-smallest via a k=2 partial top-k (negated score ⇒
+    // ascending). One partial+final hash agg to |years| rows, broadcast
+    // back onto the deterministic sample — no 7-task fact-table sort.
+    val min2 = udaf(new graft.functions.TopKPairsAggregator(2),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    val base = Tables.orders(s, dir)
+      .select(yearL(col("o_orderdate")).as("order_year"), col("o_orderkey"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+    val perYear = base.groupBy(col("order_year"))
+      .agg(max(struct(col("cents"), col("o_orderkey"))).as("mx"),
+        min2(col("o_orderkey"), -col("cents")).as("lo2"))
+      .select(col("order_year"),
+        col("lo2").getItem(0).getField("key").as("cheapest_key"),
+        col("mx").getField("o_orderkey").as("priciest_key"),
+        when(size(col("lo2")) >= 2, col("lo2").getItem(1).getField("key"))
+          .as("second_cheapest_key"))
+    base.filter(col("o_orderkey") % 997 === 0)
+      .join(broadcast(perYear), Seq("order_year"))
       .select(col("order_year"), col("o_orderkey"),
         col("cheapest_key"), col("priciest_key"), col("second_cheapest_key"))
       .orderBy(col("order_year"), col("o_orderkey"))

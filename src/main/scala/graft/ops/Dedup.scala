@@ -23,19 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Latest-row-per-key dedup — the canonical window dedup the reference's
+  /** Latest-row-per-key dedup — the canonical dedup the reference's
     * append-mode ingest implicitly needs (SURVEY.md §2.5:
     * `airflow/dags/spacex_api_dag.py:49` appends daily snapshots and nothing
     * ever dedups them; `README.md:80` sidesteps with replace). Key =
-    * (lang, source), recency = doc_id. */
-  def q44LatestPerKey(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id").desc)
+    * (lang, source), recency = doc_id.
+    *
+    * Expressed as `max(struct(recency, payload…))` per key — exactly the
+    * row_number()=1 window semantics (doc_id is unique, so the lexicographic
+    * struct max IS the latest row), but with partial+final hash aggregation:
+    * map-side combine keeps one row per key per partition, where the window
+    * form sorts everything inside |keys| tasks — the scale-correct
+    * latest-per-key. (The window formulation itself stays exercised by
+    * [[graft.Materialize.upsert]] and `ops.Launches`, whose keys are
+    * high-cardinality.) */
+  def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("lang"), col("source"), col("doc_id").as("latest_doc_id"), col("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(max(struct(col("doc_id"), col("n_chars"))).as("mx"))
+      .select(col("lang"), col("source"),
+        col("mx.doc_id").as("latest_doc_id"), col("mx.n_chars").as("n_chars"))
       .orderBy(col("lang"), col("source"))
-  }
 
   val q44Oracle: String =
     """SELECT lang, source, doc_id AS latest_doc_id, n_chars FROM (

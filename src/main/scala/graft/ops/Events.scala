@@ -211,14 +211,25 @@ object Events {
       |ORDER BY 1, 2""".stripMargin
 
   /** Top-k per group over time: for each event_type, the 5 highest-value
-    * events (rank window + filter; deterministic tie-break on event_id). */
+    * events (deterministic tie-break on event_id). event_type is
+    * low-cardinality, so instead of a row_number window (which sorts the
+    * whole stream in |types| tasks) a bounded top-k aggregator reduces each
+    * map partition to ≤ 5 rows per type before the shuffle; the ≤ 5·|types|
+    * winners then broadcast-join the source to recover the payload columns
+    * (user_id, exact value). value is 2-decimal, so the integer-cents score
+    * orders identically to the raw double. */
   def q23TopEventsPerType(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").desc, col("event_id").asc)
-    Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
+    val top5 = udaf(new graft.functions.TopKPairsAggregator(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    val ev = Tables.events(s, dir)
+    val tops = ev.groupBy(col("event_type"))
+      .agg(top5(col("event_id"), graft.Exact.cents(col("value"))).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "sk")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("sk.key").as("event_id"))
+    ev.select(col("event_id"), col("user_id"), col("value"))
+      .join(broadcast(tops), Seq("event_id"))
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"), col("rk"))
       .orderBy(col("event_type"), col("rk"))
   }
 

@@ -87,6 +87,31 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("plan lint: no window over an unreduced input without a high-cardinality partition key") {
+    // VERDICT r2 item 1: a window partitioned only by a low-cardinality key
+    // (order_year ~7, c_mktsegment 5, event_type ~handful) over the raw fact
+    // table funnels everything through |keys| sort tasks — correct today, a
+    // scale-killer at 100×. Every window must either (a) run over a frame an
+    // Aggregate has already reduced (monthly/daily/bucket/top-k frames), or
+    // (b) partition by a key whose cardinality grows with the data (ids).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val highCardKeys = Set("user_id", "doc_id", "event_id", "launch_id",
+      "o_orderkey", "l_orderkey", "o_custkey", "c_custkey", "vec_id", "query_id", "k")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sf()).queryExecution.optimizedPlan.collect {
+          case w: LWindow =>
+            val reduced = w.child.collectFirst { case _: Aggregate => () }.nonEmpty
+            val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+            if (reduced || keys.exists(highCardKeys)) None
+            else Some(s"$name: window partitioned by [${keys.mkString(",")}] over unreduced input")
+        }.flatten
+      } catch { case _: Throwable => Nil } // streaming queries execute eagerly; skip
+      finally Caches.releaseAll()
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("join hints steer the physical strategy (broadcast / shuffle_hash / merge)") {
     val li = Tables.lineitem(spark, sf()).select(org.apache.spark.sql.functions.col("l_orderkey"))
     val o = Tables.orders(spark, sf()).select(org.apache.spark.sql.functions.col("o_orderkey"))
