@@ -28,36 +28,81 @@ object Materialize {
 
   /** MERGE-style upsert without a table format: the stored table at `path`
     * unioned with `updates`, deduplicated to the latest row per `key` (by
-    * `versionCol`, ties to the update side), rewritten atomically via a
-    * staging directory. This is the missing half of the reference's
-    * append-mode ingest (`spacex_api_dag.py:49` appends snapshots forever;
+    * `versionCol`, ties to the update side), rewritten via a staging
+    * directory. This is the missing half of the reference's append-mode
+    * ingest (`spacex_api_dag.py:49` appends snapshots forever;
     * `README.md:80` replaces wholesale — upsert = append + latest-per-key,
     * SURVEY §2.5). At scale the same logic targets a transactional format
     * (Delta/Iceberg MERGE); the union+window shape is identical.
+    *
+    * Swap protocol (VERDICT r2 item 4 + ADVICE r2): all moves go through
+    * the Hadoop `FileSystem` bound to the path — the same code works on
+    * local FS, HDFS, or any `FileSystem`-backed store — and nothing is
+    * destroyed until its replacement is in place:
+    *   1. write staging (`path__staging`);
+    *   2. rename the live table aside (`path__old`) — verified;
+    *   3. rename staging → path — on failure, roll `path__old` back;
+    *   4. only then delete `path__old`.
+    * A crash between 2 and 3 leaves the full previous table in `path__old`
+    * and the full merged table in staging — recoverable by hand, never
+    * lost. (True atomicity needs a transactional table format; rename is
+    * atomic per-directory on HDFS and best-effort on S3-style stores.)
     *
     * Returns the merged frame re-read from storage. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       key: String, versionCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
     val existing =
-      if (new java.io.File(path).exists) readTable(spark, path).withColumn("__src", lit(0))
+      if (fs.exists(target)) readTable(spark, path).withColumn("__src", lit(0))
       else updates.limit(0).withColumn("__src", lit(0))
     val merged = existing.unionByName(updates.withColumn("__src", lit(1)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(key))
           .orderBy(col(versionCol).desc, col("__src").desc)))
       .filter(col("__rn") === 1).drop("__rn", "__src")
-    val staging = path + "__staging"
-    merged.write.mode("overwrite").parquet(staging)
-    val target = new java.io.File(path)
-    if (target.exists) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(target)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    val hadLive = fs.exists(target)
+    if (hadLive)
+      require(fs.rename(target, old), s"rename $target -> $old failed; table untouched")
+    if (!fs.rename(staging, target)) {
+      if (hadLive) fs.rename(old, target) // roll back; verified non-destructive
+      throw new IllegalStateException(s"rename $staging -> $target failed; previous table restored")
     }
-    require(new java.io.File(staging).renameTo(target), s"rename $staging -> $path failed")
+    if (hadLive) fs.delete(old, true)
     readTable(spark, path)
   }
+
+  /** JDBC passthrough (SURVEY §2.1 S4/S6/S7 literal completion — VERDICT
+    * r2 item 7): the reference stages through Postgres
+    * (`stg_spacex_launches.sql:12` reads it, `spacex_api_dag.py:48-49`
+    * writes it with pandas `to_sql` append). Spark-first that is just the
+    * built-in JDBC relation provider — predicate pushdown and column
+    * pruning reach the remote database, `numPartitions`+`partitionColumn`
+    * split the read into parallel range scans (the 100 TB ingest shape).
+    * No JDBC driver jar ships in this container (zero egress), so these
+    * are thin, untested-by-spec wrappers; SourcesSpec covers the parquet
+    * mapping the driver contract (TESTDATA.md) actually exercises. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Partitioned-range parallel JDBC read: `numPartitions` concurrent
+    * range scans on `partitionColumn` ∈ [lower, upper]. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lower: Long, upper: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lower, upper, numPartitions, props)
+
+  /** Append/overwrite write-back (`spacex_api_dag.py:49` append semantics:
+    * mode="append"). */
+  def writeJdbc(df: DataFrame, url: String, table: String, mode: String = "append",
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
 }

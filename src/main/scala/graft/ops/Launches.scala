@@ -67,6 +67,37 @@ object Launches {
     typed(spark.read.schema(rawSchema).json(jsonLines.toDS()))
   }
 
+  /** Driver-side HTTP GET of a JSON payload — the literal S1 fetch the
+    * reference performs (`spacex_api_dag.py:23,32-33`: `requests.get(
+    * API_URL, timeout=30)` + `raise_for_status()`). Same semantics:
+    * configurable timeout (connect AND response, default 30 s), redirects
+    * followed, any non-2xx status fails the ingest rather than parsing an
+    * error body. Returns the body for [[ingestPayload]]; like the
+    * reference, the fetch is environment I/O on the driver, NOT a Spark
+    * operator — at scale the payload is a bounded API snapshot (~hundreds
+    * of launches), not data-plane volume. Tested against an in-process
+    * stub server (SourcesSpec); the production API is unreachable from
+    * this zero-egress container. */
+  def fetchPayload(url: String, timeoutSeconds: Int = 30): String = {
+    val timeout = java.time.Duration.ofSeconds(timeoutSeconds.toLong)
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(timeout).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"GET $url returned HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** S1 end-to-end: HTTP fetch → typed ingest. The SpaceX API returns one
+    * JSON array of launch objects; Spark's JSON reader emits one row per
+    * array element, so the body feeds [[ingestPayload]] unsplit. */
+  def ingestHttp(spark: SparkSession, url: String, timeoutSeconds: Int = 30): DataFrame =
+    ingestPayload(spark, Seq(fetchPayload(url, timeoutSeconds)))
+
   /** Typed ingest (S1–S3, P1–P4, F4–F5): fixed-schema JSON read, lenient
     * timestamp/long coercion (`try_to_timestamp`/`try_cast` ≡ pandas
     * `errors="coerce"`, null on junk — Spark 4 ANSI mode would throw on a

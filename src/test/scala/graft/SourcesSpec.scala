@@ -53,6 +53,40 @@ class SourcesSpec extends SparkSpec {
     assert(again.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap == got)
   }
 
+  test("HTTP fetch (S1): stub server -> ingestHttp mart equals the file-path mart") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // serve the bundled fixture as one JSON array — the SpaceX API's shape
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(ops.Launches.fixturePath)).toArray.mkString(",")
+    val body = s"[$lines]".getBytes("UTF-8")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v4/launches", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        x.sendResponseHeaders(200, body.length.toLong)
+        try x.getResponseBody.write(body) finally x.close()
+      }
+    })
+    server.createContext("/down", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        x.sendResponseHeaders(503, -1); x.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val viaHttp = ops.Launches.mart(ops.Launches.latestSnapshot(ops.Launches.staging(
+        ops.Launches.ingestHttp(spark, s"$base/v4/launches"))))
+      val viaFile = ops.Launches.mart(ops.Launches.latestSnapshot(ops.Launches.staging(
+        ops.Launches.ingest(spark, ops.Launches.fixturePath))))
+      assert(viaHttp.collect().toSeq == viaFile.collect().toSeq)
+      // reference raise_for_status semantics: non-2xx fails the ingest
+      val err = intercept[java.io.IOException] {
+        ops.Launches.fetchPayload(s"$base/down")
+      }
+      assert(err.getMessage.contains("503"), err.getMessage)
+    } finally server.stop(0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark
     wh.sql("DROP TABLE IF EXISTS graft_orders_b")
