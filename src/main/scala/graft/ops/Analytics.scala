@@ -491,7 +491,9 @@ object Analytics {
     // ExistenceJoin that only plans as BroadcastNestedLoopJoin; as a WHERE
     // predicate (with the set proven non-null) Spark plans the optimized
     // null-aware broadcast hash anti join (plan lint enforces no BNLJ).
-    s.sql(
+    // views resolved at analysis time → dropped immediately (ADVICE r2:
+    // unbounded catalog growth on long-lived sessions)
+    try s.sql(
       s"""WITH base AS (
         |  SELECT o_orderpriority,
         |    count(*) AS n_orders,
@@ -509,6 +511,7 @@ object Analytics {
         |  coalesce(n_not_machinery, 0) AS n_not_machinery
         |FROM base LEFT JOIN nm ON base.o_orderpriority = nm.o_orderpriority
         |ORDER BY base.o_orderpriority""".stripMargin)
+    finally { s.catalog.dropTempView(ov); s.catalog.dropTempView(cv) }
   }
 
   val q81Oracle: String =
@@ -768,7 +771,8 @@ object Analytics {
     Tables.region(s, dir).createOrReplaceTempView(rv)
     Tables.nation(s, dir).createOrReplaceTempView(nv)
     Tables.customer(s, dir).createOrReplaceTempView(cv)
-    s.sql(
+    // views resolved at analysis time → dropped immediately (ADVICE r2)
+    try s.sql(
       s"""SELECT r_name, n_name, n_customers
         |FROM $rv r,
         |LATERAL (
@@ -778,6 +782,9 @@ object Analytics {
         |  GROUP BY n_name
         |  ORDER BY n_customers DESC, n_name ASC LIMIT 2) t
         |ORDER BY r_name, n_name""".stripMargin)
+    finally {
+      s.catalog.dropTempView(rv); s.catalog.dropTempView(nv); s.catalog.dropTempView(cv)
+    }
   }
 
   val q90Oracle: String =

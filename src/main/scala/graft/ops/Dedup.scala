@@ -319,11 +319,14 @@ object Dedup {
     out
   }
 
-  val q48Oracle: String = {
-    // q46's pipeline as CTEs, then a recursive transitive-min closure.
+  /** q46's pipeline + the recursive transitive-min closure as CTEs ending
+    * in `labels(id, cluster_rep)` — shared by q48's oracle and the
+    * end-to-end corpus-pipeline oracle (graft.Pipelines.q101Oracle). Must
+    * follow a `WITH RECURSIVE` keyword at the call site. */
+  val clusterLabelCtes: String = {
     val mins = minsSql
     val bandSelects = bandSelectsSql
-    s"""WITH RECURSIVE $hashedShinglesSql,
+    s"""$hashedShinglesSql,
       |sigs AS (
       |  SELECT doc_id,
       |$mins,
@@ -352,13 +355,16 @@ object Dedup {
       |  SELECT DISTINCT u, u FROM edges
       |  UNION
       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
-      |labels AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id),
+      |labels AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
+  }
+
+  val q48Oracle: String =
+    s"""WITH RECURSIVE $clusterLabelCtes,
       |sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1)
       |SELECT id AS doc_id, l.cluster_rep, cluster_size,
       |  CASE WHEN id = l.cluster_rep THEN 1 ELSE 0 END AS is_kept
       |FROM labels l JOIN sizes s ON l.cluster_rep = s.cluster_rep
       |ORDER BY l.cluster_rep, doc_id""".stripMargin
-  }
 
   /** End-to-end dedup materialization — what a training pipeline actually
     * runs: drop exact duplicates (keep the smallest doc_id per content

@@ -530,7 +530,10 @@ object Relational {
     // unique view name per invocation — fixed names race on shared sessions
     val pv = s"graft_part_v${viewSeq.incrementAndGet()}"
     Tables.part(s, dir).createOrReplaceTempView(pv)
-    s.sql(
+    // spark.sql() resolves the view at analysis time, so it can be dropped
+    // as soon as the DataFrame exists (ADVICE r2: long-lived sessions were
+    // accumulating catalog entries without bound).
+    try s.sql(
       s"""SELECT p_brand, count(*) AS n_above_brand_avg,
         |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_above_price
         |FROM $pv p
@@ -539,6 +542,7 @@ object Relational {
         |       FROM $pv i WHERE i.p_brand = p.p_brand)
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin)
+    finally s.catalog.dropTempView(pv)
   }
 
   val q27Oracle: String =
