@@ -33,6 +33,45 @@ class ScaleSpec extends SparkSpec {
       }
   }
 
+  test("planted skew: salting beats the unsalted shuffle join's wall-time") {
+    // 99% of the large side shares ONE key — the celebrity-key shape
+    // saltedEquiJoin exists for. Unsalted, the hot key's 7.9M rows land on
+    // a single reducer; salted over 32 buckets they spread evenly. AQE's
+    // skew-split is disabled (it would mask the effect this test isolates)
+    // and broadcast is off (the small side standing in for a
+    // too-big-to-broadcast dimension). r2 only pinned result-equivalence;
+    // this pins that the salted LAYOUT actually wins under skew.
+    val buckets = 32
+    val n = 8000000L
+    val large = spark.range(n).select(
+      when(col("id") % 100 =!= 0, 0L).otherwise(col("id") % 1000).as("k"),
+      col("id").as("rid"))
+    val small = spark.range(1000).select(col("id").as("k"), (col("id") * 7).as("v"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum("v").as("sv")).head
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val unsalted = large.join(small, Seq("k"))
+      val salted = Skew.saltedEquiJoin(large, small, "k", col("rid"), buckets)
+      assert(run(unsalted) == run(salted)) // correctness + JIT/codegen warmup
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // min-of-2 absorbs this VM's multi-second neighbor stalls; the skew
+      // effect itself is several-x, far above the noise floor
+      val tU = (1 to 2).map(_ => time(run(unsalted))).min
+      val tS = (1 to 2).map(_ => time(run(salted))).min
+      assert(tS < tU,
+        f"salted $tS%.2fs did not beat unsalted $tU%.2fs under 99%% single-key skew")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("partitioned materialization prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mart").toString
     val mart = Tables.orders(spark, sf())
