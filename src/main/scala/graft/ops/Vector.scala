@@ -343,6 +343,146 @@ object Vector {
       |WHERE rk <= 10
       |ORDER BY query_id, rk""".stripMargin
 
+  private val IvfCells = 8
+  private val IvfProbes = 2
+
+  /** IVF-PQ top-k — the production ANN shape (IVF coarse cells + PQ
+    * residual codes + asymmetric-distance lookup), composing q51's inverted
+    * file with q53's product quantizer the way FAISS-style indexes do:
+    *
+    *  1. coarse quantize: every vector joins the 8 broadcast cell centroids
+    *     (deterministic stand-in: vec_id < 8) and keeps its argmin-L2 cell;
+    *  2. encode residuals: `vector − cell centroid` splits into 8×8-dim
+    *     blocks, each argmin-matched to 16 residual centroids (vec_id < 16)
+    *     → 8 one-byte codes per vector;
+    *  3. query: probe the 2 nearest cells; per probed cell build the
+    *     query-residual→centroid distance table (8 blocks × 16 entries);
+    *     candidates are ONLY the vectors assigned to probed cells, scored
+    *     by summing table entries at their codes (ADC) — no raw-vector
+    *     reads at query time.
+    *
+    * All arithmetic is exact fixed-point int64 (`round(x·2²⁴)`), so every
+    * argmin and distance sum is order-independent and engine-identical.
+    * At scale: codes+cell ids are ~9 bytes/vector, the probe is an
+    * equi-join on cell id touching ~nprobe/cells of the corpus, and every
+    * aggregation is partial+final over ≤ Dim rows per vector. */
+  def q102IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val xq = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        expr("j0 div " + PqDims).as("block"),
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq")))
+    val coarse = xq.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("ccid"), col("j"), col("xq").as("cq"))
+    val cdist = xq.join(broadcast(coarse), Seq("j"))
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("cd2"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cd2").asc, col("ccid").asc)
+    val assign = cdist
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"))
+    val resid = xq.join(assign, Seq("vec_id"))
+      .join(broadcast(coarse), Seq("ccid", "j"))
+      .select(col("vec_id"), col("ccid"), col("j"), col("block"),
+        (col("xq") - col("cq")).as("rq"))
+    val pcent = resid.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("pcid"), col("j"), col("block").as("pblock"), col("rq").as("pq"))
+    val bd = resid.join(broadcast(pcent),
+        resid("j") === pcent("j") && resid("block") === pcent("pblock"))
+      .groupBy(col("vec_id"), col("block"), col("pcid"))
+      .agg(sum((col("rq") - col("pq")) * (col("rq") - col("pq"))).as("d2"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("d2").asc, col("pcid").asc)
+    val codes = bd
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("pcid").as("code"))
+    val probes = cdist.filter(col("vec_id") % 100 === 0)
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("ccid"))
+    val qresid = xq.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("j"), col("block"), col("xq"))
+      .join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(coarse), Seq("ccid", "j"))
+      .select(col("query_id"), col("ccid"), col("j"), col("block"),
+        (col("xq") - col("cq")).as("rq"))
+    val lut = qresid.join(broadcast(pcent),
+        qresid("j") === pcent("j") && qresid("block") === pcent("pblock"))
+      .groupBy(col("query_id"), col("ccid"), col("block"), col("pcid"))
+      .agg(sum((col("rq") - col("pq")) * (col("rq") - col("pq"))).as("qd2"))
+    val lutR = lut.select(col("query_id"), col("ccid").as("l_ccid"),
+      col("block").as("l_block"), col("pcid").as("l_pcid"), col("qd2"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    assign.join(codes, Seq("vec_id"))
+      .join(broadcast(lutR),
+        col("ccid") === col("l_ccid") && col("block") === col("l_block") &&
+          col("code") === col("l_pcid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd2")).as("approx_d2"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("approx_d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q102Oracle: String =
+    s"""WITH xq AS (
+      |  SELECT vec_id, j,
+      |    CAST((j - 1) // $PqDims AS BIGINT) AS block,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $FixedPoint) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |coarse AS (
+      |  SELECT vec_id AS ccid, j, xq AS cq FROM xq WHERE vec_id < $IvfCells),
+      |cdist AS (
+      |  SELECT x.vec_id, c.ccid, sum((x.xq - c.cq) * (x.xq - c.cq)) AS cd2
+      |  FROM xq x JOIN coarse c ON x.j = c.j
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, ccid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd2 ASC, ccid ASC) AS rn
+      |    FROM cdist) t WHERE rn = 1),
+      |resid AS (
+      |  SELECT x.vec_id, a.ccid, x.j, x.block, x.xq - c.cq AS rq
+      |  FROM xq x JOIN assign a ON x.vec_id = a.vec_id
+      |  JOIN coarse c ON a.ccid = c.ccid AND x.j = c.j),
+      |pcent AS (
+      |  SELECT vec_id AS pcid, j, block AS pblock, rq AS pq FROM resid WHERE vec_id < $PqK),
+      |bd AS (
+      |  SELECT r.vec_id, r.block, p.pcid, sum((r.rq - p.pq) * (r.rq - p.pq)) AS d2
+      |  FROM resid r JOIN pcent p ON r.j = p.j AND r.block = p.pblock
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, block, pcid AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2 ASC, pcid ASC) AS rn
+      |    FROM bd) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, ccid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd2 ASC, ccid ASC) AS rn
+      |    FROM cdist WHERE vec_id % 100 = 0) t WHERE rn <= $IvfProbes),
+      |qresid AS (
+      |  SELECT x.vec_id AS query_id, p.ccid, x.j, x.block, x.xq - c.cq AS rq
+      |  FROM xq x JOIN probes p ON x.vec_id = p.query_id
+      |  JOIN coarse c ON p.ccid = c.ccid AND x.j = c.j
+      |  WHERE x.vec_id % 100 = 0),
+      |lut AS (
+      |  SELECT query_id, q.ccid, q.block, p.pcid, sum((q.rq - p.pq) * (q.rq - p.pq)) AS qd2
+      |  FROM qresid q JOIN pcent p ON q.j = p.j AND q.block = p.pblock
+      |  GROUP BY 1, 2, 3, 4),
+      |approx AS (
+      |  SELECT l.query_id, a.vec_id, CAST(sum(l.qd2) AS BIGINT) AS approx_d2
+      |  FROM assign a
+      |  JOIN codes k ON a.vec_id = k.vec_id
+      |  JOIN lut l ON a.ccid = l.ccid AND k.block = l.block AND k.code = l.pcid
+      |  WHERE l.query_id <> a.vec_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+      |  FROM approx)
+      |SELECT query_id, rk, vec_id, approx_d2 FROM ranked
+      |WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin
+
   /** Per-cluster centroid similarity / outlier scoring joined across
     * modalities (SURVEY §2.11 multimodal + similarity rows): the label
     * centroid is an exact fixed-point integer mean-direction (per-dimension
@@ -404,6 +544,7 @@ object Vector {
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_pq_topk"            -> (q53PqTopk _),
     "q100_centroid_outliers" -> (q100CentroidOutliers _),
+    "q102_ivfpq_topk"        -> (q102IvfPqTopk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,5 +553,6 @@ object Vector {
     "q52_embedding_near_dup" -> q52Oracle,
     "q53_pq_topk"            -> q53Oracle,
     "q100_centroid_outliers" -> q100Oracle,
+    "q102_ivfpq_topk"        -> q102Oracle,
   )
 }

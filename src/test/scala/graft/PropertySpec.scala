@@ -77,6 +77,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPairsAggregator merge is associative/commutative and equals sort-take on arbitrary inputs") {
+    import graft.functions.{ScoredKey, TopKPairsAggregator}
+    val agg = new TopKPairsAggregator(4)
+    val skGen = Gen.listOfN(25, for {
+      key <- Gen.chooseNum(1L, 50L)
+      score <- Gen.chooseNum(-8L, 8L) // ties + the negated-score (ascending) regime
+    } yield ScoredKey(key, score))
+    forAllSampled(Gen.zip(skGen, skGen, skGen), 40) { case (xs, ys, zs) =>
+      def fold(l: Seq[ScoredKey]) = l.foldLeft(agg.zero)(agg.reduce)
+      val (a, b, c) = (fold(xs), fold(ys), fold(zs))
+      assert(agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)))
+      assert(agg.merge(a, b) == agg.merge(b, a))
+      val expected = (xs ++ ys ++ zs).sortBy(s => (-s.score, s.key)).take(4)
+      assert(agg.finish(agg.merge(agg.merge(a, b), c)) == expected)
+    }
+  }
+
+  test("q55 ntile arithmetic equals the real ntile window for every partition size") {
+    // the scalable q55 reconstructs ntile(4) from (position, partition
+    // count) instead of running the window over the fact table — the
+    // tile-size rule must match Spark's for EVERY n, including n < 4 and
+    // every n mod 4 residue
+    import spark.implicits._
+    val rows = for { n <- 1 to 60; p <- 1 to n } yield (n.toLong, p.toLong)
+    val df = rows.toDF("n", "p")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("n")).orderBy(col("p"))
+    val base = expr("n div 4")
+    val rem = col("n") % 4
+    val boundary = rem * (base + 1)
+    val formula = when(col("p") <= boundary,
+        ceil(col("p").cast("double") / (base + 1).cast("double")))
+      .otherwise(rem + ceil((col("p") - boundary).cast("double") /
+        greatest(base, lit(1L)).cast("double")))
+    val bad = df.withColumn("nt", ntile(4).over(w).cast("long"))
+      .withColumn("f", formula.cast("long"))
+      .filter(col("nt") =!= col("f"))
+    assert(bad.isEmpty, bad.collect().take(5).mkString(","))
+  }
+
   test("scala UDF surface: registered UDF matches the builtin formulation") {
     // SURVEY §2.11 UDF row: the engine prefers builtins, but the register
     // path must work for user extension points.
