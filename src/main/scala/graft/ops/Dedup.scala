@@ -40,16 +40,18 @@ object Dedup {
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(col("lang"), col("source"))
-      .agg(max(struct(col("doc_id"), col("n_chars"))).as("mx"))
-      .select(col("lang"), col("source"),
-        col("mx.doc_id").as("latest_doc_id"), col("mx.n_chars").as("n_chars"))
+      // max + max_by (not max(struct)): struct aggregation falls back to
+      // per-partition SortAggregate; these stay in ObjectHashAggregate
+      .agg(max(col("doc_id")).as("latest_doc_id"),
+        max_by(col("n_chars"), col("doc_id")).as("n_chars"))
+      .select(col("lang"), col("source"), col("latest_doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("source"))
 
   val q44Oracle: String =
-    """SELECT lang, source, doc_id AS latest_doc_id, n_chars FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id DESC) AS rn
-      |  FROM documents) t
-      |WHERE rn = 1
+    """SELECT lang, source, max(doc_id) AS latest_doc_id,
+      |  arg_max(n_chars, doc_id) AS n_chars
+      |FROM documents
+      |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
   /** Exact duplicate detection: group by content hash. Emits corpus-level

@@ -108,13 +108,79 @@ object Streaming {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Stream-stream interval join (SURVEY §2.10 — the remaining streaming
+    * join kind): the signup stream inner-joins the purchase stream on
+    * user_id with an event-time bound (purchase within 1 hour of signup).
+    * Both sides are watermarked and the join condition bounds event time in
+    * both directions, so each side's state store evicts rows once the other
+    * side's watermark passes — bounded state, the production stream-stream
+    * shape. Inner-join matches emit immediately (append mode), making the
+    * bounded run deterministic; the per-user_id%10 summary over the sink is
+    * oracle-checked at exact microsecond precision against the identical
+    * batch interval join. */
+  def q103StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    val name = s"graft_stream_ss_${counter.incrementAndGet()}"
+    def src: DataFrame = {
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    }
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .groupBy((col("s_user") % 10).as("user_mod10"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("s_user")).as("n_users"),
+        sum(expr("unix_micros(p_ts) - unix_micros(s_ts)")).as("sum_gap_us"),
+        (sum(graft.Exact.cents(col("value"))).cast("double") / 100.0).as("sum_purchase"))
+      .orderBy(col("user_mod10"))
+  }
+
+  val q103Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |s AS (SELECT user_id AS s_user, ts_us AS s_us FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id AS p_user, ts_us AS p_us, value FROM e WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT * FROM s JOIN p ON s_user = p_user
+      |    AND p_us >= s_us AND p_us <= s_us + 3600000000)
+      |SELECT CAST(s_user % 10 AS BIGINT) AS user_mod10,
+      |  count(*) AS n_pairs,
+      |  count(DISTINCT s_user) AS n_users,
+      |  CAST(sum(p_us - s_us) AS BIGINT) AS sum_gap_us,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_purchase
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_streaming_hourly" -> (q24StreamingHourly _),
     "q77_stream_static_join" -> (q77StreamStaticJoin _),
+    "q103_stream_stream_join" -> (q103StreamStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "q24_streaming_hourly" -> q24Oracle,
     "q77_stream_static_join" -> q77Oracle,
+    "q103_stream_stream_join" -> q103Oracle,
   )
 }
