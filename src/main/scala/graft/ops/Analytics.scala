@@ -416,7 +416,9 @@ object Analytics {
         wYear.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)).as("below_bucket"),
       sum(col("c")).over(wYear).as("n"))
-    val samples = base.filter(col("o_orderkey") % 997 === 0)
+    // persisted: the tiny sample frame feeds the within-bucket join's build
+    // side, the cum join, and the output — one pushed-filter scan, not three
+    val samples = graft.Caches.persist(base.filter(col("o_orderkey") % 997 === 0))
     val sKeys = samples.select(col("order_year").as("s_year"), col("bucket").as("s_bucket"),
       col("cents").as("s_cents"), col("o_orderkey").as("s_key"))
     val within = base.join(broadcast(sKeys),
