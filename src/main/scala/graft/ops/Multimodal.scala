@@ -128,6 +128,64 @@ object Multimodal {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  private val AHashBits = 64
+
+  /** Perceptual average-hash (aHash) near-dup detection over payload bytes —
+    * the standard image near-dup detector, codec-free: sample 64 evenly
+    * spaced "pixels" (byte values at i·len/64), set bit i iff the pixel
+    * exceeds the payload mean, bucket by the 64-bit hash. On real images
+    * the samples are decoded luma pixels; the sampling, thresholding,
+    * hashing, and bucketing — the parts that run at corpus scale — are
+    * identical here and exercised exactly.
+    *
+    * The mean threshold is exact rational arithmetic (`64·vᵢ > Σv`, no
+    * division) and the hash assembles via `bit_or` of shifted bits (not a
+    * sum — bit 63 is the sign bit, and DuckDB would widen a SUM to
+    * HUGEINT), so both engines produce the identical signed int64. Two
+    * hash-partitioned aggregations + one join back — no pairwise work;
+    * exact-hash buckets ARE the near-dup groups (aHash's design point:
+    * small edits rarely flip a mean-threshold bit). */
+  def q104AhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val px = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("i", explode(sequence(lit(0L), lit(AHashBits - 1L))))
+      .select(col("doc_id"), col("i"),
+        expr("CAST(ascii(substring(text, CAST(i * length(text) div 64 AS INT) + 1, 1)) AS BIGINT)")
+          .as("v"))
+    val tot = px.groupBy(col("doc_id")).agg(sum(col("v")).as("sv"))
+    val hash = px.join(tot, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(bit_or(
+        when(col("v") * AHashBits > col("sv"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(lit(0L)))
+        .as("ahash64"))
+    val buckets = hash.groupBy(col("ahash64")).agg(count(lit(1)).as("n_same_hash"))
+    hash.join(buckets, Seq("ahash64"))
+      .select(col("doc_id"), col("ahash64"), col("n_same_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q104Oracle: String =
+    s"""WITH px AS (
+      |  SELECT doc_id, i,
+      |    CAST(ascii(substr(text, CAST(i * length(text) // $AHashBits AS INT) + 1, 1)) AS BIGINT) AS v
+      |  FROM documents, range(0, $AHashBits) t(i)),
+      |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sv FROM px GROUP BY 1),
+      |h AS (
+      |  SELECT px.doc_id,
+      |    bit_or(CASE WHEN v * $AHashBits > sv
+      |      -- bit 63: DuckDB overflow-checks 1<<63; (1<<62)*-2 is exactly
+      |      -- the sign bit (Long.MinValue), matching Spark shiftleft(1,63)
+      |      THEN CASE WHEN i = 63 THEN (1::BIGINT << 62) * -2
+      |                ELSE (1::BIGINT << CAST(i AS INT)) END
+      |      ELSE 0::BIGINT END) AS ahash64
+      |  FROM px JOIN tot ON px.doc_id = tot.doc_id
+      |  GROUP BY 1),
+      |b AS (SELECT ahash64, count(*) AS n_same_hash FROM h GROUP BY 1)
+      |SELECT doc_id, ahash64, n_same_hash
+      |FROM h JOIN b USING (ahash64)
+      |ORDER BY doc_id""".stripMargin
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Typed batch decode via `mapPartitions` — the Scala analogue of a
@@ -165,11 +223,13 @@ object Multimodal {
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_multimodal_stats"  -> (q61MultimodalStats _),
     "q82_multimodal_resize" -> (q82MultimodalResize _),
+    "q104_ahash_neardup"    -> (q104AhashNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
     "q60_multimodal_decode" -> q60Oracle,
     "q61_multimodal_stats"  -> q61Oracle,
     "q82_multimodal_resize" -> q82Oracle,
+    "q104_ahash_neardup"    -> q104Oracle,
   )
 }
