@@ -383,7 +383,65 @@ object Text {
       |WHERE doc_id % 29 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Repetition-quality signals (the Gopher-style repetition filters every
+    * pretraining corpus pass runs): per document, the distinct-token ratio,
+    * the most-frequent-token fraction, and the most-frequent-bigram
+    * fraction — high values of the "top" fractions flag boilerplate /
+    * degenerate repetition. Bigrams via posexplode + a per-doc lead window
+    * (doc_id partitions — high-cardinality, and interpreted array-lambda
+    * HOFs stay off the hot path); two hash-partitioned double aggregations,
+    * one left join (docs with <2 tokens carry NULL bigram stats in both
+    * engines). All fractions are int/int double divisions — bit-exact. */
+  def q105RepetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val ts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+    val bs = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg"))
+    ts.join(bs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+        col("n_bigrams"),
+        (col("top_bg").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q105Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ts AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+      |    CAST(max(c) AS BIGINT) AS top_tok
+      |  FROM tc GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_bg
+      |  FROM bc GROUP BY 1)
+      |SELECT ts.doc_id, n_tokens,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+      |  CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+      |  n_bigrams,
+      |  CAST(top_bg AS DOUBLE) / n_bigrams AS top_bigram_frac
+      |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+      |ORDER BY ts.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_repetition_signals" -> (q105RepetitionSignals _),
     "q40_token_freq"  -> (q40TokenFreq _),
     "q41_doc_quality" -> (q41DocQuality _),
     "q42_lang_id"     -> (q42LangId _),
@@ -396,6 +454,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_repetition_signals" -> q105Oracle,
     "q40_token_freq"  -> q40Oracle,
     "q41_doc_quality" -> q41Oracle,
     "q42_lang_id"     -> q42Oracle,
