@@ -149,7 +149,13 @@ class OperatorsSpec extends SparkSpec {
     }.toMap
     val results = Await.result(
       Future.sequence(names.map { n =>
-        Future(n -> SparkEntry.queries(n)(spark, sf()).collect().toSeq)
+        Future {
+          // the registry is thread-local (ADVICE r2): each tenant releases
+          // its own registrations after its action, on its own thread —
+          // which cannot unpersist a concurrent tenant's in-flight caches
+          try n -> SparkEntry.queries(n)(spark, sf()).collect().toSeq
+          finally Caches.releaseAll()
+        }
       }), 5.minutes)
     results.foreach { case (n, rows) => assert(rows == expected(n), n) }
     Caches.releaseAll()
