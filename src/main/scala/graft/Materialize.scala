@@ -26,6 +26,27 @@ object Materialize {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incremental materialization (the dbt `materialized='incremental'`
+    * mode the reference's table/view pair lacks): rewrite ONLY the
+    * hive-partitions present in `updates`, leaving every other partition's
+    * files untouched — Spark's dynamic partition-overwrite. At 100 TB this
+    * is the nightly-mart pattern: a day's re-ingest replaces one date
+    * partition instead of CTAS-ing the table. The conf is set per-call and
+    * restored (static overwrite — replace the whole table — stays the
+    * default for [[asPartitionedTable]]). */
+  def overwritePartitions(updates: DataFrame, path: String, cols: String*): Unit = {
+    require(cols.nonEmpty, "overwritePartitions needs at least one partition column")
+    val spark = updates.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** MERGE-style upsert without a table format: the stored table at `path`
     * unioned with `updates`, deduplicated to the latest row per `key` (by
     * `versionCol`, ties to the update side), rewritten via a staging

@@ -53,6 +53,25 @@ class SourcesSpec extends SparkSpec {
     assert(again.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap == got)
   }
 
+  test("incremental materialization overwrites only the touched partitions") {
+    import spark.implicits._
+    val dir = tmp("graft-incr") + "/t"
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b")).toDF("id", "d", "v")
+    Materialize.asPartitionedTable(day1, dir, "d")
+    // re-materialize ONLY 2024-01-02 with new content + append 2024-01-03
+    val delta = Seq((3L, "2024-01-02", "b2"), (4L, "2024-01-03", "c")).toDF("id", "d", "v")
+    Materialize.overwritePartitions(delta, dir, "d")
+    // partition values read back type-inferred (DATE here) — compare as text
+    val got = Materialize.readTable(spark, dir)
+      .collect().map(r =>
+        (r.getAs[Long]("id"), String.valueOf(r.getAs[Any]("d")), r.getAs[String]("v"))).toSet
+    // 01-01 untouched, 01-02 replaced (id 2 gone), 01-03 added
+    assert(got == Set((1L, "2024-01-01", "a"), (3L, "2024-01-02", "b2"), (4L, "2024-01-03", "c")))
+    // static-overwrite default restored: a plain partitioned overwrite replaces everything
+    Materialize.asPartitionedTable(day1, dir, "d")
+    assert(Materialize.readTable(spark, dir).count() == 2)
+  }
+
   test("HTTP fetch (S1): stub server -> ingestHttp mart equals the file-path mart") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     // serve the bundled fixture as one JSON array — the SpaceX API's shape
