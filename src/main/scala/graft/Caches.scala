@@ -58,17 +58,23 @@ object Caches {
     * reads or small results, never a plan over the released caches. */
   def scoped[T](f: => T): T = {
     val buf = live.get
-    val mark = buf.length
+    val markAtEntry = buf.length
     try f
     finally {
+      // a releaseAll() inside f may have already shrunk the buffer below
+      // the entry mark — clamp so the finally never throws over f's result
+      val mark = math.min(markAtEntry, buf.length)
       buf.drop(mark).reverseIterator.foreach(r => try r() catch { case _: Throwable => () })
       buf.remove(mark, buf.length - mark)
     }
   }
 
-  /** Release everything registered on this thread since the last call. Safe
-    * to call while nothing is registered; tolerates already-released
-    * entries. Harness-facing: Verify/Bench/tests call it between queries. */
+  /** Release everything registered ON THE CALLING THREAD since the last
+    * call — a call from any other thread is a no-op for this thread's
+    * entries (the price of the per-tenant scoping above; each tenant
+    * releases on the thread that built its query, as Verify/Bench/tests
+    * do). Safe to call while nothing is registered; tolerates
+    * already-released entries. */
   def releaseAll(): Unit = {
     val buf = live.get
     buf.foreach(f => try f() catch { case _: Throwable => () })

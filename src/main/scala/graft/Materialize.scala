@@ -31,20 +31,15 @@ object Materialize {
     * hive-partitions present in `updates`, leaving every other partition's
     * files untouched — Spark's dynamic partition-overwrite. At 100 TB this
     * is the nightly-mart pattern: a day's re-ingest replaces one date
-    * partition instead of CTAS-ing the table. The conf is set per-call and
-    * restored (static overwrite — replace the whole table — stays the
-    * default for [[asPartitionedTable]]). */
+    * partition instead of CTAS-ing the table. The mode is a PER-WRITE
+    * DataFrameWriter option (it overrides the session conf), so a
+    * concurrent tenant's plain static overwrite on the shared session is
+    * unaffected — no session-wide conf flip. */
   def overwritePartitions(updates: DataFrame, path: String, cols: String*): Unit = {
     require(cols.nonEmpty, "overwritePartitions needs at least one partition column")
-    val spark = updates.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try updates.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    updates.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
   }
 
   /** MERGE-style upsert without a table format: the stored table at `path`
@@ -77,6 +72,14 @@ object Materialize {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    // Crash recovery BEFORE anything destructive: a prior run that died
+    // between step 2 and 3 left the only live copy in `path__old` — restore
+    // it rather than (as a naive rerun would) treating the table as absent
+    // and deleting the survivor. `path__old` alongside a live target means
+    // the prior run died after step 3 — then it really is garbage.
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target), s"crash recovery rename $old -> $target failed")
     val existing =
       if (fs.exists(target)) readTable(spark, path).withColumn("__src", lit(0))
       else updates.limit(0).withColumn("__src", lit(0))
@@ -86,9 +89,8 @@ object Materialize {
           .orderBy(col(versionCol).desc, col("__src").desc)))
       .filter(col("__rn") === 1).drop("__rn", "__src")
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
     merged.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a post-install crash
     val hadLive = fs.exists(target)
     if (hadLive)
       require(fs.rename(target, old), s"rename $target -> $old failed; table untouched")

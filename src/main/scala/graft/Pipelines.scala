@@ -76,12 +76,20 @@ object Pipelines {
     * run — exact dedup → near-dup cluster drop → quality gate → chunk →
     * deterministic split — surfaced as a query whose per-split summary IS
     * DuckDB-expressible, so the one end-to-end artifact carries a real
-    * hash-match row instead of only spec coverage. Writes to a fresh temp
-    * dir per invocation (the summary plan reads the written parquet). */
-  def q101CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
-    prepareCorpus(s, dir, outDir)
+    * hash-match row instead of only spec coverage.
+    *
+    * Output goes to ONE temp dir per thread, reused (every write inside
+    * prepareCorpus is mode=overwrite): repeated harness invocations
+    * (Bench runs this 4×) rewrite in place instead of leaving a corpus
+    * copy per call on /tmp. Thread-scoped so concurrent tenants never
+    * share a directory. */
+  private val pipelineDir = new ThreadLocal[String] {
+    override def initialValue(): String =
+      java.nio.file.Files.createTempDirectory("graft-corpus").toString
   }
+
+  def q101CorpusPipeline(s: SparkSession, dir: String): DataFrame =
+    prepareCorpus(s, dir, pipelineDir.get)
 
   /** q48's recursive-CTE dedup pipeline + the quality/chunk/split stages as
     * SQL — the same constants as [[prepareCorpus]] (minTokens=10,

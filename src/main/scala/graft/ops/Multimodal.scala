@@ -146,12 +146,14 @@ object Multimodal {
     * exact-hash buckets ARE the near-dup groups (aHash's design point:
     * small edits rarely flip a mean-threshold bit). */
   def q104AhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val px = Tables.documents(s, dir)
+    // persisted: the mean aggregate and the threshold join both consume the
+    // 64×-exploded frame — one scan+explode (released by the harness)
+    val px = graft.Caches.persist(Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("i", explode(sequence(lit(0L), lit(AHashBits - 1L))))
       .select(col("doc_id"), col("i"),
         expr("CAST(ascii(substring(text, CAST(i * length(text) div 64 AS INT) + 1, 1)) AS BIGINT)")
-          .as("v"))
+          .as("v")))
     val tot = px.groupBy(col("doc_id")).agg(sum(col("v")).as("sv"))
     val hash = px.join(tot, Seq("doc_id"))
       .groupBy(col("doc_id"))

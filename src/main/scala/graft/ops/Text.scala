@@ -393,8 +393,10 @@ object Text {
     * one left join (docs with <2 tokens carry NULL bigram stats in both
     * engines). All fractions are int/int double divisions — bit-exact. */
   def q105RepetitionSignals(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+    // persisted: token-stats and bigram branches both consume the exploded
+    // stream — one tokenize+posexplode scan, not two (the q49 pattern)
+    val toks = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     val ts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))

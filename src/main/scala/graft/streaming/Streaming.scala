@@ -23,6 +23,20 @@ object Streaming {
 
   private val counter = new AtomicInteger(0)
 
+  /** Collect the bounded run's memory-sink table, DROP the sink view, and
+    * return the rows as a local DataFrame with the original schema. Each
+    * invocation otherwise leaks a driver-heap result table plus a catalog
+    * entry forever — the same unbounded-session growth class as the
+    * q27/q81/q90 temp views (ADVICE r2). Safe here because every sink
+    * holds a bounded AGGREGATED result (thousands of rows), not the
+    * stream. */
+  private def drainSink(s: SparkSession, name: String): DataFrame = {
+    val t = s.table(name)
+    val (rows, schema) = (t.collect(), t.schema)
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Bounded streaming run of the hourly event aggregation (complete mode →
     * in-memory table, unique per invocation). */
   def q24StreamingHourly(s: SparkSession, dir: String): DataFrame = {
@@ -51,7 +65,7 @@ object Streaming {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    drainSink(s, name)
       .select(
         expr("unix_seconds(window.start)").as("hour_epoch_s"),
         col("event_type"),
@@ -96,7 +110,7 @@ object Streaming {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    drainSink(s, name)
       .select(col("c_mktsegment"), col("n_events"),
         (col("sum_value_cents").cast("double") / lit(100.0)).as("sum_value"))
       .orderBy(col("c_mktsegment"))
@@ -154,7 +168,7 @@ object Streaming {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name)
+    drainSink(s, name)
       .groupBy((col("s_user") % 10).as("user_mod10"))
       .agg(
         count(lit(1)).as("n_pairs"),

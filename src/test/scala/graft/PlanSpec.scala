@@ -97,16 +97,33 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val highCardKeys = Set("user_id", "doc_id", "event_id", "launch_id",
       "o_orderkey", "l_orderkey", "o_custkey", "c_custkey", "vec_id", "query_id", "k")
+    // "reduced" = an Aggregate on the window's UNARY input chain. Stopping
+    // at the first multi-child node matters: an Aggregate on a JOINED side
+    // branch doesn't shrink the window's input — the window still sorts
+    // the join output, which must then carry a scaling partition key.
+    def reducedBelow(w: LWindow): Boolean = {
+      var n = w.child
+      var found = false
+      while (!found && n.children.size == 1) {
+        found = n.isInstanceOf[Aggregate]
+        n = n.children.head
+      }
+      found
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         fn(spark, sf()).queryExecution.optimizedPlan.collect {
           case w: LWindow =>
-            val reduced = w.child.collectFirst { case _: Aggregate => () }.nonEmpty
             val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
-            if (reduced || keys.exists(highCardKeys)) None
+            if (reducedBelow(w) || keys.exists(highCardKeys)) None
             else Some(s"$name: window partitioned by [${keys.mkString(",")}] over unreduced input")
         }.flatten
-      } catch { case _: Throwable => Nil } // streaming queries execute eagerly; skip
+      } catch {
+        // loud, not silent: a query that fails to BUILD would otherwise
+        // pass the lint forever
+        case e: Throwable =>
+          Seq(s"$name: LINT-ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       finally Caches.releaseAll()
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

@@ -60,10 +60,21 @@ class ScaleSpec extends SparkSpec {
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      // min-of-2 absorbs this VM's multi-second neighbor stalls; the skew
+      // deterministic layout check first: salting must actually spread the
+      // hot key — the largest (key, salt) group shrinks ~buckets× vs the
+      // largest (key) group (this holds regardless of host timing noise)
+      val hotPlain = large.groupBy(col("k")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val hotSalted = large
+        .withColumn("__salt", pmod(hash(col("rid")), lit(buckets)))
+        .groupBy(col("k"), col("__salt")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(hotSalted * (buckets / 2) < hotPlain,
+        s"salt spread too weak: hot plain=$hotPlain, hot salted=$hotSalted")
+      // min-of-3 absorbs this VM's multi-second neighbor stalls; the skew
       // effect itself is several-x, far above the noise floor
-      val tU = (1 to 2).map(_ => time(run(unsalted))).min
-      val tS = (1 to 2).map(_ => time(run(salted))).min
+      val tU = (1 to 3).map(_ => time(run(unsalted))).min
+      val tS = (1 to 3).map(_ => time(run(salted))).min
       assert(tS < tU,
         f"salted $tS%.2fs did not beat unsalted $tU%.2fs under 99%% single-key skew")
     } finally {

@@ -53,6 +53,26 @@ class SourcesSpec extends SparkSpec {
     assert(again.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap == got)
   }
 
+  test("upsert recovers the table from a crash between the two renames") {
+    import spark.implicits._
+    val path = tmp("graft-upsert-crash") + "/t"
+    val v1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+    Materialize.upsert(spark, path, v1, "id", "ver")
+    // simulate a crash after step 2 (live table renamed aside) and before
+    // step 3: the only surviving copy sits in path__old
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // the rerun must RESTORE the survivor (not treat the table as absent
+    // and delete it), then merge normally
+    val v2 = Seq((2L, "b2", 2L)).toDF("id", "v", "ver")
+    val merged = Materialize.upsert(spark, path, v2, "id", "ver")
+    val got = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2"), got.toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("incremental materialization overwrites only the touched partitions") {
     import spark.implicits._
     val dir = tmp("graft-incr") + "/t"
