@@ -161,6 +161,27 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("no persisted RDDs or catalog entries leak across query + releaseAll cycles") {
+    // regression net for the r3 leak class: persisted subplans, checkpoint
+    // RDDs, per-invocation temp views, and streaming memory-sink tables
+    // must all be gone after each query's releaseAll — delta-based so
+    // other suites' shared-session state doesn't pollute the assertion
+    val names = Seq("q46_minhash_lsh_pairs", "q48_dedup_clusters",
+      "q79_distribution_ranks", "q49_tfidf_top_terms", "q27_correlated_subquery",
+      "q24_streaming_hourly", "q103_stream_stream_join",
+      "q104_ahash_neardup", "q105_repetition_signals")
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sf()).count()
+      Caches.releaseAll()
+    }
+    val rddsLeaked = spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+    val viewsLeaked = spark.catalog.listTables().collect().map(_.name).toSet -- viewsBefore
+    assert(rddsLeaked.isEmpty, s"persisted RDDs leaked: $rddsLeaked")
+    assert(viewsLeaked.isEmpty, s"catalog entries leaked: $viewsLeaked")
+  }
+
   test("q48 on a clean corpus (no near-dup pairs) returns empty, no NPE") {
     // ADVICE.md r1: empty labels made agg(sum(lbl)).head.getLong(0) NPE.
     import spark.implicits._
