@@ -192,6 +192,28 @@ object Streaming {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_purchase
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming MERGE sink (§2.10 + §2.1 S6 composed): every micro-batch
+    * upserts into the stored table via [[graft.Materialize.upsert]] —
+    * latest row per `key` wins, exactly-once per batch via the checkpoint.
+    * This is the streaming half of the reference's append-mode ingest
+    * done right: the DAG appends snapshots forever
+    * (`spacex_api_dag.py:49`); this keeps the stored table deduplicated
+    * continuously. At scale the same foreachBatch body targets a
+    * transactional MERGE (Delta/Iceberg); the batch-level shape is
+    * identical. Caller stops the query. */
+  def upsertSink(stream: DataFrame, path: String, key: String, versionCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.Materialize.upsert(batch.sparkSession, path, batch.toDF(), key, versionCol)
+          ()
+        }
+      }
+      .outputMode("update")
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_streaming_hourly" -> (q24StreamingHourly _),
     "q77_stream_static_join" -> (q77StreamStaticJoin _),

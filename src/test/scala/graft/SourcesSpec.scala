@@ -53,6 +53,44 @@ class SourcesSpec extends SparkSpec {
     assert(again.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap == got)
   }
 
+  test("ORC round-trip preserves rows and aggregate values") {
+    val dir = tmp("graft-orc")
+    val o = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    o.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == o.schema)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)), sum(Exact.cents(col("o_totalprice"))),
+        countDistinct(col("o_orderstatus"))).head
+    assert(key(back) == key(o))
+  }
+
+  test("streaming upsert sink: micro-batches MERGE into the stored table, latest version wins") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft-stream-upsert-src")
+    val table = tmp("graft-stream-upsert") + "/t"
+    val ckpt = tmp("graft-stream-upsert-ckpt")
+    val schema = Seq((1L, "x", 1L)).toDF("id", "v", "ver").schema
+    // batch 1: two users at version 1
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+      .write.parquet(srcDir.resolve("b1").toString)
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString + "/*")
+    val q = streaming.Streaming.upsertSink(stream, table, "id", "ver", ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2 arrives later: id=2 updated, id=3 new
+      Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "ver")
+        .write.parquet(srcDir.resolve("b2").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Materialize.readTable(spark, table)
+      .collect().map(r => r.getAs[Long]("id") -> (r.getAs[String]("v"), r.getAs[Long]("ver"))).toMap
+    assert(got == Map(1L -> ("a", 1L), 2L -> ("b2", 2L), 3L -> ("c", 2L)), got.toString)
+  }
+
   test("upsert recovers the table from a crash between the two renames") {
     import spark.implicits._
     val path = tmp("graft-upsert-crash") + "/t"
