@@ -61,9 +61,11 @@ object Caches {
     val markAtEntry = buf.length
     try f
     finally {
-      // a releaseAll() inside f may have already shrunk the buffer below
-      // the entry mark — clamp so the finally never throws over f's result
-      val mark = math.min(markAtEntry, buf.length)
+      // a releaseAll() inside f clears the buffer, so anything present now
+      // below the entry mark is gone — everything remaining was registered
+      // by f and belongs to this scope. Release from 0 in that case (a
+      // plain clamp would silently leave f's own entries persisted).
+      val mark = if (buf.length < markAtEntry) 0 else markAtEntry
       buf.drop(mark).reverseIterator.foreach(r => try r() catch { case _: Throwable => () })
       buf.remove(mark, buf.length - mark)
     }

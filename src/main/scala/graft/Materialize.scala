@@ -64,9 +64,19 @@ object Materialize {
     * lost. (True atomicity needs a transactional table format; rename is
     * atomic per-directory on HDFS and best-effort on S3-style stores.)
     *
-    * Returns the merged frame re-read from storage. */
+    * Returns the merged frame re-read from storage; [[upsertInPlace]] is
+    * the sink-facing variant that skips the trailing re-read (a per-batch
+    * full-table listing/footer pass a streaming sink would discard). */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       key: String, versionCol: String): DataFrame = {
+    upsertInPlace(spark, path, updates, key, versionCol)
+    readTable(spark, path)
+  }
+
+  /** [[upsert]] without the trailing re-read — for sinks that discard the
+    * returned frame (e.g. [[graft.streaming.Streaming.upsertSink]]). */
+  def upsertInPlace(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -95,11 +105,15 @@ object Materialize {
     if (hadLive)
       require(fs.rename(target, old), s"rename $target -> $old failed; table untouched")
     if (!fs.rename(staging, target)) {
-      if (hadLive) fs.rename(old, target) // roll back; verified non-destructive
-      throw new IllegalStateException(s"rename $staging -> $target failed; previous table restored")
+      // roll back, and VERIFY it — a false "restored" message would invite
+      // an operator to delete path__old, the only live copy
+      val rolledBack = !hadLive || fs.rename(old, target)
+      throw new IllegalStateException(
+        s"rename $staging -> $target failed; previous table " +
+          (if (rolledBack) "restored" else s"NOT restored — recover it from $old"))
     }
     if (hadLive) fs.delete(old, true)
-    readTable(spark, path)
+    ()
   }
 
   /** JDBC passthrough (SURVEY §2.1 S4/S6/S7 literal completion — VERDICT

@@ -63,12 +63,17 @@ object Pipelines {
 
     // explicit schema: an all-filtered (empty) corpus writes no data files,
     // and a schema-less read of the empty partitioned dir cannot infer one
-    s.read.schema(corpus.schema).parquet(s"$outDir/chunks")
+    val summary = s.read.schema(corpus.schema).parquet(s"$outDir/chunks")
       .groupBy(col("split"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_chunks"))
       .orderBy(col("split"))
+    // materialize the |splits|-row summary locally: the returned frame must
+    // stay valid after a later invocation overwrites outDir (q101 reuses
+    // one dir per thread), so it cannot keep a lazy scan over those files
+    val rows = summary.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
     }
   }
 

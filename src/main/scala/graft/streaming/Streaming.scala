@@ -193,23 +193,30 @@ object Streaming {
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Streaming MERGE sink (§2.10 + §2.1 S6 composed): every micro-batch
-    * upserts into the stored table via [[graft.Materialize.upsert]] —
-    * latest row per `key` wins, exactly-once per batch via the checkpoint.
-    * This is the streaming half of the reference's append-mode ingest
-    * done right: the DAG appends snapshots forever
-    * (`spacex_api_dag.py:49`); this keeps the stored table deduplicated
-    * continuously. At scale the same foreachBatch body targets a
-    * transactional MERGE (Delta/Iceberg); the batch-level shape is
-    * identical. Caller stops the query. */
+    * upserts into the stored table via [[graft.Materialize.upsertInPlace]]
+    * — latest row per `key` wins. Delivery is foreachBatch's
+    * AT-LEAST-ONCE (a crash between the upsert's swap and the checkpoint
+    * commit replays the batch); the result stays correct because the
+    * upsert is idempotent — replayed versions resolve to the same
+    * latest-per-key rows. A non-idempotent body would need its own
+    * batchId-based transaction. This is the streaming half of the
+    * reference's append-mode ingest done right: the DAG appends snapshots
+    * forever (`spacex_api_dag.py:49`); this keeps the stored table
+    * deduplicated continuously. At scale the same foreachBatch body
+    * targets a transactional MERGE (Delta/Iceberg); the batch-level shape
+    * is identical. Caller stops the query. */
   def upsertSink(stream: DataFrame, path: String, key: String, versionCol: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          graft.Materialize.upsert(batch.sparkSession, path, batch.toDF(), key, versionCol)
-          ()
-        }
+        // persist: the emptiness probe and the merge's staging write would
+        // otherwise each recompute the batch from the source
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            graft.Materialize.upsertInPlace(batch.sparkSession, path, batch.toDF(), key, versionCol)
+        } finally { batch.unpersist(); () }
       }
       .outputMode("update")
       .start()
