@@ -15,6 +15,10 @@ Test / fork := true
 // forked JVM (this is the default; pinned so it can't silently change).
 Test / testForkedParallel := false
 run / fork := true
+// Forked-run stdout must reach the console RAW: the bench driver parses a
+// JSON line from the stdout tail, and sbt's default LoggedOutput prefixes
+// every line with "[info] " (this broke BENCH_r01–r03 parsing).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

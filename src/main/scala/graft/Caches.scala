@@ -29,17 +29,27 @@ object Caches {
     override def initialValue(): scala.collection.mutable.ArrayBuffer[() => Unit] =
       scala.collection.mutable.ArrayBuffer.empty
   }
+  // global live-entry count across all threads — the observability hook for
+  // the thread-local releaseAll contract (ADVICE r3). Every registered
+  // closure runs exactly once (releaseAll/scoped invoke then discard), so a
+  // plain decrement inside the wrapper is balanced.
+  private val total = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def register(release: () => Unit): Unit = {
+    total.incrementAndGet()
+    live.get += (() => { try release() finally total.decrementAndGet(); () })
+  }
 
   /** `df.persist()` + register for the next [[releaseAll]] on this thread. */
   def persist(df: DataFrame): DataFrame = {
     df.persist()
-    live.get += (() => { df.unpersist(false); () })
+    register(() => { df.unpersist(false); () })
     df
   }
 
   /** Register an already-localCheckpoint()ed frame for release. */
   def trackCheckpoint(df: DataFrame): DataFrame = {
-    live.get += (() => releaseCheckpoint(df))
+    register(() => releaseCheckpoint(df))
     df
   }
 
@@ -55,31 +65,55 @@ object Caches {
     * thread — the self-cleaning wrapper for library entry points (e.g.
     * [[Pipelines.prepareCorpus]]) whose callers may hold their own live
     * caches. Safe because such entry points return either written-storage
-    * reads or small results, never a plan over the released caches. */
+    * reads or small results, never a plan over the released caches.
+    *
+    * Scope membership is tracked by entry IDENTITY (a snapshot of the
+    * closures present at entry), not by a length mark: a `releaseAll()`
+    * inside `f` followed by new registrations would desynchronize any
+    * positional mark (ADVICE r3), whereas an identity snapshot is immune —
+    * whatever survives in the buffer at exit and was NOT present at entry
+    * was registered by `f` and is released here. Nested scopes compose for
+    * the same reason. */
   def scoped[T](f: => T): T = {
     val buf = live.get
-    val markAtEntry = buf.length
+    val atEntry = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[() => Unit, java.lang.Boolean]())
+    buf.foreach(atEntry.add)
     try f
     finally {
-      // a releaseAll() inside f clears the buffer, so anything present now
-      // below the entry mark is gone — everything remaining was registered
-      // by f and belongs to this scope. Release from 0 in that case (a
-      // plain clamp would silently leave f's own entries persisted).
-      val mark = if (buf.length < markAtEntry) 0 else markAtEntry
-      buf.drop(mark).reverseIterator.foreach(r => try r() catch { case _: Throwable => () })
-      buf.remove(mark, buf.length - mark)
+      val (callers, mine) = buf.partition(atEntry.contains)
+      mine.reverseIterator.foreach(r => try r() catch { case scala.util.control.NonFatal(_) => () })
+      buf.clear()
+      buf ++= callers
     }
   }
 
   /** Release everything registered ON THE CALLING THREAD since the last
-    * call — a call from any other thread is a no-op for this thread's
-    * entries (the price of the per-tenant scoping above; each tenant
-    * releases on the thread that built its query, as Verify/Bench/tests
-    * do). Safe to call while nothing is registered; tolerates
+    * call.
+    *
+    * THREAD-LOCAL CONTRACT (public API, not just an implementation note):
+    * a call from any other thread is a NO-OP for this thread's entries —
+    * the price of the per-tenant scoping above. Each tenant must release
+    * on the thread that built its query, as Verify/Bench/tests do. Code
+    * that builds a plan on a pool/worker thread and releases on the main
+    * thread silently leaks: watch [[liveCount]] (global, all threads) vs
+    * [[liveCountHere]] (calling thread) to observe such leaks — a global
+    * count that stays positive after every thread has released is the
+    * signature. Safe to call while nothing is registered; tolerates
     * already-released entries. */
   def releaseAll(): Unit = {
     val buf = live.get
-    buf.foreach(f => try f() catch { case _: Throwable => () })
+    buf.foreach(f => try f() catch { case scala.util.control.NonFatal(_) => () })
     buf.clear()
   }
+
+  /** Live registered entries on the CALLING thread (not yet released). */
+  def liveCountHere: Int = live.get.length
+
+  /** Live registered entries across ALL threads — a leak detector for the
+    * thread-local [[releaseAll]] contract: if this stays positive after
+    * every tenant released, some thread registered entries that no one
+    * can release anymore (e.g. plan built on a worker thread, release
+    * called on main). */
+  def liveCount: Int = total.get()
 }

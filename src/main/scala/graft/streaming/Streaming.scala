@@ -27,9 +27,11 @@ object Streaming {
     * return the rows as a local DataFrame with the original schema. Each
     * invocation otherwise leaks a driver-heap result table plus a catalog
     * entry forever — the same unbounded-session growth class as the
-    * q27/q81/q90 temp views (ADVICE r2). Safe here because every sink
-    * holds a bounded AGGREGATED result (thousands of rows), not the
-    * stream. */
+    * q27/q81/q90 temp views (ADVICE r2). Safe because both memory-sink
+    * users (q24, q77) run complete-mode AGGREGATIONS — the sink holds the
+    * bounded aggregate (thousands of rows), never raw stream rows; q103's
+    * append-mode join uses foreachBatch partials instead of a sink for
+    * exactly that reason. */
   private def drainSink(s: SparkSession, name: String): DataFrame = {
     val t = s.table(name)
     val (rows, schema) = (t.collect(), t.schema)
@@ -129,7 +131,8 @@ object Streaming {
     * both directions, so each side's state store evicts rows once the other
     * side's watermark passes — bounded state, the production stream-stream
     * shape. Inner-join matches emit immediately (append mode), making the
-    * bounded run deterministic; the per-user_id%10 summary over the sink is
+    * bounded run deterministic; the per-user_id%10 summary (reduced to
+    * exact-integer partials per micro-batch via foreachBatch) is
     * oracle-checked at exact microsecond precision against the identical
     * batch interval join.
     *
@@ -141,7 +144,6 @@ object Streaming {
   def q103StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
-    val name = s"graft_stream_ss_${counter.incrementAndGet()}"
     def src: DataFrame = {
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -161,20 +163,41 @@ object Streaming {
       col("s_user") === col("p_user") &&
         col("p_ts") >= col("s_ts") &&
         col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+    // Aggregate per micro-batch (ADVICE r3): a memory sink would hold every
+    // raw joined pair on the driver — O(matched pairs) residency. Spark
+    // can't run this non-windowed aggregation inside the streaming query
+    // after a stream-stream join (append mode would never emit it), so
+    // foreachBatch reduces each batch of pairs to per-(user_mod10, s_user)
+    // partials — driver residency O(distinct users), not O(pairs). All
+    // partial measures are exact integers (counts, µs gaps, cents), so
+    // re-aggregation across batches is order-independent; s_user is kept
+    // as a partial key so the final countDistinct stays exact even when a
+    // user's pairs span micro-batches.
+    def partialAgg(pairs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      pairs.groupBy((col("s_user") % 10).as("user_mod10"), col("s_user"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(expr("unix_micros(p_ts) - unix_micros(s_ts)")).as("sum_gap_us"),
+          sum(graft.Exact.cents(col("value"))).as("sum_purchase_cents"))
+    val partialSchema = partialAgg(
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), joined.schema)).schema
+    val partials = new java.util.ArrayList[org.apache.spark.sql.Row]()
     val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = partialAgg(batch).collect()
+        partials.synchronized { partials.addAll(java.util.Arrays.asList(rows: _*)); () }
+      }
       .outputMode("append")
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    drainSink(s, name)
-      .groupBy((col("s_user") % 10).as("user_mod10"))
+    s.createDataFrame(partials, partialSchema)
+      .groupBy(col("user_mod10"))
       .agg(
-        count(lit(1)).as("n_pairs"),
+        sum(col("n_pairs")).as("n_pairs"),
         countDistinct(col("s_user")).as("n_users"),
-        sum(expr("unix_micros(p_ts) - unix_micros(s_ts)")).as("sum_gap_us"),
-        (sum(graft.Exact.cents(col("value"))).cast("double") / 100.0).as("sum_purchase"))
+        sum(col("sum_gap_us")).as("sum_gap_us"),
+        (sum(col("sum_purchase_cents")).cast("double") / 100.0).as("sum_purchase"))
       .orderBy(col("user_mod10"))
   }
 
