@@ -4,12 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // args: [nameSubstring...] — dev-only subset timing (driver passes no
+    // args = run everything; a filtered run never touches bench_local.json)
+    val only = args
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.exists(n.contains) }
     val spark = GraftSession.local(cpus)
     // JIT/codegen warmup: run every query once at the smallest sf so the
     // timed pass measures plan cost, not JVM warmup (dominates otherwise).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
         finally Caches.releaseAll()
       }
@@ -19,7 +25,7 @@ object Bench {
     // profiled r1). Per-query minimum over 3 passes measures plan cost,
     // which is the thing a scheduling decision at 100 TB would be based on.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case scala.util.control.NonFatal(_) => -1L }
@@ -48,9 +54,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total_sec","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     }
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
-      (line(identity) + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => () } // stdout still carries the short line
+    if (only.isEmpty) // a subset run must not clobber the full-run artifact
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
+        (line(identity) + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () } // stdout still carries the short line
     spark.stop()
     // after stop(): nothing (Spark shutdown chatter goes to stderr) prints
     // below this line on stdout

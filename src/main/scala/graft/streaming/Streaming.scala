@@ -23,6 +23,35 @@ object Streaming {
 
   private val counter = new AtomicInteger(0)
 
+  /** Run a bounded streaming query with state parallelism sized to the
+    * stream instead of the session default.
+    *
+    * In Structured Streaming, `spark.sql.shuffle.partitions` at query start
+    * fixes the number of state-store instances per stateful operator (a
+    * stream-stream join keeps four stores per partition), and EVERY
+    * micro-batch commits a checkpoint delta per instance — so state
+    * parallelism is a first-class deployment knob sized to key cardinality
+    * and stream volume, not inherited from the batch default. The fixture
+    * streams here carry ~20k rows over a handful of grouping keys; `n=4`
+    * keeps per-batch checkpoint I/O proportional to that (32 instances ×
+    * 4 stores was pure fixed overhead). A production deployment of the same
+    * query raises `n` to its real key cardinality / throughput — nothing
+    * else in the plan changes.
+    *
+    * The setting lives on a cloned session (shared SparkContext + cache,
+    * isolated SQLConf and temp-view catalog), so the caller's session is
+    * never mutated — safe under concurrent tenants. */
+  private def withStateParallelism[T](s: SparkSession, n: Int)(f: SparkSession => T): T = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n)
+    // Bounded fixture runs need no watermark-only batches: complete-mode
+    // aggregations re-emit every batch, and the interval join emits inner
+    // matches immediately — the extra no-data batch would only advance the
+    // watermark to evict state that is about to be dropped anyway.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    f(ss)
+  }
+
   /** Collect the bounded run's memory-sink table, DROP the sink view, and
     * return the rows as a local DataFrame with the original schema. Each
     * invocation otherwise leaks a driver-heap result table plus a catalog
@@ -41,7 +70,8 @@ object Streaming {
 
   /** Bounded streaming run of the hourly event aggregation (complete mode →
     * in-memory table, unique per invocation). */
-  def q24StreamingHourly(s: SparkSession, dir: String): DataFrame = {
+  def q24StreamingHourly(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema // ts arrives as ns long (nanosAsLong)
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
@@ -91,7 +121,8 @@ object Streaming {
     * inner join; the oracle is the identical batch join. At scale the
     * static side refreshes per batch and broadcasts; state is bounded by
     * |segments|. */
-  def q77StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+  def q77StreamStaticJoin(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
@@ -137,11 +168,13 @@ object Streaming {
     * batch interval join.
     *
     * Bench note: this query's wall time is ≈fixed micro-batch machinery —
-    * two stream sources, two watermarked state stores × shuffle-partition
-    * instances, and the extra no-data batch that advances the watermark —
-    * not data volume (sf0.1 joins 20k×20k rows to 374 pairs). At scale the
-    * same fixed cost amortizes over the actual stream. */
-  def q103StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    * two stream sources plus four join state stores per partition, each
+    * committing a checkpoint delta per batch — not data volume (sf0.1
+    * joins 20k×20k rows to 374 pairs). State parallelism is sized to the
+    * fixture via [[withStateParallelism]]; at scale the same fixed cost
+    * amortizes over the actual stream. */
+  def q103StreamStreamJoin(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     def src: DataFrame = {
