@@ -387,12 +387,98 @@ object Dedup {
     s.read.parquet(outPath)
   }
 
+  // Jaccard threshold for the exact n-gram similarity join, as an exact
+  // rational (3/5): every prefix-length and threshold comparison below is
+  // integer arithmetic — `ceil(0.6 * sz)` in doubles rounds UP across the
+  // representation error (0.6*5 = 3.0000000000000004 → ceil 4), which would
+  // silently shorten prefixes and drop true pairs.
+  private val JacNum = 3L
+  private val JacDen = 5L
+
+  /** Exact n-gram Jaccard similarity join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08):
+    * the EXACT counterpart to q46's approximate MinHash LSH. q46 can miss a
+    * true near-dup pair (no band collides); this join provably returns
+    * every pair with Jaccard ≥ 3/5 over the same 5-gram shingle sets, while
+    * still never materializing all pairs.
+    *
+    * Pruning, all lossless:
+    *  1. global canonical order: shingles sorted by (document frequency,
+    *     hash) — rarest first, so prefixes carry the most selective grams;
+    *  2. prefix filter: a doc of set size `sz` keeps its first
+    *     `sz - ceil(t·sz) + 1` grams; any pair with J ≥ t must share a
+    *     PREFIX gram (with the length filter, the required overlap
+    *     ceil(t·max(sa,sb)) exceeds what disjoint prefixes allow);
+    *  3. length filter: J ≥ t forces t·max(sa,sb) ≤ min(sa,sb), applied
+    *     inside the candidate join condition;
+    *  4. exact verify: intersection counted only for surviving candidates
+    *     via the same hash-equality join as q46.
+    *
+    * Scale shape: df-ranking is one groupBy + one doc-partitioned window;
+    * the candidate join keys on single gram hashes restricted to prefixes
+    * (rare grams ⇒ small buckets — the inverted-index-on-prefixes of the
+    * literature); verification touches candidates only. No stage is
+    * all-pairs. The oracle is brute-force pairwise Jaccard in DuckDB —
+    * algorithm-independent ground truth, so the compare also proves the
+    * pruning loses nothing at sf0.01. */
+  def q106NgramJaccardJoin(s: SparkSession, dir: String): DataFrame = {
+    // hx feeds the df ranking AND both verify sides; same persist rationale
+    // (and canonical-plan cache share with q46/q48) as in q46.
+    val hx = graft.Caches.persist(hashedShingles(s, dir))
+    val dfreq = hx.groupBy(col("hg")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = hx.join(dfreq, Seq("hg"))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("hg"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+    // prefix length = sz - ceil(t·sz) + 1, ceil in exact integers (`div` is
+    // integral division; Column./ would be a DOUBLE Divide)
+    val prefLen = expr(s"sz - ((sz * $JacNum + ${JacDen - 1}) div $JacDen) + 1")
+    val prefix = ranked.filter(col("rn") <= prefLen)
+      .select(col("doc_id"), col("hg"), col("sz"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * JacDen >=
+            greatest(col("a.sz"), col("b.sz")) * JacNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("size_a"), col("b.sz").as("size_b"))
+      .distinct()
+    cands
+      .join(hx.select(col("doc_id").as("doc_a"), col("hg")), Seq("doc_a"))
+      .join(hx.select(col("doc_id").as("doc_b"), col("hg")), Seq("doc_b", "hg"))
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      // threshold compare in exact integers; jaccard emitted for the reader
+      .filter(col("inter") * JacDen >= (col("size_a") + col("size_b") - col("inter")) * JacNum)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force pairwise Jaccard — deliberately NOT the prefix-filtered
+    * algorithm, so a hash-match proves the pruning is lossless. */
+  val q106Oracle: String =
+    s"""WITH $hashedShinglesSql,
+      |sz AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |  FROM hx x JOIN hx y ON x.hg = y.hg AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE inter * $JacDen >= (sa.sz + sb.sz - inter) * $JacNum
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
     "q45_exact_dup_stats"      -> (q45ExactDupStats _),
     "q46_minhash_lsh_pairs"    -> (q46MinhashLshPairs _),
     "q47_simhash"              -> (q47Simhash _),
     "q48_dedup_clusters"       -> (q48DedupClusters _),
+    "q106_ngram_jaccard_join"  -> (q106NgramJaccardJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +487,6 @@ object Dedup {
     "q46_minhash_lsh_pairs"    -> q46Oracle,
     "q47_simhash"              -> q47Oracle,
     "q48_dedup_clusters"       -> q48Oracle,
+    "q106_ngram_jaccard_join"  -> q106Oracle,
   )
 }

@@ -241,6 +241,49 @@ object Events {
       |WHERE rk <= 5
       |ORDER BY event_type, rk""".stripMargin
 
+  /** Cohort retention — the classic product-analytics matrix: users
+    * cohorted by first-activity week; for each (cohort, week offset), how
+    * many of the cohort were active and what fraction that is. Weekly
+    * because the events fixture spans ~4 weeks (monthly would be a single
+    * degenerate cell); the week is the integer epoch-week (epoch_ms div
+    * 604800000) — exact and engine-portable, no calendar arithmetic.
+    *
+    * Shape: distinct (user, week) activity → per-user cohort index (one
+    * groupBy with map-side combine) → tiny cohort-size dimension joined
+    * back — two shuffles on user_id (scaling key) and one small aggregate;
+    * no windows, no self-join on the fact table. The retention ratio is an
+    * int/int double division — oracle-parity safe. */
+  def q107CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wix"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("wix")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("wix") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(
+        col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q107Oracle: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wix
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(wix) AS cohort_week FROM activity GROUP BY user_id),
+      |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week),
+      |cells AS (
+      |  SELECT cohort_week, a.wix - c.cohort_week AS week_offset, count(*) AS n_active
+      |  FROM activity a JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_active, cohort_size,
+      |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_by_type"   -> (q20HourlyByType _),
     "q21_sessions"         -> (q21Sessions _),
@@ -248,6 +291,7 @@ object Events {
     "q23_top_events_per_type" -> (q23TopEventsPerType _),
     "q66_session_windows"  -> (q66SessionWindows _),
     "q93_event_funnel"     -> (q93EventFunnel _),
+    "q107_cohort_retention" -> (q107CohortRetention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,5 +301,6 @@ object Events {
     "q23_top_events_per_type" -> q23Oracle,
     "q66_session_windows"  -> q66Oracle,
     "q93_event_funnel"     -> q93Oracle,
+    "q107_cohort_retention" -> q107Oracle,
   )
 }
