@@ -425,9 +425,11 @@ object Dedup {
     // hx feeds the df ranking AND both verify sides; same persist rationale
     // (and canonical-plan cache share with q46/q48) as in q46.
     val hx = graft.Caches.persist(hashedShingles(s, dir))
-    val dfreq = hx.groupBy(col("hg")).agg(count(lit(1)).as("df"))
+    // df as a window over hg (a content hash — cardinality scales with the
+    // corpus) instead of groupBy+join-back: one shuffle of hx, not two
     val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = hx.join(dfreq, Seq("hg"))
+    val ranked = hx
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("hg"))))
       .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("hg"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
     // prefix length = sz - ceil(t·sz) + 1, ceil in exact integers (`div` is

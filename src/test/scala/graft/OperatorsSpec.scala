@@ -310,4 +310,29 @@ class OperatorsSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
   }
+
+  test("q106 prefix-filtered Jaccard join equals brute-force pairwise (lossless pruning)") {
+    // Independent brute force: raw 5-gram string sets per doc (array HOFs —
+    // test-only, perf irrelevant), ALL pairs via cross join, exact-integer
+    // threshold. q106 must return identical pairs and intersection counts.
+    val toks = split(regexp_replace(lower(col("text")), "(^[^a-z0-9]+)|([^a-z0-9]+$)", ""), "[^a-z0-9]+")
+    val grams = expr(
+      "array_distinct(CASE WHEN size(t) >= 5 THEN transform(sequence(1, size(t) - 4), " +
+        "i -> concat_ws(' ', slice(t, i, 5))) ELSE array() END)")
+    val sets = Tables.documents(spark, sf())
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), grams.as("g"))
+      .filter(size(col("g")) > 0)
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.g"), col("b.g"))).cast("long").as("inter"),
+        size(col("a.g")).cast("long").as("size_a"), size(col("b.g")).cast("long").as("size_b"))
+      .filter(col("inter") * 5 >= (col("size_a") + col("size_b") - col("inter")) * 3)
+    val got = Dedup.q106NgramJaccardJoin(spark, sf())
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "prefix-filtered result differs from brute force")
+    Caches.releaseAll()
+  }
 }
