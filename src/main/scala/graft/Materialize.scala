@@ -79,6 +79,82 @@ object Materialize {
       key: String, versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    withStagedSwap(spark, path) { staging =>
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing =
+        if (fs.exists(target)) readTable(spark, path).withColumn("__src", lit(0))
+        else updates.limit(0).withColumn("__src", lit(0))
+      val merged = existing.unionByName(updates.withColumn("__src", lit(1)))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(key))
+            .orderBy(col(versionCol).desc, col("__src").desc)))
+        .filter(col("__rn") === 1).drop("__rn", "__src")
+      merged.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * 100 TB table needs (streaming sinks, incremental loads, and upserts
+    * all fragment: thousands of KB-scale files turn a scan into a
+    * listing/footer/task-scheduling storm). Rewrites the parquet table at
+    * `path` into ≈`targetBytes` files — the same OPTIMIZE/bin-packing
+    * maintenance a Delta/Iceberg table runs — behind the identical
+    * crash-safe staged swap as [[upsert]].
+    *
+    * Unpartitioned: `ceil(liveBytes / targetBytes)` output files via a
+    * round-robin repartition (parquet re-encoding typically shrinks
+    * small-file overhead further). Hive-partitioned (`partitionCols`):
+    * rows hash-route by partition key, one file per live partition —
+    * directory layout (and downstream partition pruning) preserved.
+    *
+    * Returns (filesBefore, filesAfter) from a post-install listing. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    def layout(): (Long, Long) = { // (data files, bytes), hidden files excluded
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var files = 0L
+      var bytes = 0L
+      val it = fs.listFiles(target, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) { files += 1; bytes += f.getLen }
+      }
+      (files, bytes)
+    }
+    val (filesBefore, bytesBefore) = layout()
+    withStagedSwap(spark, path) { staging =>
+      val df = readTable(spark, path)
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging)
+      else {
+        val n = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+        df.repartition(n).write.mode("overwrite").parquet(staging)
+      }
+    }
+    (filesBefore, layout()._1)
+  }
+
+  /** The crash-safe install protocol shared by [[upsertInPlace]] and
+    * [[compact]]: `build(stagingPath)` writes the replacement table (it may
+    * read the live table at `path` — staging is a sibling directory), then
+    * the swap installs it without ever destroying the previous table before
+    * its replacement is in place:
+    *   1. build staging (`path__staging`);
+    *   2. rename the live table aside (`path__old`) — verified;
+    *   3. rename staging → path — on failure, roll `path__old` back;
+    *   4. only then delete `path__old`.
+    * A crash between 2 and 3 leaves the full previous table in `path__old`
+    * and the full replacement in staging — recoverable, never lost; the
+    * next invocation's recovery step restores `path__old` automatically.
+    * (True atomicity needs a transactional table format; rename is atomic
+    * per-directory on HDFS and best-effort on S3-style stores.) */
+  private def withStagedSwap(spark: SparkSession, path: String)(build: String => Unit): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
@@ -90,16 +166,8 @@ object Materialize {
     // the prior run died after step 3 — then it really is garbage.
     if (!fs.exists(target) && fs.exists(old))
       require(fs.rename(old, target), s"crash recovery rename $old -> $target failed")
-    val existing =
-      if (fs.exists(target)) readTable(spark, path).withColumn("__src", lit(0))
-      else updates.limit(0).withColumn("__src", lit(0))
-    val merged = existing.unionByName(updates.withColumn("__src", lit(1)))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(key))
-          .orderBy(col(versionCol).desc, col("__src").desc)))
-      .filter(col("__rn") === 1).drop("__rn", "__src")
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
+    build(staging.toString)
     if (fs.exists(old)) fs.delete(old, true) // leftover from a post-install crash
     val hadLive = fs.exists(target)
     if (hadLive)

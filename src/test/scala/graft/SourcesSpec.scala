@@ -111,6 +111,31 @@ class SourcesSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("compact: fragmented table rewritten to few files, data identical") {
+    val path = tmp("graft-compact") + "/t"
+    val src = Tables.orders(spark, sf())
+    src.repartition(64).write.mode("overwrite").parquet(path) // fragment: 64 tiny files
+    val (before, after) = Materialize.compact(spark, path, targetBytes = 1L << 30)
+    assert(before >= 64, s"expected >=64 fragments, saw $before")
+    assert(after == 1, s"expected 1 file after compaction, saw $after")
+    val got = Materialize.readTable(spark, path)
+    assert(got.count() == src.count())
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty)
+  }
+
+  test("compact: hive-partitioned table keeps layout, one file per partition") {
+    import spark.implicits._
+    val path = tmp("graft-compact-part") + "/t"
+    val rows = (1L to 400L).map(i => (i, s"d${i % 4}", s"v$i")).toDF("id", "d", "v")
+    rows.repartition(16).write.mode("overwrite").partitionBy("d").parquet(path) // ≤16 files per d
+    val (before, after) = Materialize.compact(spark, path, partitionCols = Seq("d"))
+    assert(before > 4 && after == 4, s"before=$before after=$after")
+    val got = Materialize.readTable(spark, path)
+    assert(got.select("id", "d", "v").exceptAll(rows).isEmpty)
+    // partition dirs survive → pruning still works
+    assert(got.filter(col("d") === "d1").count() == 100)
+  }
+
   test("incremental materialization overwrites only the touched partitions") {
     import spark.implicits._
     val dir = tmp("graft-incr") + "/t"
