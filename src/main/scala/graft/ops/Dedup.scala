@@ -278,8 +278,15 @@ object Dedup {
       .toDF("u", "v").localCheckpoint()
     // edges is materialized (localCheckpoint is eager) — pairs can go now.
     graft.Caches.releaseCheckpoint(pairs)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // Seed with min(self, min neighbor) — exactly what iteration 1's hop
+    // would compute from identity labels, but as ONE groupBy instead of a
+    // join + groupBy + two more joins: near-dup graphs are mostly pairs and
+    // small cliques, so this seed is already the fixpoint and the loop
+    // usually runs a single confirming iteration. Convergence is unchanged:
+    // the seed is ≤ identity labels and ≥ the transitive min everywhere,
+    // and each iteration stays monotone non-increasing.
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(least(col("u"), min(col("v"))).as("lbl")).localCheckpoint()
     // coalesce: on a corpus with no Jaccard-verified pairs labels is empty
     // and sum() returns NULL (ADVICE.md r1 — .getLong NPE'd on clean data);
     // checksum 0 then converges on the first iteration with an empty result.
