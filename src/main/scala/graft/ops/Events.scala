@@ -284,6 +284,60 @@ object Events {
       |FROM cells JOIN sizes USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** SCD2 interval construction (slowly-changing-dimension type 2 — the
+    * standard warehouse history shape): collapse each entity's ordered
+    * state stream to its change points and attach validity intervals
+    * `[valid_from, valid_to)` with `is_current` on the open row.
+    *
+    * Generic operator: `df` ordered per `key` by `orderCols`, state =
+    * `stateCol`; rows where the state differs from the previous row open a
+    * new version, `valid_to` = the next version's `valid_from`. Two
+    * windows over the same scaling partition key — one shuffle. */
+  def scd2Intervals(df: DataFrame, key: Column, stateCol: Column,
+      fromCol: Column, tieCols: Column*): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(fromCol +: tieCols: _*)
+    df.withColumn("__prev_state", lag(stateCol, 1).over(w))
+      .filter(col("__prev_state").isNull || col("__prev_state") =!= stateCol)
+      .drop("__prev_state")
+      .withColumn("valid_to", lead(fromCol, 1).over(w))
+      .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
+  /** Driver-checked SCD2 query: per user, the versioned history of their
+    * event_type "state" — change rows only, each carrying its validity
+    * interval in ms and the current-row flag. event_id rides along as the
+    * unique tie-break (two different-state changes can share a
+    * millisecond). */
+  def q108Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsMs)
+      .withColumnRenamed("ts_ms", "valid_from_ms")
+    scd2Intervals(ev, col("user_id"), col("event_type"),
+        col("valid_from_ms"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_ms"), col("valid_to").as("valid_to_ms"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))
+  }
+
+  val q108Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS valid_from_ms,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |      AS prev_state
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, valid_from_ms
+      |  FROM ev WHERE prev_state IS NULL OR prev_state <> event_type),
+      |versioned AS (
+      |  SELECT *,
+      |    lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id)
+      |      AS valid_to_ms
+      |  FROM changes)
+      |SELECT user_id, event_id, event_type, valid_from_ms, valid_to_ms,
+      |  CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM versioned
+      |ORDER BY user_id, valid_from_ms, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_hourly_by_type"   -> (q20HourlyByType _),
     "q21_sessions"         -> (q21Sessions _),
@@ -292,6 +346,7 @@ object Events {
     "q66_session_windows"  -> (q66SessionWindows _),
     "q93_event_funnel"     -> (q93EventFunnel _),
     "q107_cohort_retention" -> (q107CohortRetention _),
+    "q108_scd2_intervals"  -> (q108Scd2Intervals _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +357,6 @@ object Events {
     "q66_session_windows"  -> q66Oracle,
     "q93_event_funnel"     -> q93Oracle,
     "q107_cohort_retention" -> q107Oracle,
+    "q108_scd2_intervals"  -> q108Oracle,
   )
 }
