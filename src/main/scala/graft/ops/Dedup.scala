@@ -481,6 +481,48 @@ object Dedup {
       |WHERE inter * $JacDen >= (sa.sz + sb.sz - inter) * $JacNum
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Benchmark decontamination — the training-corpus hygiene pass every
+    * LLM pipeline runs (n-gram collision against held-out eval sets, the
+    * GPT-3/PaLM recipe): for each corpus document, how many of its distinct
+    * 5-gram shingles also appear in the "benchmark" set (deterministic
+    * stand-in: docs with doc_id % 8 == 0), and a contamination flag when
+    * ≥ 20% of the doc's grams are shared (exact integer compare, n·5 ≥ sz).
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus —
+    * the collision join is an equi-join on the gram hash against it
+    * (broadcast at real scale), then one groupBy per doc; the corpus is
+    * never self-joined. Zero-overlap docs are kept via a left join and
+    * zero-fill so the output is a complete audit, not just offenders. */
+  def q109Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val hx = graft.Caches.persist(hashedShingles(s, dir))
+    val bench = hx.filter(col("doc_id") % 8 === 0).select(col("hg")).distinct()
+    val corpus = hx.filter(col("doc_id") % 8 =!= 0)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val shared = corpus.join(bench, Seq("hg"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    sizes.join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated",
+        when(col("n_shared") * 5 >= col("n_grams"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Oracle: String =
+    s"""WITH $hashedShinglesSql,
+      |bench AS (SELECT DISTINCT hg FROM hx WHERE doc_id % 8 = 0),
+      |corpus AS (SELECT doc_id, hg FROM hx WHERE doc_id % 8 <> 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+      |shared AS (
+      |  SELECT doc_id, count(*) AS n_shared
+      |  FROM corpus JOIN bench USING (hg) GROUP BY doc_id)
+      |SELECT s.doc_id, n_grams,
+      |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(CASE WHEN coalesce(n_shared, 0) * 5 >= n_grams THEN 1 ELSE 0 END AS BIGINT)
+      |    AS contaminated
+      |FROM sizes s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
     "q45_exact_dup_stats"      -> (q45ExactDupStats _),
@@ -488,6 +530,7 @@ object Dedup {
     "q47_simhash"              -> (q47Simhash _),
     "q48_dedup_clusters"       -> (q48DedupClusters _),
     "q106_ngram_jaccard_join"  -> (q106NgramJaccardJoin _),
+    "q109_decontaminate"       -> (q109Decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,5 +540,6 @@ object Dedup {
     "q47_simhash"              -> q47Oracle,
     "q48_dedup_clusters"       -> q48Oracle,
     "q106_ngram_jaccard_join"  -> q106Oracle,
+    "q109_decontaminate"       -> q109Oracle,
   )
 }
