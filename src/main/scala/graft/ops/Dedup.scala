@@ -384,9 +384,18 @@ object Dedup {
     * shrinks the LSH input; LSH pass second). */
   def cleanedCorpus(s: SparkSession, dir: String, outPath: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val wExact = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    // smallest-doc_id row per content hash as min/min_by AGGREGATION (the
+    // q44 shape: partial+final hash agg with map-side combine) rather than
+    // a row_number window, which would sort full-width rows inside each
+    // hash partition for no benefit
     val exactKept = docs
-      .withColumn("rn", row_number().over(wExact)).filter(col("rn") === 1).drop("rn")
+      .groupBy(md5(col("text").cast("binary")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min_by(col("n_chars"), col("doc_id")).as("n_chars"))
+      .drop("__h")
     val nearDupDropped = q48DedupClusters(s, dir)
       .filter(col("is_kept") === 0).select(col("doc_id"))
     val cleaned = exactKept.join(nearDupDropped, Seq("doc_id"), "left_anti")
