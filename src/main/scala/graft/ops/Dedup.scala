@@ -451,8 +451,10 @@ object Dedup {
     // prefix length = sz - ceil(t·sz) + 1, ceil in exact integers (`div` is
     // integral division; Column./ would be a DOUBLE Divide)
     val prefLen = expr(s"sz - ((sz * $JacNum + ${JacDen - 1}) div $JacDen) + 1")
-    val prefix = ranked.filter(col("rn") <= prefLen)
-      .select(col("doc_id"), col("hg"), col("sz"))
+    // persist: both sides of the candidate self-join consume the prefix
+    // frame — without this the two-window ranking chain runs twice
+    val prefix = graft.Caches.persist(ranked.filter(col("rn") <= prefLen)
+      .select(col("doc_id"), col("hg"), col("sz")))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id") &&

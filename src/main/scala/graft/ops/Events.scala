@@ -258,11 +258,15 @@ object Events {
       .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wix"))
       .distinct()
     val cohorts = activity.groupBy(col("user_id")).agg(min(col("wix")).as("cohort_week"))
-    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
-    activity.join(cohorts, Seq("user_id"))
+    val cells = graft.Caches.persist(activity.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_week"), (col("wix") - col("cohort_week")).as("week_offset"))
-      .agg(count(lit(1)).as("n_active"))
-      .join(sizes, Seq("cohort_week"))
+      .agg(count(lit(1)).as("n_active")))
+    // a cohort's size IS its offset-0 cell (every member is active in its
+    // own first week) — derive it from the |cohorts|×|offsets|-row cells
+    // frame instead of re-aggregating the fact table a third time
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
       .select(
         col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))
