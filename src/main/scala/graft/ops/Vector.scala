@@ -538,6 +538,86 @@ object Vector {
       |WHERE vec_id % 17 = 0
       |ORDER BY vec_id""".stripMargin
 
+  private val KmK = 4      // clusters
+  private val KmIters = 2  // unrolled Lloyd iterations (oracle mirrors them)
+  // 12-bit fixed point for the TRAINING loop: means stay exact under
+  // integer division and every SSE partial fits int64 with headroom
+  // (diff² ≤ 2²⁶ · 64 dims · corpus ≪ 2⁶³); the 2²⁴ FixedPoint used by the
+  // SEARCH queries would overflow the exact SSE sums at larger corpora.
+  private val KmFP = 1L << 12
+
+  /** Distributed k-means training (Lloyd's algorithm) — the step that
+    * produces real IVF/PQ codebooks (q51/q102 use deterministic seed
+    * vectors as stand-in centroids; this is how the stand-ins graduate).
+    *
+    * Each iteration is the canonical two-shuffle Spark shape: (1) assign —
+    * every vector joins the BROADCAST centroid table (K·Dim rows) and
+    * takes its argmin-L2 cluster; (2) update — per-(cluster, dimension)
+    * mean via partial+final hash aggregation. All arithmetic is exact
+    * fixed-point int64 (quantized input, truncating integer division for
+    * the mean — identical semantics in both engines), so every distance,
+    * argmin, and centroid is order-independent and the unrolled-SQL oracle
+    * hash-matches bit-for-bit. Reports per-cluster membership and exact
+    * SSE under the final centroids. */
+  def q110KmeansFixedPoint(s: SparkSession, dir: String): DataFrame = {
+    // feeds every iteration's assign join and update aggregation
+    val xq = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * KmFP, 0).cast("long").as("xq")))
+    def dists(cent: DataFrame): DataFrame =
+      xq.join(broadcast(cent), Seq("j"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    def nearest(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"))
+    }
+    var cent = xq.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("j"), col("xq").as("cq"))
+    for (_ <- 1 to KmIters) {
+      val a = nearest(dists(cent)).select(col("vec_id"), col("cid"))
+      cent = xq.join(a, Seq("vec_id"))
+        .groupBy(col("cid"), col("j"))
+        .agg(expr("sum(xq) div count(1)").as("cq")) // exact truncating mean
+    }
+    nearest(dists(cent))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sse"))
+      .orderBy(col("cid"))
+  }
+
+  val q110Oracle: String = {
+    def distCte(t: Int, centCte: String): String =
+      s"""dist$t AS (
+         |  SELECT x.vec_id, c.cid, sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+         |  FROM xq x JOIN $centCte c ON x.j = c.j
+         |  GROUP BY 1, 2),
+         |asg$t AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM dist$t) t WHERE rn = 1)""".stripMargin
+    def centCte(t: Int): String =
+      s"""cent$t AS (
+         |  SELECT a.cid, x.j, CAST(sum(x.xq) AS BIGINT) // count(*) AS cq
+         |  FROM xq x JOIN asg$t a USING (vec_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      distCte(t, if (t == 1) "cent0" else s"cent${t - 1}") + ",\n" + centCte(t)
+    }.mkString(",\n")
+    s"""WITH xq AS (
+      |  SELECT vec_id, j,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |cent0 AS (SELECT vec_id AS cid, j, xq AS cq FROM xq WHERE vec_id < $KmK),
+      |$iters,
+      |${distCte(KmIters + 1, s"cent$KmIters")}
+      |SELECT cid, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS sse
+      |FROM asg${KmIters + 1}
+      |GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_cosine_topk"        -> (q50CosineTopk _),
     "q51_ivf_topk"           -> (q51IvfTopk _),
@@ -545,6 +625,7 @@ object Vector {
     "q53_pq_topk"            -> (q53PqTopk _),
     "q100_centroid_outliers" -> (q100CentroidOutliers _),
     "q102_ivfpq_topk"        -> (q102IvfPqTopk _),
+    "q110_kmeans_train"      -> (q110KmeansFixedPoint _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,5 +635,6 @@ object Vector {
     "q53_pq_topk"            -> q53Oracle,
     "q100_centroid_outliers" -> q100Oracle,
     "q102_ivfpq_topk"        -> q102Oracle,
+    "q110_kmeans_train"      -> q110Oracle,
   )
 }
