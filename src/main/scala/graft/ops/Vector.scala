@@ -618,6 +618,40 @@ object Vector {
       |GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  /** ANN index-quality gate: recall@5 of the IVF index (q51) against the
+    * brute-force ground truth (q50) — the evaluation every approximate
+    * index needs before it replaces an exact scan in production. Composed
+    * entirely from the two existing operators: equality join on
+    * (query, neighbor), per-query hit count, recall as an int/int double
+    * division; queries whose probes missed everything are kept via a left
+    * join (recall 0), so the gate can't silently overreport. */
+  def q111AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = q50CosineTopk(s, dir).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = q51IvfTopk(s, dir).select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall", col("n_hits").cast("double") / col("k"))
+      .select(col("query_id"), col("k"), col("n_hits"), col("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val q111Oracle: String =
+    s"""WITH exact_full AS ($q50Oracle),
+      |approx AS ($q51Oracle),
+      |exact AS (SELECT query_id, vec_id FROM exact_full WHERE rk <= 5),
+      |hits AS (
+      |  SELECT query_id, count(*) AS n_hits
+      |  FROM exact JOIN approx USING (query_id, vec_id) GROUP BY 1),
+      |ks AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1)
+      |SELECT query_id, k, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(coalesce(n_hits, 0) AS DOUBLE) / k AS recall
+      |FROM ks LEFT JOIN hits USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_cosine_topk"        -> (q50CosineTopk _),
     "q51_ivf_topk"           -> (q51IvfTopk _),
@@ -626,6 +660,7 @@ object Vector {
     "q100_centroid_outliers" -> (q100CentroidOutliers _),
     "q102_ivfpq_topk"        -> (q102IvfPqTopk _),
     "q110_kmeans_train"      -> (q110KmeansFixedPoint _),
+    "q111_ann_recall"        -> (q111AnnRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -636,5 +671,6 @@ object Vector {
     "q100_centroid_outliers" -> q100Oracle,
     "q102_ivfpq_topk"        -> q102Oracle,
     "q110_kmeans_train"      -> q110Oracle,
+    "q111_ann_recall"        -> q111Oracle,
   )
 }
