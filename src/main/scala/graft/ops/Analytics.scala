@@ -886,6 +886,74 @@ object Analytics {
       |WHERE event_id % 1009 = 0
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Linear gap interpolation — the time-series resample q94's zero-fill
+    * is not: missing days take the straight line between their flanking
+    * known values. A 2% orderkey sample sparsifies the daily series so
+    * gaps exist at every SF.
+    *
+    * Scale shape: gap intervals come from `lead` over the AGGREGATED daily
+    * frame (|days| rows — the window input is already reduced, per the
+    * PlanSpec lint); the missing-day × interval range join is equi-keyed
+    * by calendar month (intervals exploded over the months they span), so
+    * it plans as a broadcast HASH join on the bucket, never a nested-loop
+    * scan — the standard bucketed-range-join trick. Interpolation
+    * arithmetic: exact ints up to the single final division, identically
+    * parenthesized in the oracle for bit-equal doubles. */
+  def q112Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderdate").cast("date").as("day"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    val w = Window.orderBy(col("day")) // over the reduced daily frame
+    val intervals = daily.select(col("day").as("d1"), col("cents").as("c1"),
+        lead(col("day"), 1).over(w).as("d2"), lead(col("cents"), 1).over(w).as("c2"))
+      .filter(col("d2").isNotNull && datediff(col("d2"), col("d1")) > 1)
+      .withColumn("m", explode(sequence(
+        trunc(col("d1"), "month"), trunc(col("d2"), "month"), expr("INTERVAL 1 MONTH"))))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val interp = spine.join(daily, Seq("day"), "left_anti")
+      .withColumn("m", trunc(col("day"), "month"))
+      .join(broadcast(intervals), Seq("m"))
+      .filter(col("day") > col("d1") && col("day") < col("d2"))
+      .select(col("day"),
+        ((col("c1") + (col("c2") - col("c1")) * datediff(col("day"), col("d1"))
+          / datediff(col("d2"), col("d1"))) / 100.0).as("revenue"),
+        lit(1L).as("was_interpolated"))
+    daily
+      .select(col("day"), (col("cents").cast("double") / 100.0).as("revenue"),
+        lit(0L).as("was_interpolated"))
+      .unionByName(interp)
+      .orderBy(col("day"))
+  }
+
+  val q112Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 50 = 0 GROUP BY 1),
+      |intervals AS (
+      |  SELECT day AS d1, cents AS c1,
+      |    lead(day) OVER (ORDER BY day) AS d2,
+      |    lead(cents) OVER (ORDER BY day) AS c2
+      |  FROM daily),
+      |gaps AS (SELECT * FROM intervals WHERE d2 IS NOT NULL AND d2 - d1 > 1),
+      |spine AS (
+      |  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+      |  FROM daily),
+      |missing AS (SELECT day FROM spine WHERE day NOT IN (SELECT day FROM daily)),
+      |interp AS (
+      |  SELECT m.day,
+      |    (c1 + (c2 - c1) * (m.day - d1) / (d2 - d1)) / 100.0 AS revenue,
+      |    CAST(1 AS BIGINT) AS was_interpolated
+      |  FROM missing m JOIN gaps g ON m.day > g.d1 AND m.day < g.d2)
+      |SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(0 AS BIGINT) AS was_interpolated
+      |FROM daily
+      |UNION ALL SELECT * FROM interp
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
@@ -911,6 +979,7 @@ object Analytics {
     "q90_lateral_join"    -> (q90LateralJoin _),
     "q91_try_casts"       -> (q91TryCasts _),
     "q94_gap_fill"        -> (q94GapFill _),
+    "q112_interpolate"    -> (q112Interpolate _),
     "q95_sliding_rate"    -> (q95SlidingRate _),
   )
 
@@ -939,6 +1008,7 @@ object Analytics {
     "q90_lateral_join"    -> q90Oracle,
     "q91_try_casts"       -> q91Oracle,
     "q94_gap_fill"        -> q94Oracle,
+    "q112_interpolate"    -> q112Oracle,
     "q95_sliding_rate"    -> q95Oracle,
   )
 }

@@ -169,7 +169,10 @@ class OperatorsSpec extends SparkSpec {
     val names = Seq("q46_minhash_lsh_pairs", "q48_dedup_clusters",
       "q79_distribution_ranks", "q49_tfidf_top_terms", "q27_correlated_subquery",
       "q24_streaming_hourly", "q103_stream_stream_join",
-      "q104_ahash_neardup", "q105_repetition_signals")
+      "q104_ahash_neardup", "q105_repetition_signals",
+      // round-4 persisting queries
+      "q106_ngram_jaccard_join", "q107_cohort_retention", "q109_decontaminate",
+      "q110_kmeans_train", "q111_ann_recall")
     val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
     names.foreach { n =>
