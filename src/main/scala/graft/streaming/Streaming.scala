@@ -23,6 +23,45 @@ object Streaming {
 
   private val counter = new AtomicInteger(0)
 
+  /** Checkpoint root for the BOUNDED driver-contract runs (q24/q77/q103):
+    * tmpfs (`/dev/shm`) when the host mounts one, else the JVM temp dir.
+    *
+    * A `processAllAvailable()` fixture run commits offset/commit-log files
+    * plus one state-store delta per store instance per micro-batch; all of
+    * it is scratch that dies with the query, yet Spark's auto temp
+    * checkpoint puts it on the local disk, so the per-batch fsync cost of
+    * ~20 tiny files dominates these queries' wall time on slow-disk hosts
+    * (BENCH_r03: q103 8.5 s on the driver vs 1.5 s locally — same code).
+    * Routing the scratch to RAM removes exactly that fixed cost and changes
+    * no semantics. A production deployment of the same queries sets a
+    * durable `checkpointLocation` on HDFS/S3 — recovery needs the log to
+    * survive the driver, which RAM does not. */
+  private def scratchCheckpoint(): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root = if (java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, "graft-ckpt-")
+  }
+
+  /** Start `build`'s streaming query checkpointed to [[scratchCheckpoint]],
+    * drain it with `processAllAvailable`, stop it, and delete the scratch
+    * dir — the shared lifecycle of every bounded run. */
+  private def drainBounded(build: String => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val ckpt = scratchCheckpoint()
+    try {
+      val q = build(ckpt.toString).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      // scratch cleanup; best-effort (tmpfs evaporates on reboot anyway)
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Run a bounded streaming query with state parallelism sized to the
     * stream instead of the session default.
     *
@@ -90,13 +129,11 @@ object Streaming {
       .agg(
         count(lit(1)).as("n_events"),
         sum(graft.Exact.cents(col("value"))).as("sum_value_cents"))
-    val q = agg.writeStream
+    drainBounded(ckpt => agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .option("checkpointLocation", ckpt))
     drainSink(s, name)
       .select(
         expr("unix_seconds(window.start)").as("hour_epoch_s"),
@@ -136,13 +173,11 @@ object Streaming {
       .agg(
         count(lit(1)).as("n_events"),
         sum(graft.Exact.cents(col("value"))).as("sum_value_cents"))
-    val q = agg.writeStream
+    drainBounded(ckpt => agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .option("checkpointLocation", ckpt))
     drainSink(s, name)
       .select(col("c_mktsegment"), col("n_events"),
         (col("sum_value_cents").cast("double") / lit(100.0)).as("sum_value"))
@@ -215,15 +250,13 @@ object Streaming {
     val partialSchema = partialAgg(
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), joined.schema)).schema
     val partials = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    val q = joined.writeStream
+    drainBounded(ckpt => joined.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val rows = partialAgg(batch).collect()
         partials.synchronized { partials.addAll(java.util.Arrays.asList(rows: _*)); () }
       }
       .outputMode("append")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .option("checkpointLocation", ckpt))
     s.createDataFrame(partials, partialSchema)
       .groupBy(col("user_mod10"))
       .agg(
