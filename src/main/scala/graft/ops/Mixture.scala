@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data mixture construction (SURVEY.md §2.12 extension): given a
+  * global token budget, allocate per-source token targets and draw a
+  * content-stable sample hitting them — the step that turns a cleaned
+  * multi-source corpus into a training mix (the "data mixing" stage every
+  * large-model pipeline runs between dedup/quality and tokenization).
+  *
+  * Allocation is WATER-FILLING, computed in exact integers: the budget is
+  * spread as an equal per-source level `L`, except sources whose whole
+  * inventory fits under the level, which are taken in full ("capped") and
+  * their leftover re-spread over the rest. Formally, with sources sorted by
+  * (available tokens asc, name), `L` is the unique level such that
+  * `sum(min(avail_s, L)) = B`; the integer remainder `B - (Pk + L*m)` is
+  * assigned one extra token of target to each of the `r` smallest uncapped
+  * sources, so `sum(target_s) == B` EXACTLY (or `== total` when the budget
+  * covers everything). The crossing point is found set-based from prefix
+  * sums over the |sources|-row aggregate — no driver loop, no floats.
+  *
+  * Sampling is the q92 content-stable scheme: doc kept iff
+  * `slot(doc) * avail_s < target_s * 4096`, slot = first 3 hex digits of
+  * md5(doc_id) — deterministic on any cluster, stable under corpus
+  * repartition, and proportional to `target_s / avail_s` without ever
+  * materializing a random number.
+  *
+  * Scale shape: one groupBy of the corpus to per-source inventories (tiny
+  * frame), window arithmetic over that reduced frame only (PlanSpec-safe),
+  * then the target map broadcast-joins back onto the corpus for the sample
+  * filter and one final per-source rollup — two corpus-wide shuffles total,
+  * nothing driver-side.
+  */
+object Mixture {
+
+  private val Slots = 4096L
+
+  /** Per-source token inventory: (source, avail, n_docs). */
+  private def inventory(docTok: DataFrame): DataFrame =
+    docTok.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail"), count(lit(1)).as("n_docs"))
+
+  /** Water-filling targets over the inventory frame for budget `B` (a
+    * Column over the cross-joined totals, e.g. `expr("total div 2")` or a
+    * literal). Returns (source, avail, n_docs, target).
+    * private[graft]: PropertySpec pins the allocation invariants on
+    * arbitrary inventories. */
+  private[graft] def allocate(inv: DataFrame, budget: org.apache.spark.sql.Column): DataFrame = {
+    val totals = inv.agg(
+      coalesce(sum(col("avail")), lit(0L)).as("total"),
+      count(lit(1)).as("n_src"))
+    // order: avail asc, source asc — the canonical order in BOTH engines
+    val wOrd = Window.orderBy(col("avail"), col("source"))
+    val ranked = inv.crossJoin(broadcast(totals))
+      .withColumn("b", budget)
+      .withColumn("idx", row_number().over(wOrd))
+      .withColumn("prefix", sum(col("avail")).over(wOrd))
+      // cost of setting the level AT this source's inventory: everything up
+      // to and including it taken in full, everyone after held at avail_i
+      .withColumn("spend_here",
+        col("prefix") - col("avail") + col("avail") * (col("n_src") - col("idx") + 1L))
+      .withColumn("capped", (col("spend_here") <= col("b")).cast("long"))
+    // capped is true on a PREFIX of the sort order (spend_here is
+    // non-decreasing in idx), so k = count and Pk = conditional sum
+    val kp = ranked.agg(
+      coalesce(sum(col("capped")), lit(0L)).as("k"),
+      coalesce(sum(col("avail") * col("capped")), lit(0L)).as("pk"))
+    ranked.crossJoin(broadcast(kp))
+      .withColumn("m", col("n_src") - col("k"))
+      // `div` (integral), not Column./ (a DOUBLE Divide) — q106's lesson
+      .withColumn("lvl", when(col("m") > 0, expr("(b - pk) div m")).otherwise(lit(0L)))
+      .withColumn("rem", when(col("m") > 0, (col("b") - col("pk")) % col("m")).otherwise(lit(0L)))
+      .withColumn("target",
+        when(col("capped") === 1, col("avail"))
+          .otherwise(col("lvl") + when(col("idx") - col("k") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("source"), col("avail"), col("n_docs"), col("target"))
+  }
+
+  /** Driver query: allocate half the corpus's tokens across sources and
+    * report, per source, the inventory, the exact target, and what the
+    * content-stable sample actually drew. */
+  def q113MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docTok = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens")))
+    val inv = inventory(docTok)
+    // budget = floor(total/2): allocate() sees it as a per-row column via
+    // the totals cross-join, so the whole plan stays declarative
+    val targets = allocate(inv, expr("total div 2"))
+    val slot = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 3), 16, 10)
+      .cast("long")
+    val sampled = docTok
+      .join(broadcast(targets), Seq("source"))
+      .withColumn("keep",
+        (slot * col("avail") < col("target") * Slots).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        coalesce(sum(col("keep")), lit(0L)).as("n_sampled"),
+        coalesce(sum(col("keep") * col("n_tokens")), lit(0L)).as("tokens_sampled"))
+    targets.join(sampled, Seq("source"))
+      .select(col("source"), col("avail").as("avail_tokens"), col("n_docs"),
+        col("target").as("target_tokens"), col("n_sampled"), col("tokens_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** Identical water-filling + md5-slot sampling in DuckDB. */
+  val q113Oracle: String =
+    s"""WITH doc_tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(${Text.tokensSql}) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |inv AS (
+      |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail,
+      |    count(*) AS n_docs
+      |  FROM doc_tok GROUP BY source),
+      |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total, count(*) AS n_src FROM inv),
+      |ranked AS (
+      |  SELECT i.*, t.total, t.n_src, t.total // 2 AS b,
+      |    row_number() OVER (ORDER BY avail, source) AS idx,
+      |    CAST(sum(avail) OVER (ORDER BY avail, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+      |  FROM inv i CROSS JOIN tot t),
+      |flags AS (
+      |  SELECT *,
+      |    CASE WHEN prefix - avail + avail * (n_src - idx + 1) <= b
+      |      THEN 1 ELSE 0 END AS capped
+      |  FROM ranked),
+      |kp AS (
+      |  SELECT CAST(coalesce(sum(capped), 0) AS BIGINT) AS k,
+      |    CAST(coalesce(sum(avail * capped), 0) AS BIGINT) AS pk
+      |  FROM flags),
+      |targets AS (
+      |  SELECT source, avail, n_docs,
+      |    CASE WHEN capped = 1 THEN avail
+      |      ELSE (b - pk) // (n_src - k)
+      |        + CASE WHEN idx - k <= (b - pk) % (n_src - k) THEN 1 ELSE 0 END
+      |    END AS target
+      |  FROM flags CROSS JOIN kp),
+      |sampled AS (
+      |  SELECT d.source,
+      |    CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) AS BIGINT)
+      |        * t.avail < t.target * $Slots THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |    CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) AS BIGINT)
+      |        * t.avail < t.target * $Slots THEN d.n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
+      |  FROM doc_tok d JOIN targets t ON d.source = t.source
+      |  GROUP BY d.source)
+      |SELECT t.source, t.avail AS avail_tokens, t.n_docs,
+      |  CAST(t.target AS BIGINT) AS target_tokens, s.n_sampled, s.tokens_sampled
+      |FROM targets t JOIN sampled s ON t.source = s.source
+      |ORDER BY t.source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_mixture_sample" -> (q113MixtureSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q113_mixture_sample" -> q113Oracle)
+}

@@ -116,6 +116,36 @@ class PropertySpec extends SparkSpec {
     assert(bad.isEmpty, bad.collect().take(5).mkString(","))
   }
 
+  test("mixture water-filling invariants hold on arbitrary inventories") {
+    import spark.implicits._
+    val invGen = for {
+      n <- Gen.chooseNum(1, 12)
+      avails <- Gen.listOfN(n, Gen.chooseNum(1L, 10000L))
+      budgetFrac <- Gen.chooseNum(0, 130) // up to 130% of total — covers the all-capped case
+    } yield (avails, budgetFrac)
+    forAllSampled(invGen, 12) { case (avails, budgetFrac) =>
+      val total = avails.sum
+      val b = total * budgetFrac / 100
+      val inv = avails.zipWithIndex
+        .map { case (a, i) => (f"s$i%02d", a, 1L) }
+        .toDF("source", "avail", "n_docs")
+      val t = ops.Mixture.allocate(inv, lit(b)).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("avail"), r.getAs[Long]("target")))
+      // (1) never allocate past a source's inventory, never negative
+      t.foreach { case (s, avail, target) =>
+        assert(target >= 0 && target <= avail, s"$s: target $target vs avail $avail")
+      }
+      // (2) the budget is met EXACTLY (or the whole corpus taken when it covers it)
+      val want = math.min(b, total)
+      assert(t.map(_._3).sum == want, s"sum targets ${t.map(_._3).sum} != $want (b=$b total=$total)")
+      // (3) water level: any source below a fully-funded one is taken in full
+      val maxTarget = t.map(_._3).max
+      t.foreach { case (s, avail, target) =>
+        if (avail < maxTarget) assert(target == avail, s"$s under the level but not capped")
+      }
+    }
+  }
+
   test("scala UDF surface: registered UDF matches the builtin formulation") {
     // SURVEY §2.11 UDF row: the engine prefers builtins, but the register
     // path must work for user extension points.
