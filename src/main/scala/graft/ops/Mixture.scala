@@ -49,12 +49,16 @@ object Mixture {
     * private[graft]: PropertySpec pins the allocation invariants on
     * arbitrary inventories. */
   private[graft] def allocate(inv: DataFrame, budget: org.apache.spark.sql.Column): DataFrame = {
-    val totals = inv.agg(
-      coalesce(sum(col("avail")), lit(0L)).as("total"),
-      count(lit(1)).as("n_src"))
+    // every scalar (total, n_src, k, pk) is a full-frame window over the
+    // SAME reduced |sources|-row frame — no scalar cross-joins, so the plan
+    // has zero nested-loop nodes and the whole allocation is one narrow
+    // WindowExec chain over an Aggregate (PlanSpec lint–clean by shape)
+    val wAll = Window.partitionBy()
     // order: avail asc, source asc — the canonical order in BOTH engines
     val wOrd = Window.orderBy(col("avail"), col("source"))
-    val ranked = inv.crossJoin(broadcast(totals))
+    inv
+      .withColumn("total", sum(col("avail")).over(wAll))
+      .withColumn("n_src", count(lit(1)).over(wAll))
       .withColumn("b", budget)
       .withColumn("idx", row_number().over(wOrd))
       .withColumn("prefix", sum(col("avail")).over(wOrd))
@@ -63,12 +67,10 @@ object Mixture {
       .withColumn("spend_here",
         col("prefix") - col("avail") + col("avail") * (col("n_src") - col("idx") + 1L))
       .withColumn("capped", (col("spend_here") <= col("b")).cast("long"))
-    // capped is true on a PREFIX of the sort order (spend_here is
-    // non-decreasing in idx), so k = count and Pk = conditional sum
-    val kp = ranked.agg(
-      coalesce(sum(col("capped")), lit(0L)).as("k"),
-      coalesce(sum(col("avail") * col("capped")), lit(0L)).as("pk"))
-    ranked.crossJoin(broadcast(kp))
+      // capped is true on a PREFIX of the sort order (spend_here is
+      // non-decreasing in idx), so k = count and Pk = conditional sum
+      .withColumn("k", sum(col("capped")).over(wAll))
+      .withColumn("pk", sum(col("avail") * col("capped")).over(wAll))
       .withColumn("m", col("n_src") - col("k"))
       // `div` (integral), not Column./ (a DOUBLE Divide) — q106's lesson
       .withColumn("lvl", when(col("m") > 0, expr("(b - pk) div m")).otherwise(lit(0L)))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.11 —
@@ -442,7 +443,61 @@ object Text {
       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
       |ORDER BY ts.doc_id""".stripMargin
 
+  /** Corpus-frequency rarity scoring — the LM-filter shape (train a
+    * statistic on the corpus, score every document against it) without a
+    * language model: a document's score is the mean corpus-wide occurrence
+    * count of its character trigrams, occurrence-weighted. Natural prose
+    * reuses the corpus's common trigrams; OCR noise, mojibake, and
+    * machine-generated junk sit in the rare tail — the cheap stand-in for
+    * a KenLM perplexity gate (CCNet's filter), and the exact-arithmetic
+    * one: counts are integers, the single mean division happens once per
+    * doc from the same two ints in both engines.
+    *
+    * Scale shape: per-(doc, gram) counts via one map-side-combined
+    * groupBy; corpus frequency as a window over the gram hash partition
+    * (cardinality scales with the corpus — the q106 df trick, one shuffle
+    * instead of groupBy + join-back); one final per-doc rollup. No
+    * self-joins, no driver state; the rarest-30 cut is a
+    * TakeOrderedAndProject. */
+  def q114TrigramRarity(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+      .select(col("doc_id"), expr("substring(t, i, 3)").as("gram"))
+    val counts = pos.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val withFreq = counts.withColumn("ng",
+      sum(col("c")).over(Window.partitionBy(col("gram"))))
+    withFreq.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(col("c") * col("ng")).as("sum_freq"))
+      .withColumn("mean_gram_freq",
+        col("sum_freq").cast("double") / col("n_trigrams"))
+      .orderBy(col("mean_gram_freq").asc, col("doc_id"))
+      .limit(30)
+      .select(col("doc_id"), col("n_trigrams"), col("sum_freq"), col("mean_gram_freq"))
+  }
+
+  val q114Oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) >= 3),
+      |e AS (
+      |  SELECT doc_id,
+      |    substr(t, CAST(unnest(generate_series(1, length(t) - 2)) AS INT), 3) AS gram
+      |  FROM g),
+      |c AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY 1, 2),
+      |f AS (SELECT *, CAST(sum(c) OVER (PARTITION BY gram) AS BIGINT) AS ng FROM c),
+      |d AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+      |    CAST(sum(c * ng) AS BIGINT) AS sum_freq
+      |  FROM f GROUP BY 1)
+      |SELECT doc_id, n_trigrams, sum_freq,
+      |  CAST(sum_freq AS DOUBLE) / n_trigrams AS mean_gram_freq
+      |FROM d ORDER BY mean_gram_freq ASC, doc_id LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_trigram_rarity" -> (q114TrigramRarity _),
     "q105_repetition_signals" -> (q105RepetitionSignals _),
     "q40_token_freq"  -> (q40TokenFreq _),
     "q41_doc_quality" -> (q41DocQuality _),
@@ -456,6 +511,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_trigram_rarity" -> q114Oracle,
     "q105_repetition_signals" -> q105Oracle,
     "q40_token_freq"  -> q40Oracle,
     "q41_doc_quality" -> q41Oracle,
