@@ -145,6 +145,48 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The 100 TB story for selective fact-dim joins that are too big to
+    // broadcast: Catalyst's runtime row-level filtering builds a bloom
+    // filter from the filtered build side and injects it as a probe-side
+    // scan predicate, cutting the shuffled bytes to ~the join's selectivity
+    // before the exchange. The engine leans on this (it's planner-injected,
+    // nothing to hand-roll); this test pins that the injection actually
+    // fires on our session for the canonical shape — a selective dim filter
+    // joined to a fact — with the size thresholds scaled down to fixture
+    // data (production defaults: 10 MB creation side / 10 GB probe side).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "100MB")
+      spark.conf.set(keys(3), "-1") // force the shuffle join bloom targets
+      val urgent = Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val j = Tables.lineitem(spark, sf())
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(sum(col("l_quantity")).as("qty"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it still computes the right thing with the filter in place
+      val viaBloom = j.orderBy(col("o_orderdate")).collect()
+      spark.conf.set(keys(0), "false")
+      val plain = Tables.lineitem(spark, sf())
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(sum(col("l_quantity")).as("qty"))
+        .orderBy(col("o_orderdate")).collect()
+      assert(viaBloom.sameElements(plain))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("streaming dropDuplicates collapses a replayed source to exactly-once counts") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("graft-replay")
