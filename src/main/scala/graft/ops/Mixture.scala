@@ -154,9 +154,72 @@ object Mixture {
       |FROM targets t JOIN sampled s ON t.source = s.source
       |ORDER BY t.source""".stripMargin
 
+  private val PackCapacity = 512L // tokens per training sequence
+  private val PackShards = 64L
+
+  /** Sequence packing — the step between sampling and tokenization in a
+    * training pipeline: documents are concatenated (per source, in a
+    * deterministic order) and cut into fixed-capacity training sequences.
+    * A document is assigned to the sequence where its first token lands
+    * (`floor(preceding_tokens / capacity)`), i.e. greedy concat-and-split
+    * packing, computed as a running sum — no sequential driver loop.
+    *
+    * Scale shape: packing is SHARDED — the running sum is a window over
+    * `(source, pack_shard)` where `pack_shard = doc_id % 64` spreads each
+    * source over 64 independent packing streams. Shard count is the
+    * parallelism knob: at 100 TB you size it to the cluster (each shard
+    * packs ~1/shards of a source on one task); sequences never cross
+    * shards, which is exactly how production packers bound coordination.
+    * The per-sequence frame is then rolled up per source: sequence count,
+    * packed tokens, and the mean fill ratio against capacity. */
+  def q115SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pack_shard", col("doc_id") % PackShards)
+    val wPack = Window.partitionBy(col("source"), col("pack_shard"))
+      .orderBy(col("doc_id"))
+    val seqs = docTok
+      .withColumn("cum", sum(col("n_tokens")).over(wPack))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $PackCapacity"))
+      .groupBy(col("source"), col("pack_shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    seqs.groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sequences"),
+        sum(col("toks")).as("packed_tokens"))
+      .withColumn("mean_fill",
+        col("packed_tokens").cast("double") / (col("n_sequences") * PackCapacity))
+      .orderBy(col("source"))
+  }
+
+  val q115Oracle: String =
+    s"""WITH doc_tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(${Text.tokensSql}) AS BIGINT) AS n_tokens,
+      |    doc_id % $PackShards AS pack_shard
+      |  FROM documents),
+      |packed AS (
+      |  SELECT *,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source, pack_shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM doc_tok),
+      |seqs AS (
+      |  SELECT source, pack_shard, (cum - n_tokens) // $PackCapacity AS seq_id,
+      |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+      |  FROM packed GROUP BY 1, 2, 3)
+      |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  count(*) AS n_sequences,
+      |  CAST(sum(toks) AS BIGINT) AS packed_tokens,
+      |  CAST(sum(toks) AS DOUBLE) / (count(*) * $PackCapacity) AS mean_fill
+      |FROM seqs GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q113_mixture_sample" -> (q113MixtureSample _))
+    "q113_mixture_sample" -> (q113MixtureSample _),
+    "q115_sequence_pack"  -> (q115SequencePack _))
 
   val oracles: Map[String, String] = Map(
-    "q113_mixture_sample" -> q113Oracle)
+    "q113_mixture_sample" -> q113Oracle,
+    "q115_sequence_pack"  -> q115Oracle)
 }

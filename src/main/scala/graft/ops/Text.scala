@@ -496,7 +496,72 @@ object Text {
       |  CAST(sum_freq AS DOUBLE) / n_trigrams AS mean_gram_freq
       |FROM d ORDER BY mean_gram_freq ASC, doc_id LIMIT 30""".stripMargin
 
+  private val CmsRows = 4
+  private val CmsWidth = 1024L
+
+  /** Count-min sketch over the token stream — the mergeable heavy-hitter
+    * sketch for 100 TB term statistics (Cormode & Muthukrishnan '05): a
+    * `d×w` grid of counters, each row keyed by an independent hash; a
+    * token's estimate is the MIN over its d cells, an upper bound on the
+    * true count that tightens as w grows. Everything here is deterministic
+    * — row hashes are disjoint 4-hex-digit slices of md5(token), cells are
+    * integer sums — so unlike a sampling sketch the whole artifact is
+    * oracle-checkable bit-for-bit.
+    *
+    * Scale shape: the sketch build is ONE map-side-combined groupBy of
+    * (row, cell) — 4096 counters regardless of corpus size, the textbook
+    * mergeable-sketch shape (partial grids merge by cell-wise add, which
+    * is exactly Spark's partial aggregation). The report joins the top-30
+    * exact tokens (TakeOrdered) against the 4096-row grid (broadcast) and
+    * takes the per-token min — estimate ≥ exact always, equality when no
+    * collision. */
+  def q116CountMinSketch(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val exact = graft.Caches.persist(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("n")))
+    val cells = exact
+      .select(col("token"), col("n"), md5(col("token").cast("binary")).as("m"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .select(col("token"), col("n"), col("r"),
+        (conv(expr("substring(m, 1 + r * 4, 4)"), 16, 10).cast("long") % CmsWidth).as("cell"))
+    val sketch = cells.groupBy(col("r"), col("cell")).agg(sum(col("n")).as("cn"))
+    val top = exact.orderBy(col("n").desc, col("token")).limit(30)
+    top
+      .select(col("token"), col("n"), md5(col("token").cast("binary")).as("m"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .select(col("token"), col("n"), col("r"),
+        (conv(expr("substring(m, 1 + r * 4, 4)"), 16, 10).cast("long") % CmsWidth).as("cell"))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy(col("token"), col("n"))
+      .agg(min(col("cn")).as("cms_estimate"))
+      .select(col("token"), col("n").as("exact_n"), col("cms_estimate"),
+        (col("cms_estimate") - col("n")).as("overestimate"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  val q116Oracle: String =
+    s"""WITH toks AS (
+      |  SELECT unnest($tokensSql) AS token FROM documents),
+      |exact AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+      |cells AS (
+      |  SELECT token, n, r.r,
+      |    CAST('0x' || substr(md5(token), 1 + r.r * 4, 4) AS BIGINT) % $CmsWidth AS cell
+      |  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+      |sketch AS (
+      |  SELECT r, cell, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY 1, 2),
+      |top AS (SELECT token, n FROM exact ORDER BY n DESC, token LIMIT 30)
+      |SELECT t.token, CAST(t.n AS BIGINT) AS exact_n,
+      |  CAST(min(s.cn) AS BIGINT) AS cms_estimate,
+      |  CAST(min(s.cn) - t.n AS BIGINT) AS overestimate
+      |FROM top t
+      |JOIN cells c ON t.token = c.token
+      |JOIN sketch s ON c.r = s.r AND c.cell = s.cell
+      |GROUP BY t.token, t.n
+      |ORDER BY exact_n DESC, t.token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_countmin_sketch" -> (q116CountMinSketch _),
     "q114_trigram_rarity" -> (q114TrigramRarity _),
     "q105_repetition_signals" -> (q105RepetitionSignals _),
     "q40_token_freq"  -> (q40TokenFreq _),
@@ -511,6 +576,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_countmin_sketch" -> q116Oracle,
     "q114_trigram_rarity" -> q114Oracle,
     "q105_repetition_signals" -> q105Oracle,
     "q40_token_freq"  -> q40Oracle,

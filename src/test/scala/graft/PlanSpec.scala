@@ -99,7 +99,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val highCardKeys = Set("user_id", "doc_id", "event_id", "launch_id",
       "o_orderkey", "l_orderkey", "o_custkey", "c_custkey", "vec_id", "query_id", "k",
-      "hg") // md5 shingle hash (q106 df ranking) — cardinality scales with the corpus
+      "hg", // md5 shingle hash (q106 df ranking) — cardinality scales with the corpus
+      "pack_shard") // q115 sharded packing stream — count is the parallelism knob, sized to the cluster
     // "reduced" = an Aggregate on the window's UNARY input chain. Stopping
     // at the first multi-child node matters: an Aggregate on a JOINED side
     // branch doesn't shrink the window's input — the window still sorts
