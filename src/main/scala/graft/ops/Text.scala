@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.11 —
@@ -453,11 +452,14 @@ object Text {
     * one: counts are integers, the single mean division happens once per
     * doc from the same two ints in both engines.
     *
-    * Scale shape: per-(doc, gram) counts via one map-side-combined
-    * groupBy; corpus frequency as a window over the gram hash partition
-    * (cardinality scales with the corpus — the q106 df trick, one shuffle
-    * instead of groupBy + join-back); one final per-doc rollup. No
-    * self-joins, no driver state; the rarest-30 cut is a
+    * Scale shape: the trigram "model" is the per-gram occurrence count —
+    * and the trigram space SATURATES (language text concentrates in a few
+    * thousand of the ~10^5 possible alnum-space grams), so the model is a
+    * tiny aggregate of the occurrence stream (map-side combined) that
+    * broadcast-joins back onto the stream for scoring. The occurrence
+    * frame itself is never shuffled wide: one broadcast hash join plus one
+    * map-side-combined per-doc rollup — a single wide shuffle end to end,
+    * the classic train-broadcast-score topology. The rarest-30 cut is a
     * TakeOrderedAndProject. */
   def q114TrigramRarity(s: SparkSession, dir: String): DataFrame = {
     val pos = Tables.documents(s, dir)
@@ -466,12 +468,12 @@ object Text {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
       .select(col("doc_id"), expr("substring(t, i, 3)").as("gram"))
-    val counts = pos.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-    val withFreq = counts.withColumn("ng",
-      sum(col("c")).over(Window.partitionBy(col("gram"))))
-    withFreq.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_trigrams"),
-        sum(col("c") * col("ng")).as("sum_freq"))
+    val shared = graft.Caches.persist(pos) // model build + scoring both read it
+    val freq = shared.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
+    shared.join(broadcast(freq), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("ng")).as("sum_freq"))
       .withColumn("mean_gram_freq",
         col("sum_freq").cast("double") / col("n_trigrams"))
       .orderBy(col("mean_gram_freq").asc, col("doc_id"))
