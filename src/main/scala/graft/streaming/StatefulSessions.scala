@@ -49,6 +49,33 @@ object StatefulSessions {
     }
   }
 
+  /** The same session fold through Spark 4's arbitrary-state API
+    * (`transformWithState` + [[org.apache.spark.sql.streaming.StatefulProcessor]]):
+    * per-key events buffer in a RocksDB-backed `ListState` across
+    * micro-batches; each batch re-reads the buffer, folds it with
+    * [[sessionize]] and emits, then clears — the bounded-run shape (a live
+    * deployment would hold the buffer and emit on event-time timers
+    * instead of per batch; the fold itself is identical). This is the
+    * successor API to `flatMapGroupsWithState` (q25): typed state handles
+    * (value/list/map per name), TTL, and timers decoupled from the
+    * output-mode contract. StreamingSpec pins its output equal to q25's. */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Ev] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[Ev]("events",
+        org.apache.spark.sql.Encoders.product[Ev],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      rows.foreach(buf.appendValue)
+      val all = buf.get().toVector
+      buf.clear()
+      sessionize(key, all.iterator, null)
+    }
+  }
+
   /** Sessionization through the stateful-API shape, as a driver-contract
     * query (bounded input ⇒ deterministic). Output equals ops.Events.q21. */
   def q25StatefulSessions(s: SparkSession, dir: String): DataFrame = {

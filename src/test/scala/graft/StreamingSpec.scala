@@ -38,4 +38,52 @@ class StreamingSpec extends SparkSpec {
       spark.catalog.dropTempView(name)
     }
   }
+
+  test("transformWithState (Spark 4 arbitrary-state API) equals the q25 session fold") {
+    import graft.streaming.StatefulSessions.{Ev, SessionOut}
+    // transformWithState requires the RocksDB state-store provider — set on
+    // a cloned session so the suite's shared session is untouched
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    val dir = sf()
+    val rawSchema = ss.read.parquet(s"$dir/events.parquet").schema
+    val src = ss.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs = src.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src
+    }
+    val ev = withTs.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        graft.Exact.cents(col("value")).as("value_cents"))
+      .as[Ev]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new graft.streaming.StatefulSessions.SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val name = "graft_tws_sessions"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt")
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val viaTws = ss.table(name)
+        .orderBy(col("user_id"), col("session_seq"))
+        .as[SessionOut].collect()
+      val viaFmgws = graft.streaming.StatefulSessions
+        .q25StatefulSessions(spark, dir)
+        .as[SessionOut](ss.implicits.newProductEncoder).collect()
+      assert(viaTws.length == viaFmgws.length,
+        s"${viaTws.length} vs ${viaFmgws.length} sessions")
+      assert(viaTws.sameElements(viaFmgws))
+    } finally {
+      q.stop()
+      ss.catalog.dropTempView(name)
+    }
+  }
 }
