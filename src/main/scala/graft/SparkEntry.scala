@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Analytics.queries ++ ops.Events.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vector.queries ++
-      ops.Mixture.queries ++
+      ops.Mixture.queries ++ ops.Graph.queries ++
       ops.Launches.queries ++ ops.Multimodal.queries ++ ops.Skew.queries ++
       streaming.Streaming.queries ++ streaming.StatefulSessions.queries ++
       Map("q101_corpus_pipeline" -> (Pipelines.q101CorpusPipeline _))
@@ -31,7 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Analytics.oracles ++ ops.Events.oracles ++
       ops.Text.oracles ++ ops.Dedup.oracles ++ ops.Vector.oracles ++
-      ops.Mixture.oracles ++
+      ops.Mixture.oracles ++ ops.Graph.oracles ++
       ops.Launches.oracles ++ ops.Multimodal.oracles ++ ops.Skew.oracles ++
       streaming.Streaming.oracles ++ streaming.StatefulSessions.oracles ++
       Map("q101_corpus_pipeline" -> Pipelines.q101Oracle)

@@ -954,7 +954,121 @@ object Analytics {
       |UNION ALL SELECT * FROM interp
       |ORDER BY day""".stripMargin
 
+  /** q118: market-basket pair mining (frequent co-purchased part pairs) with
+    * the Apriori prune: any pair with support ≥ s has both items with
+    * support ≥ s, so items below the threshold are dropped BEFORE the
+    * self-join — at 100 TB that prune is the difference between joining the
+    * long tail (most items) and joining only the frequent head. The
+    * self-join is key-local (shuffle on l_orderkey, pairs generated within
+    * an order only, bounded by per-order line count²), never all-pairs
+    * across orders — the same no-cartesian stance as the LSH dedup path.
+    *
+    * `lift_ppm` is exact parts-per-million fixed point
+    * (`sup·n_orders·1e6 // (c1·c2)`) — integer arithmetic end-to-end, so
+    * the result hashes identically under any aggregation order. */
+  def q118BasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val minsup = 3L
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    // Distinct (orderkey, partkey) so a part split across two lines of one
+    // order counts once — standard basket semantics.
+    val baskets = graft.Caches.persist(li.distinct())
+    val itemSup = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minsup)
+    val nOrders = Tables.orders(s, dir).count()
+    // Frequent-item prune: itemSup is small after the HAVING (the frequent
+    // head) — broadcast it into the fact scan.
+    val pruned = baskets.join(broadcast(itemSup), "l_partkey")
+      .select(col("l_orderkey"), col("l_partkey"), col("c"))
+    val a = pruned.select(col("l_orderkey"), col("l_partkey").as("p1"), col("c").as("c1"))
+    val b = pruned.select(col("l_orderkey"), col("l_partkey").as("p2"), col("c").as("c2"))
+    a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minsup)
+      .select(col("p1"), col("p2"), col("support"),
+        expr(s"(support * ${nOrders}L * 1000000L) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
+
+  val q118Oracle: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |item_sup AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM baskets GROUP BY 1 HAVING COUNT(*) >= 3),
+      |pruned AS (
+      |  SELECT b.l_orderkey, b.l_partkey, i.c
+      |  FROM baskets b JOIN item_sup i USING (l_partkey)),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, a.c AS c1, b.c AS c2,
+      |         CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM pruned a JOIN pruned b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3)
+      |SELECT p1, p2, support,
+      |  (support * (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) * 1000000) // (c1 * c2)
+      |    AS lift_ppm
+      |FROM pairs
+      |ORDER BY support DESC, p1, p2""".stripMargin
+
+  /** q119: exact weighted median per (return flag, ship year) — quantity
+    * acts as the weight (FIXTURES.md: quantities are integral doubles, so
+    * the BIGINT cast is lossless and the running sum is exact). The median
+    * is the first price whose cumulative weight reaches half the total —
+    * selected, not interpolated, so the output value is a raw input cell
+    * and hashes exactly.
+    *
+    * Scale shape: the fact table is FIRST reduced by a partial+final
+    * HashAggregate to one row per distinct (group, price) — the running-sum
+    * window then sorts the reduced frame, not raw rows (the PlanSpec
+    * window-lint rule). The median price is unchanged by the reduction:
+    * the first price whose post-aggregation cumulative weight crosses
+    * half-total is the same price a row-level scan would select. */
+  def q119WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val perPrice = Tables.lineitem(s, dir)
+      .groupBy(
+        col("l_returnflag").as("grp"),
+        yearL(col("l_shipdate")).as("ship_year"),
+        col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("wt"))
+    val ord = Window.partitionBy(col("grp"), col("ship_year")).orderBy(col("price"))
+    val all = Window.partitionBy(col("grp"), col("ship_year"))
+    val cum = perPrice
+      .withColumn("cum", sum(col("wt")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wt")).over(all))
+      .filter(col("cum") * lit(2L) >= col("tot"))
+    val pick = Window.partitionBy(col("grp"), col("ship_year")).orderBy(col("cum"))
+    cum.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("grp").as("return_flag"), col("ship_year"),
+        col("price").as("weighted_median"))
+      .orderBy(col("return_flag"), col("ship_year"))
+  }
+
+  val q119Oracle: String =
+    """WITH per_price AS (
+      |  SELECT l_returnflag AS grp,
+      |         CAST(date_part('year', l_shipdate) AS BIGINT) AS ship_year,
+      |         l_extendedprice AS price,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT grp, ship_year, price, wt,
+      |         SUM(wt) OVER (PARTITION BY grp, ship_year ORDER BY price
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         SUM(wt) OVER (PARTITION BY grp, ship_year) AS tot
+      |  FROM per_price),
+      |m AS (
+      |  SELECT grp, ship_year, price, cum,
+      |         ROW_NUMBER() OVER (PARTITION BY grp, ship_year ORDER BY cum) AS rn
+      |  FROM c WHERE 2*cum >= tot)
+      |SELECT grp AS return_flag, ship_year, price AS weighted_median
+      |FROM m WHERE rn = 1
+      |ORDER BY return_flag, ship_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_basket_pairs"   -> (q118BasketPairs _),
+    "q119_weighted_median" -> (q119WeightedMedian _),
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
     "q62_arg_extremes"    -> (q62ArgExtremes _),
@@ -984,6 +1098,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_basket_pairs"   -> q118Oracle,
+    "q119_weighted_median" -> q119Oracle,
     "q58_grouping_sets"   -> q58Oracle,
     "q59_array_ops"       -> q59Oracle,
     "q62_arg_extremes"    -> q62Oracle,

@@ -342,7 +342,60 @@ object Events {
       |FROM versioned
       |ORDER BY user_id, valid_from_ms, event_id""".stripMargin
 
+  /** q120: point-in-time (temporal) join — the consumption side of q108's
+    * SCD2 build, and the standard warehouse pattern for "which dimension
+    * version was valid when this fact happened". Dimension = the user's
+    * signup/purchase state history (SCD2 intervals); facts = click/view
+    * events, each matched to the version whose `[valid_from, valid_to)`
+    * interval contains its timestamp.
+    *
+    * Scale shape: the join is EQUI on user_id (a scaling key) with the
+    * interval containment as a residual predicate — a shuffled hash/merge
+    * join, never a nested loop, because per-user version chains are short
+    * (bounded by state changes, not fact volume). The final rollup is one
+    * partial+final HashAggregate. */
+  def q120TemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("event_type"), tsMs)
+    val dim = scd2Intervals(
+        ev.filter(col("event_type").isin("signup", "purchase"))
+          .withColumnRenamed("ts_ms", "valid_from_ms"),
+        col("user_id"), col("event_type"), col("valid_from_ms"), col("event_id"))
+      .select(col("user_id").as("d_user"), col("event_type").as("state"),
+        col("valid_from_ms"), col("valid_to").as("valid_to_ms"))
+    val facts = ev.filter(col("event_type").isin("click", "view"))
+    facts.join(dim,
+        facts("user_id") === dim("d_user") &&
+          facts("ts_ms") >= dim("valid_from_ms") &&
+          (dim("valid_to_ms").isNull || facts("ts_ms") < dim("valid_to_ms")))
+      .groupBy(col("state"), col("event_type").as("fact_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("state"), col("fact_type"))
+  }
+
+  val q120Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |chg AS (
+      |  SELECT user_id, event_id, event_type, ts_ms AS valid_from_ms,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+      |  FROM ev WHERE event_type IN ('signup', 'purchase')),
+      |dim AS (
+      |  SELECT user_id, event_type AS state, valid_from_ms,
+      |    lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id)
+      |      AS valid_to_ms
+      |  FROM chg WHERE prev IS NULL OR prev <> event_type)
+      |SELECT d.state, f.event_type AS fact_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+      |FROM ev f JOIN dim d
+      |  ON f.user_id = d.user_id AND f.ts_ms >= d.valid_from_ms
+      | AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
+      |WHERE f.event_type IN ('click', 'view')
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_temporal_join"   -> (q120TemporalJoin _),
     "q20_hourly_by_type"   -> (q20HourlyByType _),
     "q21_sessions"         -> (q21Sessions _),
     "q22_json_extract"     -> (q22JsonExtract _),
@@ -362,5 +415,6 @@ object Events {
     "q93_event_funnel"     -> q93Oracle,
     "q107_cohort_retention" -> q107Oracle,
     "q108_scd2_intervals"  -> q108Oracle,
+    "q120_temporal_join"   -> q120Oracle,
   )
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking (PageRank), complementing the connected-components
+  * operator in [[Dedup.q48DedupClusters]]: CC answers "which docs are the
+  * same"; PageRank answers "which nodes matter", the standard importance
+  * measure for link/citation/interaction graphs a training-data pipeline
+  * uses for source weighting. (The reference's surface is flat SQL marts —
+  * `/root/reference/dbt/models/marts/fct_spacex_launches_by_year.sql` — so
+  * this is an engine-capability extension, SURVEY.md §2.11.)
+  *
+  * Determinism discipline: ranks are BIGINT fixed-point (1e12 scale) and
+  * every per-edge contribution is integer-divided BEFORE the aggregate, so
+  * the result is bit-identical under ANY partial-agg order on any cluster —
+  * the same exact-integer stance as the LSH band sketches
+  * (`ops/Vector.scala`) and centroid sums (`ops/Vector.scala:354`). Float
+  * PageRank would hash-differently per run; integer PageRank cannot.
+  *
+  * Scale stance: one hash-partitioned equi-join (ranks ⋈ edges on src) +
+  * one partial+final HashAggregate (on dst) per iteration — the textbook
+  * Spark PageRank topology. Edge shares are computed once and persisted;
+  * iteration count is fixed (k=5), so the unrolled plan is k joins deep and
+  * needs no driver-side convergence reads at all. Overflow-safe at any edge
+  * weight: shares are pre-normalized to 1e6 fixed-point, so the per-edge
+  * product is ≤ 1e12·1e6 = 1e18 < Long.MaxValue regardless of raw weights.
+  */
+object Graph {
+
+  val Scale: Long = 1000000000000L // 1e12 rank fixed-point
+  val ShareScale: Long = 1000000L  // 1e6 edge-share fixed-point
+  val Damping: Int = 85            // ×1/100
+
+  /** Fixed-iteration weighted PageRank over `edges(src: long, dst: long,
+    * w: long)`. Returns `(id, pr_scaled)` — rank in 1e12 fixed-point.
+    *
+    * Dangling nodes (no out-edges) receive rank but emit none — the
+    * simplified formulation (no dangling-mass redistribution), stated so the
+    * oracle pins the same semantics.
+    */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    // Pre-normalize each edge to its source's out-share once (1e6 fixed
+    // point); iterations then never touch raw weights, so k iterations cost
+    // k (join + agg), not k (join + join + agg).
+    val shares = edges.join(outw, "src")
+      .select(col("src"), col("dst"), expr("(w * 1000000L) div ow").as("share"))
+    val sharesP = graft.Caches.persist(shares)
+    val nodesP = graft.Caches.persist(nodes)
+    val n = nodesP.count()
+    val init = Scale / math.max(n, 1L)
+    val base = init * (100 - Damping) / 100
+    var ranks = nodesP.select(col("id"), lit(init).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = sharesP.join(ranks, sharesP("src") === ranks("id"))
+        .select(col("dst"), expr("(rank * share) div 1000000L").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cb"))
+      ranks = nodesP.join(contrib, nodesP("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85L * coalesce(cb, 0L)) div 100")).as("rank"))
+    }
+    ranks.select(col("id"), col("rank").as("pr_scaled"))
+  }
+
+  /** q117: PageRank over the nation-level trade graph — edges are
+    * (supplier nation → customer nation) with weight = shipped line count.
+    * The edge build is the scale-bearing part (three fact-dim joins over
+    * lineitem, dims broadcast); the rank loop then runs on the aggregated
+    * graph. 5 iterations, damping 0.85. */
+  def q117Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pageRank(edges, iterations = 5)
+      .select(col("id").as("nation_id"), col("pr_scaled"))
+      .orderBy(col("nation_id"))
+  }
+
+  /** `(SCALE // N) * 15 // 100` — identical to the Spark-side
+    * `init * (100 - Damping) / 100` (all BIGINT floor divisions). */
+  private val baseSql: String =
+    s"(($Scale//(SELECT COUNT(*) FROM nodes))*15)//100"
+
+  private def iterSql(prev: String): String =
+    s"""SELECT n.id, $baseSql + 85*COALESCE(c.cb,0)//100 AS rank
+       |FROM nodes n LEFT JOIN (
+       |  SELECT e.dst AS id, CAST(SUM((r.rank*e.share)//1000000) AS BIGINT) AS cb
+       |  FROM shares e JOIN $prev r ON e.src = r.id GROUP BY 1) c ON n.id = c.id""".stripMargin
+
+  val q117Oracle: String = {
+    val its = (1 to 5).map(i => s"r$i AS (${iterSql(s"r${i - 1}")})").mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst,
+       |         CAST(COUNT(*) AS BIGINT) w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) ow FROM edges GROUP BY 1),
+       |shares AS (SELECT e.src, e.dst, (e.w*1000000)//o.ow AS share
+       |           FROM edges e JOIN outw o ON e.src = o.src),
+       |r0 AS (SELECT id, CAST($Scale//(SELECT COUNT(*) FROM nodes) AS BIGINT) AS rank
+       |       FROM nodes),
+       |$its
+       |SELECT id AS nation_id, CAST(rank AS BIGINT) AS pr_scaled
+       |FROM r5 ORDER BY nation_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_pagerank" -> (q117Pagerank _))
+
+  def oracles: Map[String, String] = Map(
+    "q117_pagerank" -> q117Oracle)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.{Analytics, Graph}
+import org.apache.spark.sql.functions._
+
+/** Properties for the round-4 mining operators: fixed-point PageRank
+  * (q117), Apriori basket pairs (q118), exact weighted median (q119). The
+  * DuckDB oracle pins values at sf0.01; these pin the algorithmic
+  * invariants on hand-built inputs and sf0.001. */
+class GraphSpec extends SparkSpec {
+
+  test("pageRank matches an integer reference on a hand-built graph") {
+    import spark.implicits._
+    // 4-node graph: 1→2, 1→3, 2→3, 3→1, 4→3 (node 4 dangles nothing; all
+    // nodes have out-edges except none — 4 has one edge out, receives none)
+    val edgeList = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L), (4L, 3L, 5L))
+    val edges = edgeList.toDF("src", "dst", "w")
+    val got = Graph.pageRank(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // In-test reference: same fixed-point integer recurrence, scalar loop.
+    val nodes = (edgeList.map(_._1) ++ edgeList.map(_._2)).distinct.sorted
+    val ow = edgeList.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val share = edgeList.map { case (s, d, w) => (s, d) -> (w * Graph.ShareScale) / ow(s) }.toMap
+    val init = Graph.Scale / nodes.size
+    val base = init * (100 - Graph.Damping) / 100
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 5) {
+      val contrib = nodes.map { n =>
+        n -> share.collect { case ((s, d), sh) if d == n => (rank(s) * sh) / Graph.ShareScale }.sum
+      }.toMap
+      rank = nodes.map(n => n -> (base + 85L * contrib(n) / 100)).toMap
+    }
+    assert(got == rank, s"got=$got expected=$rank")
+  }
+
+  test("q117 ranks are positive and rank mass stays below the scale budget") {
+    val rows = Graph.q117Pagerank(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("pr_scaled") > 0))
+    // Integer floor-division only loses mass, never creates it: total rank
+    // can never exceed the fixed-point budget (1e12).
+    assert(rows.map(_.getAs[Long]("pr_scaled")).sum <= Graph.Scale)
+  }
+
+  test("q118 Apriori invariant: pair support never exceeds either item's support") {
+    val pairs = Analytics.q118BasketPairs(spark, sf("sf0.01")).collect()
+    assert(pairs.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sup = baskets.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { r =>
+      val (p1, p2, s) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"), r.getAs[Long]("support"))
+      assert(p1 < p2, "pairs are canonically ordered")
+      assert(s >= 3, "minsup filter")
+      assert(s <= math.min(sup(p1), sup(p2)), "anti-monotone support")
+    }
+  }
+
+  test("q120 temporal join: SCD2 intervals partition time — each fact matches at most once") {
+    import graft.ops.Events
+    val out = Events.q120TemporalJoin(spark, sf()).collect()
+    val facts = Tables.events(spark, sf())
+      .filter(col("event_type").isin("click", "view")).count()
+    // Intervals are disjoint per user, so the inner join can only LOSE
+    // facts (those before the user's first state), never duplicate them.
+    assert(out.map(_.getAs[Long]("n_events")).sum <= facts)
+    assert(out.forall(r => Set("signup", "purchase")(r.getAs[String]("state"))))
+  }
+
+  test("q119 weighted median balances weight mass in every group") {
+    val med = Analytics.q119WeightedMedian(spark, sf()).collect()
+    assert(med.nonEmpty)
+    val rows = Tables.lineitem(spark, sf())
+      .select(col("l_returnflag"), year(col("l_shipdate")).cast("long"),
+        col("l_extendedprice"), col("l_quantity").cast("long"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    med.foreach { r =>
+      val key = (r.getAs[String]("return_flag"), r.getAs[Long]("ship_year"))
+      val m = r.getAs[Double]("weighted_median")
+      val grp = rows(key)
+      val tot = grp.map(_._2).sum
+      val below = grp.filter(_._1 < m).map(_._2).sum
+      val atOrBelow = grp.filter(_._1 <= m).map(_._2).sum
+      // Weighted-median definition: strictly-below mass under half (else an
+      // earlier price would have crossed); mass through the median reaches
+      // half.
+      assert(2 * below < tot, s"$key below=$below tot=$tot")
+      assert(2 * atOrBelow >= tot, s"$key atOrBelow=$atOrBelow tot=$tot")
+    }
+  }
+}
