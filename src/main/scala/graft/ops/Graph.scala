@@ -73,15 +73,7 @@ object Graph {
     * lineitem, dims broadcast); the rank loop then runs on the aggregated
     * graph. 5 iterations, damping 0.85. */
   def q117Pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("s_nationkey").cast("long").as("src"),
-        col("c_nationkey").cast("long").as("dst"))
-      .agg(count(lit(1)).as("w"))
-    pageRank(edges, iterations = 5)
+    pageRank(tradeEdges(s, dir), iterations = 5)
       .select(col("id").as("nation_id"), col("pr_scaled"))
       .orderBy(col("nation_id"))
   }
@@ -118,9 +110,122 @@ object Graph {
        |FROM r5 ORDER BY nation_id""".stripMargin
   }
 
+  /** Fixed-depth unweighted shortest hops from a seed set: iterative
+    * min-plus relaxation — `dist_{i+1}(v) = min(dist_i(v), 1 + min over
+    * in-edges (u,v) of dist_i(u))` — k rounds, each one equi-join + one
+    * partial+final min-aggregate on the edge endpoint. The frontier never
+    * materializes on the driver; unreached nodes simply carry no row.
+    * All-integer, so exact under any execution order. */
+  def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = graft.Caches.persist(edges.select(col("src"), col("dst")).distinct())
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val hop = e.join(dist, e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.union(hop).groupBy("id").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** q121: trade-graph reachability — hop distance from the region-0
+    * supplier nations to every nation they (transitively) ship to, 4
+    * relaxation rounds. Uses q117's edge build; the dense nation graph
+    * converges in 1-2 hops, but the operator shape is the one that matters
+    * at scale (per-round shuffle on the edge key, no driver loop state). */
+  def q121ShortestHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val seeds = Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("long").as("id"))
+    shortestHops(edges, seeds, maxHops = 4)
+      .select(col("id").as("nation_id"), col("dist").as("hops"))
+      .orderBy(col("nation_id"))
+  }
+
+  val q121Oracle: String = {
+    def hop(prev: String): String =
+      s"""SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |  SELECT id, dist FROM $prev
+         |  UNION ALL
+         |  SELECT e.dst AS id, d.dist + 1 AS dist
+         |  FROM edges e JOIN $prev d ON e.src = d.id
+         |) GROUP BY id""".stripMargin
+    val its = (1 to 4).map(i => s"d$i AS (${hop(s"d${i - 1}")})").mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |d0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+       |       FROM nation WHERE n_regionkey = 0),
+       |$its
+       |SELECT id AS nation_id, dist AS hops FROM d4 ORDER BY nation_id""".stripMargin
+  }
+
+  /** Per-node triangle counts over the undirected trade graph. Each edge is
+    * canonically oriented low-id → high-id, so every triangle {a<b<c} is
+    * enumerated exactly once as the wedge (a,b)+(b,c) closed by (a,c) —
+    * two equi-joins, no cartesian, no double counting. At scale the
+    * orientation key would be (degree, id) instead of raw id, which bounds
+    * wedge fan-out by the arboricity rather than the max degree (the
+    * classic skew hedge); id-orientation keeps the oracle identical and the
+    * count is the same either way. */
+  def triangleCounts(undirected: DataFrame): DataFrame = {
+    val e = graft.Caches.persist(
+      undirected.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b")).distinct())
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y2"), col("b").as("z"))
+    val wedges = e1.join(e2, col("y") === col("y2")).select(col("x"), col("y"), col("z"))
+    val closed = wedges.join(e, wedges("x") === e("a") && wedges("z") === e("b"))
+      .select(col("x"), col("y"), col("z"))
+    closed.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** q122: per-nation triangle participation in the trade graph. */
+  def q122Triangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(tradeEdges(s, dir).select(col("src").as("u"), col("dst").as("v")))
+      .select(col("id").as("nation_id"), col("n_triangles"))
+      .orderBy(col("nation_id"))
+
+  val q122Oracle: String =
+    """WITH raw AS (
+      |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) u, CAST(c_nationkey AS BIGINT) v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey),
+      |e AS (
+      |  SELECT DISTINCT LEAST(u, v) a, GREATEST(u, v) b FROM raw WHERE u <> v),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |members AS (
+      |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |SELECT id AS nation_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM members GROUP BY id ORDER BY nation_id""".stripMargin
+
+  /** Shared edge build for the nation-level trade graph (supplier nation →
+    * customer nation, weight = shipped line count): three fact-dim joins
+    * over lineitem with both dims broadcast, one partial+final aggregate. */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q117_pagerank" -> (q117Pagerank _))
+    "q117_pagerank" -> (q117Pagerank _),
+    "q121_shortest_hops" -> (q121ShortestHops _),
+    "q122_triangles" -> (q122Triangles _))
 
   def oracles: Map[String, String] = Map(
-    "q117_pagerank" -> q117Oracle)
+    "q117_pagerank" -> q117Oracle,
+    "q121_shortest_hops" -> q121Oracle,
+    "q122_triangles" -> q122Oracle)
 }

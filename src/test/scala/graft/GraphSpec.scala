@@ -43,6 +43,26 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("pr_scaled")).sum <= Graph.Scale)
   }
 
+  test("shortestHops computes BFS distances on a path graph, bounded by maxHops") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.shortestHops(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got=$got (4 is beyond 2 hops)")
+  }
+
+  test("triangleCounts on K4 minus one edge: two triangles sharing an edge") {
+    import spark.implicits._
+    // edges (1,2),(1,3),(2,3),(2,4),(3,4) — triangles {1,2,3} and {2,3,4};
+    // fed partly reversed + duplicated to exercise canonicalization.
+    val und = Seq((2L, 1L), (1L, 3L), (2L, 3L), (3L, 2L), (4L, 2L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graph.triangleCounts(und)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got=$got")
+  }
+
   test("q118 Apriori invariant: pair support never exceeds either item's support") {
     val pairs = Analytics.q118BasketPairs(spark, sf("sf0.01")).collect()
     assert(pairs.nonEmpty)
