@@ -969,22 +969,38 @@ object Analytics {
   def q118BasketPairs(s: SparkSession, dir: String): DataFrame = {
     val minsup = 3L
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    // Distinct (orderkey, partkey) so a part split across two lines of one
-    // order counts once — standard basket semantics.
-    val baskets = graft.Caches.persist(li.distinct())
-    val itemSup = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    // Basket semantics: a part split across two lines of one order counts
+    // once — countDistinct here, collect_SET below; no standalone distinct
+    // shuffle is ever materialized.
+    val itemSup = li.groupBy("l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("c"))
       .filter(col("c") >= minsup)
     val nOrders = Tables.orders(s, dir).count()
     // Frequent-item prune: itemSup is small after the HAVING (the frequent
-    // head) — broadcast it into the fact scan.
-    val pruned = baskets.join(broadcast(itemSup), "l_partkey")
-      .select(col("l_orderkey"), col("l_partkey"), col("c"))
-    val a = pruned.select(col("l_orderkey"), col("l_partkey").as("p1"), col("c").as("c1"))
-    val b = pruned.select(col("l_orderkey"), col("l_partkey").as("p2"), col("c").as("c2"))
-    a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"), col("c1"), col("c2"))
+    // head) — broadcast it into the fact scan. Item counts are NOT carried
+    // through the pair shuffle (they'd widen every shuffled row and the
+    // aggregate key); they re-join onto the few surviving pairs instead.
+    // Persisted: the support frame feeds three joins (prune + both lift
+    // factors) — one aggregation, not three.
+    val supB = broadcast(graft.Caches.persist(itemSup))
+    val pruned = li.join(supB.select(col("l_partkey")), "l_partkey")
+    // Pair generation is basket-LOCAL: group each order's (frequent) items
+    // into one sorted array, expand ordered pairs in-task, and let the
+    // partial aggregate compress before the pair shuffle. Versus a
+    // self-join on l_orderkey this shuffles one narrow row per item (not
+    // every pair) and ships pre-combined (p1,p2,count) partials; per-task
+    // memory is bounded by basket size squared, not fact volume.
+    pruned.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minsup)
+      .join(supB.select(col("l_partkey").as("p1"), col("c").as("c1")), Seq("p1"))
+      .join(supB.select(col("l_partkey").as("p2"), col("c").as("c2")), Seq("p2"))
       .select(col("p1"), col("p2"), col("support"),
         expr(s"(support * ${nOrders}L * 1000000L) div (c1 * c2)").as("lift_ppm"))
       .orderBy(col("support").desc, col("p1"), col("p2"))
