@@ -41,7 +41,6 @@ object Graph {
     * oracle pins the same semantics.
     */
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
-    val spark = edges.sparkSession
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's exact-arithmetic stance, actually exercised: queries whose
+  * scaladoc claims "bit-identical under any partial-agg order" must return
+  * identical rows when the shuffle width changes (different partition
+  * counts ⇒ different partial-aggregation grouping and merge order — the
+  * thing that varies between a laptop and a 1000-executor cluster).
+  *
+  * Float-free queries are covered implicitly by the DuckDB hash-match; this
+  * spec pins the claim for the fixed-point/iterative ones where an
+  * order-dependence bug would NOT show up at one fixed local width.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  /** Re-run `name` in a cloned session with a different shuffle width and
+    * compare full collected output (queries end in a total ORDER BY, so
+    * row order is part of the contract). */
+  private def pinned(name: String): Unit = test(
+    s"$name is bit-identical across shuffle widths (4 vs 7)") {
+    val fn = SparkEntry.queries(name)
+    def run(s: SparkSession, w: Int): Seq[String] = {
+      s.conf.set("spark.sql.shuffle.partitions", w.toString)
+      try fn(s, sf("sf0.01")).collect().toSeq.map(_.toString)
+      finally Caches.releaseAll()
+    }
+    val a = run(spark.newSession(), 4)
+    val b = run(spark.newSession(), 7)
+    assert(a == b, s"$name diverged between shuffle widths")
+  }
+
+  pinned("q117_pagerank")        // fixed-point rank recurrence
+  pinned("q110_kmeans_train")    // exact fixed-point Lloyd's
+  pinned("q116_countmin_sketch") // mergeable counter grid
+  pinned("q113_mixture_sample")  // integer water-filling allocation
+  pinned("q118_basket_pairs")    // ppm lift, basket-local pair expansion
+  pinned("q119_weighted_median") // integer cumulative weights
+  pinned("q48_dedup_clusters")   // iterative min-label propagation
+}
