@@ -1082,9 +1082,93 @@ object Analytics {
       |FROM m WHERE rn = 1
       |ORDER BY return_flag, ship_year""".stripMargin
 
+  /** Exact (lower) median of `valCol` per `grpCol`, by the q119 shape: hash
+    * aggregate to one row per distinct (group, value) FIRST, running-count
+    * window over the reduced frame, pick the first value whose cumulative
+    * count crosses half. Returns one row per group: (grpCol, med). */
+  private def exactMedian(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val perVal = df.groupBy(col(grpCol), col(valCol)).agg(count(lit(1)).as("wt"))
+    val ord = Window.partitionBy(col(grpCol)).orderBy(col(valCol))
+    val all = Window.partitionBy(col(grpCol))
+    val cum = perVal
+      .withColumn("cum", sum(col("wt")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wt")).over(all))
+      .filter(col("cum") * lit(2L) >= col("tot"))
+    cum.withColumn("rn", row_number().over(Window.partitionBy(col(grpCol)).orderBy(col("cum"))))
+      .filter(col("rn") === 1)
+      .select(col(grpCol), col(valCol).as("med"))
+  }
+
+  /** q124: robust outlier detection per return flag — median, median
+    * absolute deviation (MAD), and the count of rows beyond 3×MAD. Robust
+    * statistics are the quality-gate workhorse a quantile-from-mean z-score
+    * gets wrong on heavy-tailed data (the mean and stddev are themselves
+    * dragged by the outliers being hunted).
+    *
+    * Exactness: both medians are SELECTED input cells (never interpolated),
+    * deviations are single IEEE subtractions — bit-identical in any engine;
+    * no float is ever summed. Two median passes (each the q119 reduced-
+    * frame shape) + one broadcast join of the per-group stats back onto the
+    * fact scan for the final count. */
+  def q124MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("price"))
+    val liP = graft.Caches.persist(li)
+    val med = broadcast(exactMedian(liP, "grp", "price"))
+    val devs = liP.join(med, "grp")
+      .select(col("grp"), abs(col("price") - col("med")).as("dev"))
+    val mad = broadcast(exactMedian(devs, "grp", "dev").withColumnRenamed("med", "mad"))
+    liP.join(med, "grp").join(mad, "grp")
+      .groupBy(col("grp").as("return_flag"), col("med").as("median_price"),
+        col("mad").as("mad"))
+      .agg(
+        sum(when(abs(col("price") - col("med")) > col("mad") * lit(3.0), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("return_flag"))
+  }
+
+  val q124Oracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS grp, l_extendedprice AS price FROM lineitem),
+      |pv AS (
+      |  SELECT grp, price, CAST(COUNT(*) AS BIGINT) AS wt FROM li GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT grp, price,
+      |    SUM(wt) OVER (PARTITION BY grp ORDER BY price
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(wt) OVER (PARTITION BY grp) AS tot
+      |  FROM pv),
+      |med AS (
+      |  SELECT grp, price AS med FROM (
+      |    SELECT grp, price, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cum) AS rn
+      |    FROM pc WHERE 2*cum >= tot) WHERE rn = 1),
+      |dv AS (
+      |  SELECT li.grp, abs(price - med) AS dev FROM li JOIN med ON li.grp = med.grp),
+      |dvv AS (
+      |  SELECT grp, dev, CAST(COUNT(*) AS BIGINT) AS wt FROM dv GROUP BY 1, 2),
+      |dc AS (
+      |  SELECT grp, dev,
+      |    SUM(wt) OVER (PARTITION BY grp ORDER BY dev
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(wt) OVER (PARTITION BY grp) AS tot
+      |  FROM dvv),
+      |mad AS (
+      |  SELECT grp, dev AS mad FROM (
+      |    SELECT grp, dev, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cum) AS rn
+      |    FROM dc WHERE 2*cum >= tot) WHERE rn = 1)
+      |SELECT li.grp AS return_flag, med AS median_price, mad,
+      |  CAST(SUM(CASE WHEN abs(price - med) > mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM li JOIN med ON li.grp = med.grp JOIN mad ON li.grp = mad.grp
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_basket_pairs"   -> (q118BasketPairs _),
     "q119_weighted_median" -> (q119WeightedMedian _),
+    "q124_mad_outliers"   -> (q124MadOutliers _),
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
     "q62_arg_extremes"    -> (q62ArgExtremes _),
@@ -1116,6 +1200,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q118_basket_pairs"   -> q118Oracle,
     "q119_weighted_median" -> q119Oracle,
+    "q124_mad_outliers"   -> q124Oracle,
     "q58_grouping_sets"   -> q58Oracle,
     "q59_array_ops"       -> q59Oracle,
     "q62_arg_extremes"    -> q62Oracle,

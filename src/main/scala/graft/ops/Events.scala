@@ -394,8 +394,39 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** q123: rolling 7-day distinct users per day (the DAU/WAU shape —
+    * rolling windows + COUNT DISTINCT don't compose in SQL window frames,
+    * and approx sketches change the answer). Exact and scalable via
+    * contribution expansion: each (user, active-day) row contributes to
+    * the 7 target days it can be counted under — a bounded ×7 explode —
+    * then ONE partial+final distinct-aggregate per target day. No range
+    * join, no per-day re-scan; the oracle uses the equivalent
+    * BETWEEN-range join. Target days are restricted to observed activity
+    * days (an empty day has no row — matches the oracle's day spine). */
+  def q123RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val duP = graft.Caches.persist(du)
+    val days = duP.select(col("day").as("tday")).distinct()
+    duP.select(col("user_id"), explode(sequence(col("day"), col("day") + lit(6L))).as("tday"))
+      .join(days, "tday")
+      .groupBy(col("tday").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
+  val q123Oracle: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM du)
+      |SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+      |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_temporal_join"   -> (q120TemporalJoin _),
+    "q123_rolling_distinct" -> (q123RollingDistinct _),
     "q20_hourly_by_type"   -> (q20HourlyByType _),
     "q21_sessions"         -> (q21Sessions _),
     "q22_json_extract"     -> (q22JsonExtract _),
@@ -416,5 +447,6 @@ object Events {
     "q107_cohort_retention" -> q107Oracle,
     "q108_scd2_intervals"  -> q108Oracle,
     "q120_temporal_join"   -> q120Oracle,
+    "q123_rolling_distinct" -> q123Oracle,
   )
 }

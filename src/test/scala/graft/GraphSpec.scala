@@ -89,6 +89,31 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(r => Set("signup", "purchase")(r.getAs[String]("state"))))
   }
 
+  test("q123 rolling 7-day distinct users dominates each day's own distinct count") {
+    import graft.ops.Events
+    val rolling = Events.q123RollingDistinct(spark, sf()).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_users_7d")).toMap
+    val daily = Tables.events(spark, sf())
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+    val totalUsers = Tables.events(spark, sf()).select("user_id").distinct().count()
+    assert(rolling.keySet == daily.keySet, "one row per observed day")
+    rolling.foreach { case (d, n) =>
+      assert(n >= daily(d) && n <= totalUsers, s"day=$d rolling=$n daily=${daily(d)}")
+    }
+  }
+
+  test("q124 MAD stats are internally consistent per group") {
+    val rows = Analytics.q124MadOutliers(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n_rows"),
+        "the median side of the data can never be outliers")
+    }
+  }
+
   test("q119 weighted median balances weight mass in every group") {
     val med = Analytics.q119WeightedMedian(spark, sf()).collect()
     assert(med.nonEmpty)
