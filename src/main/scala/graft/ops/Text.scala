@@ -468,6 +468,12 @@ object Text {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
       .select(col("doc_id"), expr("substring(t, i, 3)").as("gram"))
+    // Deliberately NOT pre-reduced to per-(doc, gram) counts (the oracle's
+    // `c` CTE shape): the gram alphabet is tiny (hundreds), so partial
+    // aggregation already collapses both downstream shuffles map-side to
+    // ~|grams| (freq) and ~|docs-per-partition| (scoring) rows — an
+    // explicit (doc, gram) groupBy would ADD a near-uncompressible shuffle
+    // (measured 2.1x row reduction for one full extra exchange: a loss).
     val shared = graft.Caches.persist(pos) // model build + scoring both read it
     val freq = shared.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
     shared.join(broadcast(freq), Seq("gram"))
