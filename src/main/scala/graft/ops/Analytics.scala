@@ -1082,21 +1082,56 @@ object Analytics {
       |FROM m WHERE rn = 1
       |ORDER BY return_flag, ship_year""".stripMargin
 
-  /** Exact (lower) median of `valCol` per `grpCol`, by the q119 shape: hash
-    * aggregate to one row per distinct (group, value) FIRST, running-count
-    * window over the reduced frame, pick the first value whose cumulative
-    * count crosses half. Returns one row per group: (grpCol, med). */
+  /** Exact (lower) median of `valCol` per `grpCol` — the first value whose
+    * cumulative count reaches ceil(total/2) — by BUCKET REFINEMENT, the
+    * shape that survives groups with billions of rows: no step ever sorts
+    * a group's full value set.
+    *
+    *  1. one hash aggregate → per-group min/max/count (broadcast);
+    *  2. route rows to 1024 value-range buckets (the mapping is monotone,
+    *     so float rounding cannot reorder anything) and hash-aggregate to
+    *     per-(group, bucket) counts — ≤1024 rows per group;
+    *  3. running-count window over THAT tiny frame finds the bucket
+    *     holding the target rank;
+    *  4. only the median bucket's rows (≈1/1024 of the group) are
+    *     re-aggregated per distinct value and scanned for the crossing —
+    *     the sole value-ordered step, on a frame 3 orders of magnitude
+    *     reduced.
+    *
+    * Every selection is a min-aggregate over an upward-closed qualifying
+    * set (never a window over a joined frame), and the returned median is
+    * a raw input cell.
+    *
+    * Local-scale honesty: at sf0.1 this is ~1s slower than the naive
+    * sort-the-group window (more passes over the input, which should be
+    * persisted by the caller) — the refinement pays off where it matters,
+    * when a single group no longer fits one sort task. */
   private def exactMedian(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
-    val perVal = df.groupBy(col(grpCol), col(valCol)).agg(count(lit(1)).as("wt"))
-    val ord = Window.partitionBy(col(grpCol)).orderBy(col(valCol))
-    val all = Window.partitionBy(col(grpCol))
-    val cum = perVal
-      .withColumn("cum", sum(col("wt")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("wt")).over(all))
-      .filter(col("cum") * lit(2L) >= col("tot"))
-    cum.withColumn("rn", row_number().over(Window.partitionBy(col(grpCol)).orderBy(col("cum"))))
-      .filter(col("rn") === 1)
-      .select(col(grpCol), col(valCol).as("med"))
+    val K = 1024
+    val stats = broadcast(df.groupBy(col(grpCol)).agg(
+      min(col(valCol)).as("mn"), max(col(valCol)).as("mx"), count(lit(1)).as("tot")))
+    val bucketed = df.join(stats, grpCol).withColumn("bkt",
+      when(col("mx") === col("mn"), lit(0)).otherwise(
+        least(floor((col(valCol) - col("mn")) / (col("mx") - col("mn")) * K).cast("int"),
+          lit(K - 1))))
+    val bcnt = bucketed.groupBy(col(grpCol), col("bkt"), expr("(tot + 1L) div 2").as("target"))
+      .agg(count(lit(1)).as("c"))
+    val cumB = bcnt.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col(grpCol)).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val medBkt = broadcast(cumB.filter(col("cum") >= col("target"))
+      .groupBy(col(grpCol))
+      .agg(min(col("bkt")).as("mbkt"),
+        min_by(col("cum") - col("c"), col("bkt")).as("below"),
+        min(col("target")).as("target")))
+    val perVal = bucketed.join(medBkt, grpCol).filter(col("bkt") === col("mbkt"))
+      .groupBy(col(grpCol), col(valCol), col("below"), col("target"))
+      .agg(count(lit(1)).as("c2"))
+    val cumV = perVal.withColumn("cum2",
+      sum(col("c2")).over(Window.partitionBy(col(grpCol)).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cumV.filter(col("below") + col("cum2") >= col("target"))
+      .groupBy(col(grpCol)).agg(min(col(valCol)).as("med"))
   }
 
   /** q124: robust outlier detection per return flag — median, median
@@ -1115,8 +1150,11 @@ object Analytics {
       .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("price"))
     val liP = graft.Caches.persist(li)
     val med = broadcast(exactMedian(liP, "grp", "price"))
-    val devs = liP.join(med, "grp")
-      .select(col("grp"), abs(col("price") - col("med")).as("dev"))
+    // Persisted: exactMedian scans its input three times (stats, bucket
+    // counts, median-bucket refinement) — without this the deviation
+    // join+abs would recompute on every pass.
+    val devs = graft.Caches.persist(liP.join(med, "grp")
+      .select(col("grp"), abs(col("price") - col("med")).as("dev")))
     val mad = broadcast(exactMedian(devs, "grp", "dev").withColumnRenamed("med", "mad"))
     liP.join(med, "grp").join(mad, "grp")
       .groupBy(col("grp").as("return_flag"), col("med").as("median_price"),

@@ -36,5 +36,6 @@ class DeterminismSpec extends SparkSpec {
   pinned("q113_mixture_sample")  // integer water-filling allocation
   pinned("q118_basket_pairs")    // ppm lift, basket-local pair expansion
   pinned("q119_weighted_median") // integer cumulative weights
+  pinned("q124_mad_outliers")    // bucket-refinement median selection
   pinned("q48_dedup_clusters")   // iterative min-label propagation
 }
