@@ -34,6 +34,83 @@ class GraphSpec extends SparkSpec {
     assert(got == rank, s"got=$got expected=$rank")
   }
 
+  test("pageRank matches the scalar reference on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 5
+      val edgeList = (for {
+        s <- 1L to n; d <- 1L to n
+        if s != d && rnd.nextDouble() < 0.12
+      } yield (s, d, 1L + rnd.nextInt(9))).toVector
+      val got = Graph.pageRank(edgeList.toDF("src", "dst", "w"), iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = (edgeList.map(_._1) ++ edgeList.map(_._2)).distinct
+      val ow = edgeList.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val share = edgeList.map { case (s, d, w) => (s, d) -> (w * Graph.ShareScale) / ow(s) }.toMap
+      val init = Graph.Scale / nodes.size
+      val base = init * (100 - Graph.Damping) / 100
+      var rank = nodes.map(_ -> init).toMap
+      for (_ <- 1 to 4) {
+        val contrib = nodes.map { v =>
+          v -> share.collect { case ((s, d), sh) if d == v => (rank(s) * sh) / Graph.ShareScale }.sum
+        }.toMap
+        rank = nodes.map(v => v -> (base + 85L * contrib(v) / 100)).toMap
+      }
+      assert(got == rank, s"trial $trial (n=$n, ${edgeList.size} edges)")
+    }
+  }
+
+  test("triangleCounts matches brute-force triple enumeration on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 15 + trial * 5
+      val und = (for {
+        u <- 1L to n; v <- 1L to n
+        if u != v && rnd.nextDouble() < 0.2
+      } yield (u, v)).toVector // directed duplicates exercise canonicalization
+      val got = Graph.triangleCounts(und.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val es = und.map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+      val ids = (und.map(_._1) ++ und.map(_._2)).distinct.sorted
+      val expected = (for {
+        a <- ids; b <- ids if a < b && es((a, b))
+        c <- ids if b < c && es((b, c)) && es((a, c))
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == expected, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("shortestHops matches scalar BFS on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 20L + trial * 5
+      val edges = (for {
+        s <- 1L to n; d <- 1L to n
+        if s != d && rnd.nextDouble() < 0.08
+      } yield (s, d)).toVector
+      val seeds = (1L to n).filter(_ => rnd.nextDouble() < 0.15).toVector match {
+        case Vector() => Vector(1L)
+        case v        => v
+      }
+      val hops = 3
+      val got = Graph.shortestHops(edges.toDF("src", "dst"), seeds.toDF("id"), hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to hops) {
+        val relaxed = dist.toSeq.flatMap { case (u, du) =>
+          adj.getOrElse(u, Vector()).map(_ -> (du + 1L))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      }
+      assert(got == dist, s"trial $trial (n=$n, seeds=${seeds.size})")
+    }
+  }
+
   test("q117 ranks are positive and rank mass stays below the scale budget") {
     val rows = Graph.q117Pagerank(spark, sf()).collect()
     assert(rows.nonEmpty)
