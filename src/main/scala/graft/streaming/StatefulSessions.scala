@@ -94,11 +94,79 @@ object StatefulSessions {
   /** Same sessions as the window formulation — same oracle (ops.Events). */
   val q25Oracle: String = graft.ops.Events.q21Oracle
 
+  private val twsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q125: the SAME session fold through Spark 4's arbitrary-state
+    * streaming API — a bounded `readStream` → `transformWithState`
+    * ([[SessionProcessor]], RocksDB-backed ListState) → memory sink run,
+    * drained synchronously so the result is deterministic and carries the
+    * identical DuckDB oracle as q21/q25. This gives the successor-API path
+    * (typed state handles + timers, the one a live deployment would use)
+    * its own CORRECTNESS row instead of only spec coverage.
+    *
+    * Deployment knobs as in the other bounded runs: state parallelism 4
+    * (sized to the fixture stream), scratch checkpoint on tmpfs, sink
+    * dropped after draining (the sink holds folded sessions — bounded by
+    * user activity, never raw stream rows). */
+  def q125TwsSessions(outer: SparkSession, dir: String): DataFrame = {
+    val ss = outer.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 4)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // transformWithState requires the RocksDB state-store provider
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val rawSchema = ss.read.parquet(s"$dir/events.parquet").schema
+    val src = ss.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs = src.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src
+    }
+    val ev = withTs.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        graft.Exact.cents(col("value")).as("value_cents"))
+      .as[Ev]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val name = s"graft_tws_sessions_${twsCounter.incrementAndGet()}"
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckptRoot = if (java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "graft-ckpt-")
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // drain + drop the sink (bounded aggregate — same discipline as q24)
+    val t = ss.table(name)
+    val (rows, schema) = (t.collect(), t.schema)
+    ss.catalog.dropTempView(name)
+    ss.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Identical semantics ⇒ identical oracle. */
+  val q125Oracle: String = graft.ops.Events.q21Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_stateful_sessions" -> (q25StatefulSessions _),
+    "q125_tws_sessions"     -> (q125TwsSessions _),
   )
 
   val oracles: Map[String, String] = Map(
     "q25_stateful_sessions" -> q25Oracle,
+    "q125_tws_sessions"     -> q125Oracle,
   )
 }
