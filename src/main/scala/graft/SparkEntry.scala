@@ -22,6 +22,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Analytics.queries ++ ops.Events.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vector.queries ++
       ops.Mixture.queries ++ ops.Graph.queries ++
+      ops.Changes.queries ++ ops.Sketches.queries ++
       ops.Launches.queries ++ ops.Multimodal.queries ++ ops.Skew.queries ++
       streaming.Streaming.queries ++ streaming.StatefulSessions.queries ++
       Map("q101_corpus_pipeline" -> (Pipelines.q101CorpusPipeline _))
@@ -32,6 +33,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Analytics.oracles ++ ops.Events.oracles ++
       ops.Text.oracles ++ ops.Dedup.oracles ++ ops.Vector.oracles ++
       ops.Mixture.oracles ++ ops.Graph.oracles ++
+      ops.Changes.oracles ++ ops.Sketches.oracles ++
       ops.Launches.oracles ++ ops.Multimodal.oracles ++ ops.Skew.oracles ++
       streaming.Streaming.oracles ++ streaming.StatefulSessions.oracles ++
       Map("q101_corpus_pipeline" -> Pipelines.q101Oracle)

@@ -1203,7 +1203,55 @@ object Analytics {
       |GROUP BY 1, 2, 3
       |ORDER BY 1""".stripMargin
 
+  /** q130: group-wise simple linear regression — revenue trend (cents/year)
+    * per order priority, fit by ordinary least squares over the per-year
+    * revenue totals. Two aggregations, both partial+final HashAggregate:
+    * the (priority, year) rollup reduces the fact table, then the moment
+    * sums (n, Σx, Σy, Σxx, Σxy) reduce the 5×7 rollup — so at 100 TB the
+    * regression costs exactly one fact-table pass.
+    *
+    * Exactness: x is the small year index, y exact cents, so every moment
+    * is a BIGINT (no Σ of doubles); the slope is emitted as the truncated
+    * integer quotient of the closed-form OLS fraction
+    * `(n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` — Spark `div` and DuckDB `//` both
+    * truncate toward zero (verified), so the hash is engine-stable even for
+    * negative slopes. Spark's float `regr_slope` exists but would not
+    * hash-match; the integer form is the determinism-disciplined variant. */
+  def q130RegrSlope(s: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        (year(col("o_orderdate")) - 1992).cast("long").as("x"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("y"))
+    yearly.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("prio").as("priority"), col("n").as("n_years"),
+        expr("(n * sxy - sx * sy) div nullif(n * sxx - sx * sx, 0)")
+          .as("slope_cents_per_year"),
+        expr("(sy - ((n * sxy - sx * sy) div nullif(n * sxx - sx * sx, 0)) * sx) div n")
+          .as("intercept_cents"))
+      .orderBy(col("priority"))
+  }
+
+  val q130Oracle: String =
+    """WITH yearly AS (
+      |  SELECT o_orderpriority prio,
+      |         CAST(year(o_orderdate) - 1992 AS BIGINT) x,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT prio, count(*) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+      |         CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(x * y) AS BIGINT) sxy
+      |  FROM yearly GROUP BY 1)
+      |SELECT prio AS priority, CAST(n AS BIGINT) AS n_years,
+      |       CAST((n * sxy - sx * sy) // nullif(n * sxx - sx * sx, 0) AS BIGINT)
+      |         AS slope_cents_per_year,
+      |       CAST((sy - ((n * sxy - sx * sy) // nullif(n * sxx - sx * sx, 0)) * sx) // n
+      |         AS BIGINT) AS intercept_cents
+      |FROM m ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_regr_slope"     -> (q130RegrSlope _),
     "q118_basket_pairs"   -> (q118BasketPairs _),
     "q119_weighted_median" -> (q119WeightedMedian _),
     "q124_mad_outliers"   -> (q124MadOutliers _),
@@ -1236,6 +1284,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_regr_slope"     -> q130Oracle,
     "q118_basket_pairs"   -> q118Oracle,
     "q119_weighted_median" -> q119Oracle,
     "q124_mad_outliers"   -> q124Oracle,

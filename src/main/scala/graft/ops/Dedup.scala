@@ -534,7 +534,46 @@ object Dedup {
       |FROM sizes s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** q129: edit-distance (Levenshtein) similarity self-join over part names —
+    * the record-linkage / fuzzy-dedup primitive the MinHash (q46) and n-gram
+    * Jaccard (q106) joins approximate. Exact-but-pruned topology:
+    *
+    *   1. BLOCK on p_brand (equi-join — candidate pairs only ever form
+    *      inside a block; at 100 TB the blocking key is the thing that keeps
+    *      this from being all-pairs, same role as q46's LSH bands);
+    *   2. LENGTH-BAND prune: |len(a) − len(b)| > k implies dist > k, so the
+    *      filter is lossless for a distance-k threshold;
+    *   3. banded Levenshtein with early exit (`levenshtein(a, b, k)` —
+    *      O(k·n) per pair instead of O(n²), returns −1 past the threshold).
+    *
+    * The oracle brute-forces the unpruned pairwise distance inside each
+    * block, proving both prunes lossless. Top-50 by (dist, key pair) is a
+    * total order (keys unique). */
+  def q129EditDistPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_brand").as("b"), col("p_name").as("nm"))
+    val a = p.select(col("pk").as("k1"), col("b"), col("nm").as("n1"))
+    val bb = p.select(col("pk").as("k2"), col("b").as("b2"), col("nm").as("n2"))
+    a.join(bb, col("b") === col("b2") && col("k1") < col("k2"))
+      .filter(abs(length(col("n1")) - length(col("n2"))) <= k)
+      .select(col("b").as("brand"), col("k1"), col("k2"),
+        expr(s"levenshtein(n1, n2, $k)").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .orderBy(col("dist"), col("k1"), col("k2"))
+      .limit(50)
+  }
+
+  val q129Oracle: String =
+    """SELECT a.p_brand AS brand, a.p_partkey AS k1, b.p_partkey AS k2,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY dist, k1, k2 LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_editdist_pairs" -> (q129EditDistPairs _),
     "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
     "q45_exact_dup_stats"      -> (q45ExactDupStats _),
     "q46_minhash_lsh_pairs"    -> (q46MinhashLshPairs _),
@@ -545,6 +584,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_editdist_pairs" -> q129Oracle,
     "q44_dedup_latest_per_key" -> q44Oracle,
     "q45_exact_dup_stats"      -> q45Oracle,
     "q46_minhash_lsh_pairs"    -> q46Oracle,

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch, built from first principles on
+  * codegen'd builtins (md5 / conv / length / shiftleft) — complementing the
+  * KMV sketch (q83, `ops/Analytics.scala`) and the count-min sketch (q116,
+  * `ops/Text.scala`). Flajolet et al. 2007 ("HyperLogLog: the analysis of a
+  * near-optimal cardinality estimation algorithm") via the register
+  * formulation every engine (including Spark's own approx_count_distinct)
+  * uses.
+  *
+  * Exactness discipline: the whole sketch is integer arithmetic —
+  *   - bucket = first 8 md5 bits, rho = leading-zero rank of the next 40
+  *     bits (via base-2 string length: `conv(hex, 16, 2)` / DuckDB
+  *     `bin()` — both render minimal-width, so length is the bit width);
+  *   - the harmonic sum Σ 2^-M_j is scaled by 2^40 so every term
+  *     `2^(40-M_j)` is an exact BIGINT (M_j ∈ [1, 40]);
+  *   - alpha_m·m² is the precomputed integer constant 47073
+  *     (⌊0.7213/(1+1.079/256)·256²⌋), so the estimate is one integer
+  *     division.
+  * Bit-identical under any partial-agg order, any cluster size — the same
+  * stance as the KMV/count-min/LSH sketches.
+  *
+  * Scale: registers are ONE partial+final hash aggregation on (group,
+  * bucket) — max() is mergeable, so map-side combine reduces each partition
+  * to ≤ m rows per group before the shuffle; the register→estimate step
+  * aggregates m=256 rows per group. The exact countDistinct alongside is
+  * for the accuracy report only (the thing the sketch replaces at 100 TB).
+  */
+object Sketches {
+
+  val Buckets = 256          // m = 2^8 registers
+  val ValueBits = 40         // rho domain: md5 bits 9..48
+  val AlphaM2 = 47073L       // ⌊alpha_256 · 256²⌋, alpha_256 = 0.7213/(1 + 1.079/256)
+
+  /** Per-group HLL registers: (group, bucket, M) for non-empty buckets. */
+  def hllRegisters(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val h = md5(key.cast("string").cast("binary"))
+    df.select(group.as("g"),
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+        (lit(ValueBits + 1) - length(conv(substring(h, 3, 10), 16, 2))).as("rho"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** Collapse registers to the HLL raw estimate (exact integer form).
+    * Empty buckets contribute 2^40 (rho 0) via the (m − present) term. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("g"))
+      .agg(sum(expr(s"shiftleft(1L, $ValueBits - m)")).as("s"),
+        count(lit(1)).as("nb"))
+      .select(col("g"),
+        expr(s"${AlphaM2 * (1L << ValueBits)}L div (s + ($Buckets - nb) * ${1L << ValueBits}L)")
+          .as("hll_estimate"),
+        (lit(Buckets) - col("nb")).cast("long").as("n_zero_registers"))
+
+  /** q127: distinct users per event type — HLL estimate vs exact, with the
+    * zero-register count (the small-range-correction signal) and the signed
+    * error. No floats anywhere, so the driver hash is stable. */
+  def q127HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val est = hllEstimate(hllRegisters(ev, col("event_type"), col("user_id")))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, est("g") === exact("event_type"))
+      .select(col("event_type"), col("hll_estimate"), col("exact_distinct"),
+        (col("hll_estimate") - col("exact_distinct")).as("err"),
+        col("n_zero_registers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q127Oracle: String = {
+    val s40 = 1L << ValueBits
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) bucket,
+       |    ${ValueBits + 1} - length(bin(
+       |      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 10) AS BIGINT))) rho
+       |  FROM events),
+       |regs AS (SELECT event_type, bucket, max(rho) m FROM h GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT event_type,
+       |    CAST(sum(1::BIGINT << ($ValueBits - m)) AS BIGINT) s,
+       |    count(*) nb
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |    CAST(${AlphaM2 * s40} // (s + ($Buckets - nb) * $s40) AS BIGINT) hll_estimate,
+       |    CAST($Buckets - nb AS BIGINT) n_zero_registers
+       |  FROM terms),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) exact_distinct FROM events GROUP BY 1)
+       |SELECT e.event_type, e.hll_estimate,
+       |       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       |       CAST(e.hll_estimate - x.exact_distinct AS BIGINT) AS err,
+       |       e.n_zero_registers
+       |FROM est e JOIN ex x USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_hll_distinct" -> (q127HllDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q127_hll_distinct" -> q127Oracle)
+}
