@@ -80,14 +80,19 @@ object Streaming {
     * The setting lives on a cloned session (shared SparkContext + cache,
     * isolated SQLConf and temp-view catalog), so the caller's session is
     * never mutated — safe under concurrent tenants. */
-  private def withStateParallelism[T](s: SparkSession, n: Int)(f: SparkSession => T): T = {
+  private def withStateParallelism[T](s: SparkSession, n: Int,
+      noDataBatches: Boolean = false)(f: SparkSession => T): T = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n)
-    // Bounded fixture runs need no watermark-only batches: complete-mode
-    // aggregations re-emit every batch, and the interval join emits inner
-    // matches immediately — the extra no-data batch would only advance the
-    // watermark to evict state that is about to be dropped anyway.
-    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Bounded fixture runs usually need no watermark-only batches:
+    // complete-mode aggregations re-emit every batch, and the inner
+    // interval join emits matches immediately — the extra no-data batch
+    // would only advance the watermark to evict state that is about to be
+    // dropped anyway. The EXCEPTION is outer stream-stream joins (q128):
+    // null-extended rows are emitted by eviction itself, which only
+    // happens in a batch that runs AFTER the watermark has advanced — so
+    // those runs opt in to the trailing no-data batch.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     f(ss)
   }
 
@@ -281,6 +286,96 @@ object Streaming {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_purchase
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Left-OUTER stream-stream interval join (§2.10 — the outer variant of
+    * q103): signups keep a row even when no purchase follows within the
+    * hour, the abandoned-signup / attribution shape. Outer stream-stream
+    * semantics are WATERMARK-DRIVEN: a null-extended row is emitted only
+    * when eviction proves no match can still arrive — i.e. when the global
+    * watermark (min over both sides' watermarks, each max-event-time − 1 h)
+    * passes the signup's last possible match time (s_ts + 1 h). A bounded
+    * run therefore (a) opts in to the trailing no-data micro-batch that
+    * advances the watermark after the data batch, and (b) still ends with
+    * signups inside the final two-hour horizon unreported — not missing
+    * rows but the semantically correct "undecidable yet" tail, which the
+    * oracle reproduces with the same `s_ts + 1h < min(max_s, max_p) − 1h`
+    * cutoff at exact µs precision. State stays bounded exactly as in the
+    * inner join; the emitted-vs-held distinction is the whole point of the
+    * test. */
+  def q128StreamLeftOuterJoin(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4, noDataBatches = true) { s =>
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    def src: DataFrame = {
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    }
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    // foreachBatch partial aggregation, exactly q103's shape (driver holds
+    // O(distinct users), not O(rows)); matched and null-extended rows are
+    // counted separately, gaps/cents only over matches.
+    def partialAgg(rows: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      rows.groupBy((col("s_user") % 10).as("user_mod10"), col("s_user"))
+        .agg(
+          count(col("p_user")).as("n_matched"),
+          count(when(col("p_user").isNull, lit(1))).as("n_unmatched"),
+          coalesce(sum(expr("unix_micros(p_ts) - unix_micros(s_ts)")), lit(0L)).as("sum_gap_us"))
+    val partialSchema = partialAgg(
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), joined.schema)).schema
+    val partials = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    drainBounded(ckpt => joined.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = partialAgg(batch).collect()
+        partials.synchronized { partials.addAll(java.util.Arrays.asList(rows: _*)); () }
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt))
+    s.createDataFrame(partials, partialSchema)
+      .groupBy(col("user_mod10"))
+      .agg(
+        sum(col("n_matched")).as("n_matched"),
+        sum(col("n_unmatched")).as("n_unmatched"),
+        countDistinct(col("s_user")).as("n_users"),
+        sum(col("sum_gap_us")).as("sum_gap_us"))
+      .orderBy(col("user_mod10"))
+  }
+
+  /** The eviction cutoff mirrors Spark's outer-join emission rule: global
+    * watermark = min(max s_ts, max p_ts) − 1 h (multipleWatermarkPolicy
+    * defaults to min); a null row exists iff s_ts + 1 h < that watermark. */
+  val q128Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |s AS (SELECT user_id AS s_user, ts_us AS s_us FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id AS p_user, ts_us AS p_us, value FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(s_us) FROM s), (SELECT max(p_us) FROM p))
+      |              - 3600000000 AS w),
+      |j AS (
+      |  SELECT s.s_user, s.s_us, p.p_us FROM s LEFT JOIN p ON s_user = p_user
+      |    AND p_us >= s_us AND p_us <= s_us + 3600000000),
+      |k AS (
+      |  SELECT * FROM j
+      |  WHERE p_us IS NOT NULL OR s_us + 3600000000 < (SELECT w FROM wm))
+      |SELECT CAST(s_user % 10 AS BIGINT) AS user_mod10,
+      |  count(p_us) AS n_matched,
+      |  count(*) - count(p_us) AS n_unmatched,
+      |  count(DISTINCT s_user) AS n_users,
+      |  CAST(coalesce(sum(p_us - s_us), 0) AS BIGINT) AS sum_gap_us
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming MERGE sink (§2.10 + §2.1 S6 composed): every micro-batch
     * upserts into the stored table via [[graft.Materialize.upsertInPlace]]
     * — latest row per `key` wins. Delivery is foreachBatch's
@@ -314,11 +409,13 @@ object Streaming {
     "q24_streaming_hourly" -> (q24StreamingHourly _),
     "q77_stream_static_join" -> (q77StreamStaticJoin _),
     "q103_stream_stream_join" -> (q103StreamStreamJoin _),
+    "q128_stream_left_outer" -> (q128StreamLeftOuterJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "q24_streaming_hourly" -> q24Oracle,
     "q77_stream_static_join" -> q77Oracle,
     "q103_stream_stream_join" -> q103Oracle,
+    "q128_stream_left_outer" -> q128Oracle,
   )
 }
