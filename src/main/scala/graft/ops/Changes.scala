@@ -34,9 +34,18 @@ object Changes {
     * the whole operator is ONE partial+final aggregation on the key — the
     * scalable shape (no per-key window sort, no shuffle beyond the groupBy).
     *
-    * `max_by` with a struct ordering key stays in ObjectHashAggregate (the
-    * verify notes pin that `max(struct(...))` falls back to SortAggregate).
-    */
+    * Physical plan note: a struct-valued `max_by` buffer is not
+    * fixed-width, so this runs as partial+final SortAggregate, not
+    * HashAggregate. That is the right trade here and was chosen with eyes
+    * open: (a) partial aggregation still reduces each map partition to one
+    * row per key before the shuffle, so shuffle volume is unchanged; (b)
+    * the alternative single-pass shapes don't beat it — ObjectHashAggregate
+    * (via a typed Aggregator) falls back to sort-based past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (128)
+    * distinct groups, which a changelog's key cardinality always exceeds,
+    * and a HashAggregate-friendly two-pass (max packed version, then join
+    * back for the payload) re-shuffles the full changelog a second time —
+    * strictly more I/O than one map-side sort. */
   def cdcSnapshot(log: DataFrame, key: Column, ts: Column, seq: Column,
                   op: Column, payload: Seq[(String, Column)]): DataFrame = {
     val pay = struct(op.as("op") +: ts.as("ts") +: payload.map { case (n, c) => c.as(n) }: _*)

@@ -59,12 +59,19 @@ object Sketches {
 
   /** q127: distinct users per event type — HLL estimate vs exact, with the
     * zero-register count (the small-range-correction signal) and the signed
-    * error. No floats anywhere, so the driver hash is stable. */
+    * error. No floats anywhere, so the driver hash is stable.
+    *
+    * One fact pass: both the registers and the exact count derive from a
+    * single distinct (event_type, user_id) shuffle (max() is insensitive to
+    * duplicates, countDistinct needs the dedup anyway); the two downstream
+    * aggregations then run over the reduced distinct frame, not the fact
+    * table. The distinct frame is persisted so the branches share it. */
   def q127HllDistinct(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val ev = graft.Caches.persist(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct())
     val est = hllEstimate(hllRegisters(ev, col("event_type"), col("user_id")))
     val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .agg(count(lit(1)).as("exact_distinct"))
     est.join(exact, est("g") === exact("event_type"))
       .select(col("event_type"), col("hll_estimate"), col("exact_distinct"),
         (col("hll_estimate") - col("exact_distinct")).as("err"),
