@@ -424,7 +424,66 @@ object Events {
       |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q133: strictly-ORDERED multi-step funnel — signup, then the first view
+    * AFTER that signup, then the first purchase AFTER that view. q93's
+    * conditional aggregation cannot express this (each step's qualifying
+    * set depends on the previous step's chosen timestamp, the classic
+    * sequential-funnel semantics); the scalable shape is a chain of
+    * per-step aggregations stitched by equi-joins on user_id — every
+    * shuffle is on the scaling key, no per-user sort window, no event
+    * explosion. Gaps are exact integer ms sums.
+    *
+    * At 100 TB each step's input is pre-filtered to one event type before
+    * its join (pushed to the scan), so the chain touches the fact table
+    * once per step and carries only (user, ts) rows between steps. */
+  def q133OrderedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Caches.persist(
+      Tables.events(s, dir).select(col("user_id"), col("event_type"), tsMs))
+    def firstAfter(evType: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts_ms") > col(prevTs))
+        .groupBy(col("user_id"), col(prevTs))
+        .agg(min(col("ts_ms")).as(outTs))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("s_ts"))
+    val s2 = firstAfter("view", s1, "s_ts", "v_ts")
+    val s3 = firstAfter("purchase", s2.select(col("user_id"), col("v_ts")), "v_ts", "p_ts")
+    // One global aggregate over the tagged union of the step frames — a
+    // cross-join of single-row aggregates would plan as CartesianProduct
+    // (banned by the PlanSpec lint); this stays a single HashAggregate.
+    val tagged = s1.select(lit(1).as("step"), lit(0L).as("gap"))
+      .unionAll(s2.select(lit(2).as("step"), (col("v_ts") - col("s_ts")).as("gap")))
+      .unionAll(s3.select(lit(3).as("step"), (col("p_ts") - col("v_ts")).as("gap")))
+    tagged.agg(
+      coalesce(sum(when(col("step") === 1, 1L).otherwise(0L)), lit(0L)).as("n_signup"),
+      coalesce(sum(when(col("step") === 2, 1L).otherwise(0L)), lit(0L)).as("n_signup_view"),
+      coalesce(sum(when(col("step") === 3, 1L).otherwise(0L)), lit(0L)).as("n_full_funnel"),
+      coalesce(sum(when(col("step") === 2, col("gap"))), lit(0L)).as("sum_sv_gap_ms"),
+      coalesce(sum(when(col("step") === 3, col("gap"))), lit(0L)).as("sum_vp_gap_ms"))
+  }
+
+  val q133Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s1 AS (SELECT user_id, min(ts_ms) s_ts FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, s1.s_ts, min(e.ts_ms) v_ts
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts_ms > s1.s_ts
+      |  GROUP BY 1, 2),
+      |s3 AS (
+      |  SELECT e.user_id, s2.v_ts, min(e.ts_ms) p_ts
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts_ms > s2.v_ts
+      |  GROUP BY 1, 2)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_signup_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_full_funnel,
+      |       (SELECT CAST(coalesce(sum(v_ts - s_ts), 0) AS BIGINT) FROM s2) AS sum_sv_gap_ms,
+      |       (SELECT CAST(coalesce(sum(p_ts - v_ts), 0) AS BIGINT) FROM s3) AS sum_vp_gap_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_ordered_funnel"  -> (q133OrderedFunnel _),
     "q120_temporal_join"   -> (q120TemporalJoin _),
     "q123_rolling_distinct" -> (q123RollingDistinct _),
     "q20_hourly_by_type"   -> (q20HourlyByType _),
@@ -438,6 +497,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_ordered_funnel"  -> q133Oracle,
     "q20_hourly_by_type"   -> q20Oracle,
     "q21_sessions"         -> q21Oracle,
     "q22_json_extract"     -> q22Oracle,

@@ -107,9 +107,53 @@ object Sketches {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q132: bitmap-index distinct rollup — the EXACT mergeable-distinct
+    * structure (Druid/ClickHouse/roaring style), complementing the
+    * approximate HLL above. Per (day, word) the users whose id falls in
+    * that 32-id word are a BIGINT bitmap (`bit_or` of single-bit masks);
+    * weekly distinct counts are then computed FROM the daily bitmaps
+    * (bit_or re-merge + bit_count sum) without ever touching the fact
+    * table again — the same merge-not-recompute law as q131, applied to
+    * COUNT(DISTINCT), which is NOT otherwise mergeable from per-day counts.
+    *
+    * Oracle = plain COUNT(DISTINCT) per week, proving the bitmap path
+    * exact. 32-bit words in BIGINT storage keep every shift in positive
+    * range for both engines. Shuffle profile: one fact-table partial+final
+    * agg to (day, word) — word count is |id-space|/32, so partial
+    * aggregation collapses each map partition before the shuffle; the
+    * weekly re-merge aggregates the tiny bitmap table only. */
+  def q132BitmapRollup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dday"),
+      col("user_id"))
+    val daily = e
+      .select(col("dday"), expr("user_id div 32").as("word"),
+        expr("shiftleft(1L, cast(user_id % 32 as int))").as("mask"))
+      .groupBy(col("dday"), col("word"))
+      .agg(bit_or(col("mask")).as("bm"))
+    daily
+      .groupBy(expr("dday div 7").as("wk"), col("word"))
+      .agg(bit_or(col("bm")).as("bm"))
+      .groupBy(col("wk"))
+      .agg(sum(bit_count(col("bm")).cast("long")).as("distinct_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("wk"))
+  }
+
+  /** Deliberately NOT the bitmap algorithm: the oracle counts distincts
+    * directly, so a hash-match proves the bitmap rollup exact rather than
+    * merely self-consistent. */
+  val q132Oracle: String =
+    """SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS wk,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+      |       CAST(count(DISTINCT user_id // 32) AS BIGINT) AS n_words
+      |FROM events GROUP BY 1 ORDER BY wk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q127_hll_distinct" -> (q127HllDistinct _))
+    "q127_hll_distinct" -> (q127HllDistinct _),
+    "q132_bitmap_rollup" -> (q132BitmapRollup _))
 
   val oracles: Map[String, String] = Map(
-    "q127_hll_distinct" -> q127Oracle)
+    "q127_hll_distinct" -> q127Oracle,
+    "q132_bitmap_rollup" -> q132Oracle)
 }
