@@ -91,6 +91,37 @@ class SourcesSpec extends SparkSpec {
     assert(got == Map(1L -> ("a", 1L), 2L -> ("b2", 2L), 3L -> ("c", 2L)), got.toString)
   }
 
+  test("versioned store: time travel, uncommitted writes invisible, retention") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-versioned").toString + "/t"
+    val v1 = Materialize.Versioned.write(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = Materialize.Versioned.write(spark, root, Seq((1L, "a2")).toDF("k", "v"))
+    val v3 = Materialize.Versioned.write(spark, root, Seq((9L, "z")).toDF("k", "v"))
+    assert(Seq(v1, v2, v3) === Seq(1L, 2L, 3L))
+    // latest reads v3; time travel to v1 still sees the original two rows
+    assert(Materialize.Versioned.read(spark, root).collect().toSet ===
+      Set(org.apache.spark.sql.Row(9L, "z")))
+    assert(Materialize.Versioned.read(spark, root, Some(1L)).count() === 2L)
+    // a version dir without _SUCCESS (writer died mid-job) is not live:
+    // invisible to readers and skipped over by the next writer's numbering
+    val dead = new java.io.File(s"$root/v=00000004"); dead.mkdirs()
+    new java.io.File(dead, "part-00000.parquet").createNewFile()
+    assert(Materialize.Versioned.versions(spark, root) === Seq(1L, 2L, 3L))
+    assert(Materialize.Versioned.read(spark, root).collect().head.getLong(0) === 9L)
+    intercept[IllegalArgumentException] {
+      Materialize.Versioned.read(spark, root, Some(4L))
+    }
+    // a retried write claims the debris slot (crash recovery = plain retry)
+    val v4 = Materialize.Versioned.write(spark, root, Seq((7L, "r")).toDF("k", "v"))
+    assert(v4 === 4L)
+    assert(Materialize.Versioned.read(spark, root).collect().head.getString(1) === "r")
+    // retention keeps the newest 2 live versions; v1/v2 gone, v3/v4 intact
+    assert(Materialize.Versioned.expireVersions(spark, root, keepLast = 2) === Seq(1L, 2L))
+    assert(Materialize.Versioned.versions(spark, root) === Seq(3L, 4L))
+    assert(Materialize.Versioned.read(spark, root, Some(3L)).collect().toSet ===
+      Set(org.apache.spark.sql.Row(9L, "z")))
+  }
+
   test("upsert recovers the table from a crash between the two renames") {
     import spark.implicits._
     val path = tmp("graft-upsert-crash") + "/t"
