@@ -135,11 +135,77 @@ object Changes {
       |            // count(*) AS BIGINT) AS avg_cents
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** The inverse of [[cdcSnapshot]]: diff two snapshots of the same keyed
+    * table into an I/U/D changelog — what a pipeline emits when the
+    * upstream can only hand over full dumps (the reference's daily full
+    * re-pull, `spacex_api_dag.py:23`, is exactly this situation; diffing
+    * turns O(table) downstream refresh into O(changes)).
+    *
+    * One full-outer equi-join on the key; payload comparison is a single
+    * null-safe struct equality, so unchanged rows are dropped inside the
+    * join's projection and never shuffle again. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
+    val payload = oldSnap.columns.filter(_ != key).toSeq
+    val o = oldSnap.select(col(key).as("ok"),
+      struct(payload.map(col): _*).as("ov"))
+    val n = newSnap.select(col(key).as("nk"),
+      struct(payload.map(col): _*).as("nv"))
+    o.join(n, col("ok") === col("nk"), "full_outer")
+      .withColumn("op",
+        when(col("ok").isNull, lit("I"))
+          .when(col("nk").isNull, lit("D"))
+          .when(!(col("ov") <=> col("nv")), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op"), coalesce(col("ok"), col("nk")).as("k"),
+        col("ov"), col("nv"))
+  }
+
+  /** q135: changelog between two per-customer order-activity snapshots —
+    * "old" covers orders through 1996, "new" covers 1994-1998, so all three
+    * op kinds occur (customers active only pre-1994 → D, only post-1996 →
+    * I, in both windows with different totals → U). Exact integer payloads;
+    * struct fields are unpacked for the driver hasher. */
+  def q135SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def snap(from: Int, to: Int): DataFrame =
+      o.filter(year(col("o_orderdate")).between(from, to))
+        .groupBy(col("o_custkey").as("cust_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Exact.cents(col("o_totalprice"))).as("sum_cents"))
+    snapshotDiff(snap(1992, 1996), snap(1994, 1998), "cust_id")
+      .select(col("op"), col("k").as("cust_id"),
+        col("ov.n_orders").as("old_n"), col("ov.sum_cents").as("old_cents"),
+        col("nv.n_orders").as("new_n"), col("nv.sum_cents").as("new_cents"))
+      .orderBy(col("op"), col("cust_id"))
+  }
+
+  val q135Oracle: String =
+    """WITH olds AS (
+      |  SELECT o_custkey cust_id, CAST(count(*) AS BIGINT) n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sum_cents
+      |  FROM orders WHERE year(o_orderdate) BETWEEN 1992 AND 1996 GROUP BY 1),
+      |news AS (
+      |  SELECT o_custkey cust_id, CAST(count(*) AS BIGINT) n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sum_cents
+      |  FROM orders WHERE year(o_orderdate) BETWEEN 1994 AND 1998 GROUP BY 1)
+      |SELECT CASE WHEN o.cust_id IS NULL THEN 'I'
+      |            WHEN n.cust_id IS NULL THEN 'D'
+      |            ELSE 'U' END AS op,
+      |       coalesce(o.cust_id, n.cust_id) AS cust_id,
+      |       o.n_orders AS old_n, o.sum_cents AS old_cents,
+      |       n.n_orders AS new_n, n.sum_cents AS new_cents
+      |FROM olds o FULL OUTER JOIN news n ON o.cust_id = n.cust_id
+      |WHERE o.cust_id IS NULL OR n.cust_id IS NULL
+      |   OR o.n_orders <> n.n_orders OR o.sum_cents <> n.sum_cents
+      |ORDER BY op, cust_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_cdc_apply" -> (q126CdcApply _),
-    "q131_incremental_agg" -> (q131IncrementalAgg _))
+    "q131_incremental_agg" -> (q131IncrementalAgg _),
+    "q135_snapshot_diff" -> (q135SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q126_cdc_apply" -> q126Oracle,
-    "q131_incremental_agg" -> q131Oracle)
+    "q131_incremental_agg" -> q131Oracle,
+    "q135_snapshot_diff" -> q135Oracle)
 }

@@ -568,7 +568,44 @@ object Text {
       |GROUP BY t.token, t.n
       |ORDER BY exact_n DESC, t.token""".stripMargin
 
+  /** q134: deterministic EXACT-k per-stratum sample — the fixed-size
+    * companion to q92's fraction-based md5-slot sampling (an eval-set
+    * builder wants "exactly k docs per language", reproducibly, on any
+    * cluster). Selection order is the content-stable md5 of the doc id, so
+    * the sample is a pure function of the data; the bounded
+    * [[graft.functions.TopKPairsAggregator]] keeps every partial buffer at
+    * ≤ k rows (map-side combine), where the textbook
+    * `row_number() OVER (PARTITION BY lang)` would funnel the corpus
+    * through |lang| sort tasks — the banned low-cardinality-window shape.
+    * Score is the NEGATED hash: the aggregator keeps largest-score-first,
+    * so negation selects the k smallest hashes, ties broken by doc_id
+    * ascending in both engines. */
+  def q134ExactKSample(s: SparkSession, dir: String): DataFrame = {
+    val k3 = udaf(new graft.functions.TopKPairsAggregator(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        negate(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long")).as("nh"))
+      .groupBy(col("lang"))
+      .agg(k3(col("doc_id"), col("nh")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "sk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("sk.key").as("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q134Oracle: String =
+    """SELECT lang, CAST(rn AS BIGINT) AS rk, doc_id FROM (
+      |  SELECT lang, doc_id, row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+      |             doc_id ASC) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 3 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_exact_k_sample" -> (q134ExactKSample _),
     "q116_countmin_sketch" -> (q116CountMinSketch _),
     "q114_trigram_rarity" -> (q114TrigramRarity _),
     "q105_repetition_signals" -> (q105RepetitionSignals _),
@@ -594,6 +631,7 @@ object Text {
     "q49_tfidf_top_terms" -> q49Oracle,
     "q89_langid_ngram" -> q89Oracle,
     "q92_stratified_sample" -> q92Oracle,
+    "q134_exact_k_sample" -> q134Oracle,
     "q97_doc_chunks" -> q97Oracle,
     "q99_zscore_normalize" -> q99Oracle,
   )
