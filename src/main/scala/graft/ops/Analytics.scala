@@ -1250,7 +1250,56 @@ object Analytics {
       |         AS BIGINT) AS intercept_cents
       |FROM m ORDER BY priority""".stripMargin
 
+  /** q136: range-partition boundary planning — the decile split points a
+    * 100 TB global sort / `repartitionByRange` actually needs, computed the
+    * way Spark's own RangePartitioner does it: from a SAMPLE, never a full
+    * sort. The sample is content-stable (md5-slot, 5%) so the boundaries
+    * are a pure function of the data; value-counts reduce the sample before
+    * the single cumulative window (lint-conformant: the window input is an
+    * Aggregate); the nine boundaries are conditional min-aggregates over
+    * the cumulative frame — no inequality join, no nested loop. Boundary d
+    * = min value whose cumulative sample count reaches ceil(d·n/10). */
+  def q136RangeBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.orders(s, dir)
+      .filter((conv(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 20) === 0)
+      .select(Exact.cents(col("o_totalprice")).as("cents"))
+    val vc = sample.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val cum = vc.select(col("cents"),
+      sum(col("c")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val aggs = (1 to 9).map(d =>
+      min(when(col("cum") >= expr(s"($d * n + 9) div 10"), col("cents"))).as(s"b$d"))
+    cum.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(9, " +
+        (1 to 9).map(d => s"${d}L, b$d").mkString(", ") + ") as (decile, boundary_cents)"))
+      .orderBy(col("decile"))
+  }
+
+  val q136Oracle: String = {
+    val bs = (1 to 9).map(d => s"min(CASE WHEN cum >= ($d*n+9)//10 THEN cents END) b$d")
+      .mkString(",\n      |    ")
+    val cases = (1 to 9).map(d => s"WHEN $d THEN b$d").mkString(" ")
+    s"""WITH s AS (
+       |  SELECT CAST(round(o_totalprice*100) AS BIGINT) cents FROM orders
+       |  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 20 = 0),
+       |vc AS (SELECT cents, CAST(count(*) AS BIGINT) c FROM s GROUP BY 1),
+       |cum AS (
+       |  SELECT cents,
+       |    SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER () AS n
+       |  FROM vc),
+       |b AS (
+       |  SELECT $bs
+       |  FROM cum)
+       |SELECT CAST(d.d AS BIGINT) AS decile, CASE d.d $cases END AS boundary_cents
+       |FROM b CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+       |ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_range_boundaries" -> (q136RangeBoundaries _),
     "q130_regr_slope"     -> (q130RegrSlope _),
     "q118_basket_pairs"   -> (q118BasketPairs _),
     "q119_weighted_median" -> (q119WeightedMedian _),
@@ -1284,6 +1333,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_range_boundaries" -> q136Oracle,
     "q130_regr_slope"     -> q130Oracle,
     "q118_basket_pairs"   -> q118Oracle,
     "q119_weighted_median" -> q119Oracle,
