@@ -68,4 +68,20 @@ object Checks {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
+
+  /** Quarantine routing: split a frame into (passing, quarantined) by the
+    * conjunction of row-local rules; quarantined rows carry a
+    * `_failed_rules` column naming every rule they violate (comma-joined,
+    * rule order) — the standard bad-records sink shape (Delta DLT
+    * expectations, Beam dead-letter queues). Both frames are lazy views of
+    * ONE scan each (the rules are codegen'd predicates, no join, no
+    * shuffle); callers writing both typically persist the input first. */
+  def quarantine(df: DataFrame, rules: (String, Column)*): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "quarantine needs at least one rule")
+    val ok = rules.map { case (_, r) => coalesce(r, lit(false)) }.reduce(_ && _)
+    val failed = array_join(filter(array(rules.map { case (name, r) =>
+      when(!coalesce(r, lit(false)), lit(name))
+    }: _*), _.isNotNull), ",")
+    (df.filter(ok), df.filter(!ok).withColumn("_failed_rules", failed))
+  }
 }

@@ -35,6 +35,28 @@ class ChecksSpec extends SparkSpec {
     assert(metrics("key_not_null") == 0L && metrics("price_positive") == 0L)
   }
 
+  test("quarantine splits pass/fail and names every violated rule") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("ok"), 10),   // clean
+      (None, Some("ok"), 200),      // fails id + range
+      (Some(3L), None, 5),          // fails accepted (NULL)
+      (Some(4L), Some("ok"), 70)    // clean
+    ).toDF("id", "status", "v")
+    val (good, bad) = Checks.quarantine(df,
+      "id_not_null" -> Checks.notNull(col("id")),
+      "status_accepted" -> Checks.acceptedValues(col("status"), Seq("ok")),
+      "v_in_range" -> Checks.inRange(col("v"), lit(0), lit(100)))
+    assert(good.select("v").as[Int].collect().sorted.toSeq === Seq(10, 70))
+    val quarantined = bad.select(col("v"), col("_failed_rules")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(quarantined === Map(
+      200 -> "id_not_null,v_in_range",
+      5 -> "status_accepted"))
+    // disjoint and complete
+    assert(good.count() + bad.count() === df.count())
+  }
+
   test("duplicateKeys finds exactly the multiply-loaded keys") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"), (3L, "c2"), (3L, "c3"))
