@@ -224,8 +224,13 @@ object Materialize {
     private def dir(root: String, v: Long): String = f"$root/v=$v%08d"
 
     /** Write `df` as the next version; returns its number. Never touches
-      * existing versions — concurrent readers see either the old latest or
-      * the new one, nothing in between. */
+      * existing versions — concurrent READERS see either the old latest or
+      * the new one, nothing in between. Writers are single-writer by
+      * contract (the usual non-transactional table assumption): the debris
+      * reclaim below cannot distinguish a dead writer's leftovers from a
+      * LIVE concurrent writer's in-progress directory, so two simultaneous
+      * writers race the slot; coordinate externally (or use a
+      * transactional format) if multiple writers are possible. */
     def write(spark: SparkSession, root: String, df: DataFrame): Long = {
       val next = versions(spark, root).lastOption.getOrElse(0L) + 1
       // The slot can only be occupied by UNCOMMITTED debris (no _SUCCESS —

@@ -146,6 +146,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q136 boundary formula: conditional-min over cum counts equals sort-position selection") {
+    // boundary d = min value whose cumulative count >= ceil(d*n/10) must
+    // equal the element at 1-based position ceil(d*n/10) of the fully
+    // sorted multiset — for arbitrary multisets incl. heavy duplicates.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(400)
+      val vals = Seq.fill(n)(rnd.nextInt(1 + rnd.nextInt(50)).toLong)
+      val sorted = vals.sorted
+      val counts = scala.collection.SortedMap.from(
+        vals.groupBy(identity).view.mapValues(_.size.toLong))
+      val cum = counts.toSeq.scanLeft((0L, 0L)) { case ((_, c), (v, k)) => (v, c + k) }.drop(1)
+      for (d <- 1 to 9) {
+        val target = (d * n.toLong + 9) / 10
+        val viaFormula = cum.find(_._2 >= target).map(_._1)
+        val viaSort = Some(sorted((target - 1).toInt))
+        assert(viaFormula === viaSort, s"trial $trial d=$d n=$n")
+      }
+    }
+  }
+
   test("scala UDF surface: registered UDF matches the builtin formulation") {
     // SURVEY §2.11 UDF row: the engine prefers builtins, but the register
     // path must work for user extension points.
