@@ -1298,7 +1298,103 @@ object Analytics {
        |ORDER BY decile""".stripMargin
   }
 
+  /** q137: chi-square contingency analysis — observed vs
+    * expected-under-independence cell counts for (priority × status), with
+    * each cell's χ² contribution. The statistician's first categorical
+    * dependence test, and at 100 TB the shape is just ONE fact-table
+    * aggregate: the 15-cell contingency frame then carries three windows
+    * (grand/row/column totals) and per-cell integer arithmetic.
+    *
+    * Exactness: expected counts and χ² contributions are scaled-ppm
+    * integers; the χ² numerator (o·n − r·c)² overflows int64 at sf0.1, so
+    * it rides DECIMAL(38,0) (fixed-width, exact; HUGEINT on the DuckDB
+    * side) and returns to BIGINT after the truncating division — pinned
+    * engine-equal. */
+  def q137ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .select(col("priority"), col("status"), col("o"),
+        sum(col("o")).over(Window.partitionBy()).as("n"),
+        sum(col("o")).over(Window.partitionBy(col("priority"))).as("r"),
+        sum(col("o")).over(Window.partitionBy(col("status"))).as("c"))
+      .select(col("priority"), col("status"), col("o").as("observed"),
+        expr("(r * c * 1000000L) div n").as("expected_ppm"),
+        expr("""cast(((cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+                * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+                * 1000000) div (cast(r as decimal(38,0)) * c * n) as bigint)""")
+          .as("chi2_contrib_ppm"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  val q137Oracle: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority priority, o_orderstatus status,
+      |         CAST(count(*) AS BIGINT) o
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) n FROM cells),
+      |rt AS (SELECT priority, CAST(sum(o) AS BIGINT) r FROM cells GROUP BY 1),
+      |ct AS (SELECT status, CAST(sum(o) AS BIGINT) c FROM cells GROUP BY 1)
+      |SELECT cells.priority AS priority, cells.status AS status, o AS observed,
+      |  CAST((r * c * 1000000) // n AS BIGINT) AS expected_ppm,
+      |  CAST(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |        * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000)
+      |       // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS chi2_contrib_ppm
+      |FROM cells
+      |JOIN rt ON cells.priority = rt.priority
+      |JOIN ct ON cells.status = ct.status
+      |CROSS JOIN tot
+      |ORDER BY cells.priority, cells.status""".stripMargin
+
+  /** q139: FORWARD as-of join — each event matched to the nearest order at
+    * or AFTER it (q65 matches backward). Same single-shuffle union-window
+    * shape: both streams union on the key, one window pass carries the next
+    * order time back to each event via `first(ignoreNulls)` over the
+    * FOLLOWING frame; events sort before orders at equal t, making the
+    * match inclusive exactly like DuckDB's native `ASOF ... ON e.t <= o.t`. */
+  def q139AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id").as("k"),
+      expr("unix_micros(ts) div 1000").as("t"),
+      col("event_type"),
+      lit(0).as("src"),
+      lit(null).cast("long").as("ord_t"))
+    val ords = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").as("t"),
+      lit(null).cast("string").as("event_type"),
+      lit(1).as("src"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").as("ord_t"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("src"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.unionByName(ords)
+      .withColumn("m", first(col("ord_t"), ignoreNulls = true).over(w))
+      .filter(col("src") === 0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        min(col("m") - col("t")).as("min_gap_ms"),
+        max(col("m") - col("t")).as("max_gap_ms"),
+        sum(col("m") - col("t")).as("sum_gap_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val q139Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ot_ms FROM orders)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN ot_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  min(ot_ms - ts_ms) AS min_gap_ms,
+      |  max(ot_ms - ts_ms) AS max_gap_ms,
+      |  CAST(sum(ot_ms - ts_ms) AS BIGINT) AS sum_gap_ms
+      |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.o_custkey AND ev.ts_ms <= o.ot_ms
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_chi_square"     -> (q137ChiSquare _),
+    "q139_asof_forward"   -> (q139AsofForward _),
     "q136_range_boundaries" -> (q136RangeBoundaries _),
     "q130_regr_slope"     -> (q130RegrSlope _),
     "q118_basket_pairs"   -> (q118BasketPairs _),
@@ -1333,6 +1429,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_chi_square"     -> q137Oracle,
+    "q139_asof_forward"   -> q139Oracle,
     "q136_range_boundaries" -> q136Oracle,
     "q130_regr_slope"     -> q130Oracle,
     "q118_basket_pairs"   -> q118Oracle,

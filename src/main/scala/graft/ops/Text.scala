@@ -604,7 +604,53 @@ object Text {
       |  FROM documents) t
       |WHERE rn <= 3 ORDER BY lang, rk""".stripMargin
 
+  /** q138: corpus-source vocabulary overlap matrix — exact pairwise Jaccard
+    * between each source's distinct token SET. The corpus-curation question
+    * ("how much does source A duplicate source B's vocabulary?") answered
+    * with the inverted-index join, not an all-pairs document comparison:
+    * distinct (source, token) is one partial+final aggregate; the
+    * intersection self-join keys on TOKEN, so each token contributes at
+    * most |sources|²/2 pairs regardless of corpus size; set sizes broadcast
+    * back onto the pair frame. Jaccard as truncated ppm — exact integers
+    * end-to-end. */
+  def q138SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.Caches.persist(
+      Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .distinct())
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = st.select(col("source").as("sa"), col("token"))
+      .join(st.select(col("source").as("sb"), col("token")), "token")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("sa"), col("sz").as("za"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("sz").as("zb"))), "sb")
+      .select(col("sa"), col("sb"), col("n_inter"),
+        (col("za") + col("zb") - col("n_inter")).as("n_union"),
+        expr("(n_inter * 1000000L) div (za + zb - n_inter)").as("jaccard_ppm"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val q138Oracle: String =
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, unnest($tokensSql) AS token FROM documents),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) sz FROM st GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source sa, b.source sb, CAST(count(*) AS BIGINT) n_inter
+       |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT sa, sb, n_inter,
+       |  CAST(za.sz + zb.sz - n_inter AS BIGINT) AS n_union,
+       |  CAST((n_inter * 1000000) // (za.sz + zb.sz - n_inter) AS BIGINT) AS jaccard_ppm
+       |FROM inter
+       |JOIN sizes za ON inter.sa = za.source
+       |JOIN sizes zb ON inter.sb = zb.source
+       |ORDER BY sa, sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_source_overlap" -> (q138SourceOverlap _),
     "q134_exact_k_sample" -> (q134ExactKSample _),
     "q116_countmin_sketch" -> (q116CountMinSketch _),
     "q114_trigram_rarity" -> (q114TrigramRarity _),
@@ -632,6 +678,7 @@ object Text {
     "q89_langid_ngram" -> q89Oracle,
     "q92_stratified_sample" -> q92Oracle,
     "q134_exact_k_sample" -> q134Oracle,
+    "q138_source_overlap" -> q138Oracle,
     "q97_doc_chunks" -> q97Oracle,
     "q99_zscore_normalize" -> q99Oracle,
   )
