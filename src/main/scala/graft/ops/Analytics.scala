@@ -1392,7 +1392,41 @@ object Analytics {
       |FROM ev ASOF LEFT JOIN o ON ev.user_id = o.o_custkey AND ev.ts_ms <= o.ot_ms
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q140: month-over-month revenue growth per priority — the reporting
+    * staple, exact: the fact table reduces to (priority, month) totals in
+    * one aggregate, lag + growth run over that tiny frame (lint-conformant
+    * window-over-Aggregate), growth as truncated ppm of exact cents (both
+    * engines truncate toward zero, so negative growth is hash-safe). First
+    * month per priority has NULL growth by definition. */
+  def q140MomGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("rev_cents"))
+    monthly
+      .withColumn("prev",
+        lag(col("rev_cents"), 1).over(
+          Window.partitionBy(col("priority")).orderBy(col("ym"))))
+      .select(col("priority"), col("ym"), col("rev_cents"),
+        expr("((rev_cents - prev) * 1000000L) div prev").as("growth_ppm"))
+      .orderBy(col("priority"), col("ym"))
+  }
+
+  val q140Oracle: String =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority priority,
+      |         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) ym,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) rev_cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT priority, ym, rev_cents,
+      |  CAST(((rev_cents - lag(rev_cents) OVER (PARTITION BY priority ORDER BY ym))
+      |        * 1000000)
+      |       // lag(rev_cents) OVER (PARTITION BY priority ORDER BY ym) AS BIGINT)
+      |    AS growth_ppm
+      |FROM monthly ORDER BY priority, ym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_mom_growth"     -> (q140MomGrowth _),
     "q137_chi_square"     -> (q137ChiSquare _),
     "q139_asof_forward"   -> (q139AsofForward _),
     "q136_range_boundaries" -> (q136RangeBoundaries _),
@@ -1429,6 +1463,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_mom_growth"     -> q140Oracle,
     "q137_chi_square"     -> q137Oracle,
     "q139_asof_forward"   -> q139Oracle,
     "q136_range_boundaries" -> q136Oracle,

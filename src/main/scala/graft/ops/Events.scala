@@ -482,7 +482,69 @@ object Events {
       |       (SELECT CAST(coalesce(sum(v_ts - s_ts), 0) AS BIGINT) FROM s2) AS sum_sv_gap_ms,
       |       (SELECT CAST(coalesce(sum(p_ts - v_ts), 0) AS BIGINT) FROM s3) AS sum_vp_gap_ms""".stripMargin
 
+  /** q141: behavioral path mining — the 10 most common 3-event sequences
+    * (consecutive per user in event-time order). One shuffle on user_id for
+    * the lead windows (per-user partitions are small and the key scales),
+    * then a partial+final count on the sequence string. Tie-break on the
+    * sequence text makes top-10 total-ordered. */
+  def q141EventSequences(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsMs)
+      .select(col("event_type"),
+        lead(col("event_type"), 1).over(byUser).as("e2"),
+        lead(col("event_type"), 2).over(byUser).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("seq"))
+      .groupBy(col("seq")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("seq"))
+      .limit(10)
+  }
+
+  val q141Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) ts_ms, event_id FROM events),
+      |seqs AS (
+      |  SELECT event_type || '>' ||
+      |         lead(event_type, 1) OVER w || '>' ||
+      |         lead(event_type, 2) OVER w AS seq,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      |SELECT seq, CAST(count(*) AS BIGINT) n FROM seqs WHERE e3 IS NOT NULL
+      |GROUP BY seq ORDER BY n DESC, seq LIMIT 10""".stripMargin
+
+  /** q143: cumulative unique users by day — "audience growth to date". Each
+    * user contributes once at their FIRST day (one hash agg on the scaling
+    * key), daily first-appearance counts then cumulate over the tiny day
+    * frame. The companion to q123's rolling 7-day distinct: same question,
+    * unbounded window, and the same trick of never re-counting the fact
+    * table per day. */
+  def q143CumulativeUniques(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")).as("dday"))
+    firstDay.groupBy(col("dday")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("dday"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("dday"))
+  }
+
+  val q143Oracle: String =
+    """WITH fd AS (
+      |  SELECT user_id,
+      |         CAST(min(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) dday
+      |  FROM events GROUP BY 1),
+      |daily AS (SELECT dday, CAST(count(*) AS BIGINT) new_users FROM fd GROUP BY 1)
+      |SELECT dday, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY dday
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_users
+      |FROM daily ORDER BY dday""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_event_sequences" -> (q141EventSequences _),
+    "q143_cumulative_uniques" -> (q143CumulativeUniques _),
     "q133_ordered_funnel"  -> (q133OrderedFunnel _),
     "q120_temporal_join"   -> (q120TemporalJoin _),
     "q123_rolling_distinct" -> (q123RollingDistinct _),
@@ -497,6 +559,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_event_sequences" -> q141Oracle,
+    "q143_cumulative_uniques" -> q143Oracle,
     "q133_ordered_funnel"  -> q133Oracle,
     "q20_hourly_by_type"   -> q20Oracle,
     "q21_sessions"         -> q21Oracle,
