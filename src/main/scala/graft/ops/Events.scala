@@ -542,7 +542,88 @@ object Events {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_users
       |FROM daily ORDER BY dday""".stripMargin
 
+  /** q144: last-touch conversion attribution — each purchase credited to
+    * the user's most recent click/view at or before it (ties broken by
+    * event_id, pinned identically in both engines). Single union-window
+    * shuffle on user_id (the q65 as-of shape: touches and purchases
+    * interleave in one frame, `last(ignoreNulls)` carries the touch
+    * forward), then one partial+final aggregate per channel. Purchases
+    * with no prior touch report as 'none' — attribution's unmatched row is
+    * a result, not a dropped row. */
+  def q144Attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Exact.cents(col("value")).as("cents"), tsMs)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), when(col("event_type") === "purchase", 1).otherwise(0),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("ch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("ch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("channel"))
+  }
+
+  val q144Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) ts_ms,
+      |         CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |p AS (SELECT event_id pid, user_id, ts_ms pts, cents FROM e
+      |      WHERE event_type = 'purchase'),
+      |t AS (SELECT event_id tid, user_id, ts_ms tts, event_type ch FROM e
+      |      WHERE event_type <> 'purchase'),
+      |a AS (
+      |  SELECT p.pid, p.cents,
+      |         max({'ts': t.tts, 'eid': t.tid, 'ch': t.ch}) m
+      |  FROM p LEFT JOIN t
+      |    ON p.user_id = t.user_id AND t.tts <= p.pts
+      |  GROUP BY p.pid, p.cents)
+      |SELECT coalesce(m.ch, 'none') AS channel,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM a GROUP BY 1 ORDER BY channel""".stripMargin
+
+  /** q145: interval sweep line — how many orders are "open" (within their
+    * 7-day processing window) on each boundary day. The O(n log n) classic:
+    * intervals become ±1 delta events, one aggregate collapses deltas per
+    * day, and the running sum over the tiny day frame is the active count —
+    * no day×interval range join anywhere in the engine (the ORACLE does the
+    * independent range-join formulation to prove the sweep exact). Counts
+    * change only at delta days, so emitting exactly those rows is the
+    * complete answer. */
+  def q145IntervalSweep(s: SparkSession, dir: String): DataFrame = {
+    val sd = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+    val o = Tables.orders(s, dir)
+    val deltas = o.select(sd.as("d"), lit(1L).as("delta"))
+      .unionAll(o.select((sd + 7).as("d"), lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("net"))
+    deltas
+      .withColumn("n_active",
+        sum(col("net")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("n_active"))
+      .orderBy(col("d"))
+  }
+
+  val q145Oracle: String =
+    """WITH o AS (
+      |  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') sd FROM orders),
+      |days AS (
+      |  SELECT DISTINCT d FROM (
+      |    SELECT sd AS d FROM o UNION SELECT sd + 7 FROM o) t)
+      |SELECT CAST(days.d AS BIGINT) AS d,
+      |       CAST(count(o.sd) AS BIGINT) AS n_active
+      |FROM days LEFT JOIN o ON o.sd <= days.d AND days.d < o.sd + 7
+      |GROUP BY days.d ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_attribution"     -> (q144Attribution _),
+    "q145_interval_sweep"  -> (q145IntervalSweep _),
     "q141_event_sequences" -> (q141EventSequences _),
     "q143_cumulative_uniques" -> (q143CumulativeUniques _),
     "q133_ordered_funnel"  -> (q133OrderedFunnel _),
@@ -559,6 +640,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_attribution"     -> q144Oracle,
+    "q145_interval_sweep"  -> q145Oracle,
     "q141_event_sequences" -> q141Oracle,
     "q143_cumulative_uniques" -> q143Oracle,
     "q133_ordered_funnel"  -> q133Oracle,
