@@ -199,13 +199,51 @@ object Changes {
       |   OR o.n_orders <> n.n_orders OR o.sum_cents <> n.sum_cents
       |ORDER BY op, cust_id""".stripMargin
 
+  /** q146: table reconciliation digest — an order-independent per-group
+    * content checksum (count + summed row-hash mod 2^40), the anti-entropy
+    * primitive for comparing a 100 TB table against its replica/backup by
+    * exchanging |groups| tiny rows instead of data. Row canonicalization
+    * uses ONLY integer/string renderings (cents, epoch days — float
+    * formatting differs between engines); the md5-slice sum is commutative,
+    * so any partition order, any cluster, any engine produces the same
+    * digest. Sum rides DECIMAL(38)/HUGEINT (a BIGINT sum of 2^40-scale
+    * hashes overflows past ~10M rows/group — DuckDB raises rather than
+    * wraps) and returns to BIGINT after the modulus. */
+  def q146TableDigest(s: SparkSession, dir: String): DataFrame = {
+    val canonical = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"),
+      Exact.cents(col("o_totalprice")),
+      col("o_orderstatus"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+    val rowHash = conv(substring(md5(canonical.cast("binary")), 1, 10), 16, 10).cast("long")
+    Tables.orders(s, dir)
+      .withColumn("rh", rowHash)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(rh as decimal(38,0))) % 1099511627776 as bigint)").as("digest"))
+      .orderBy(col("priority"))
+  }
+
+  val q146Oracle: String =
+    """SELECT o_orderpriority AS priority,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(CAST('0x' || substr(md5(
+      |           concat_ws('|', o_orderkey, o_custkey,
+      |                     CAST(round(o_totalprice * 100) AS BIGINT),
+      |                     o_orderstatus,
+      |                     (CAST(o_orderdate AS DATE) - DATE '1970-01-01'))),
+      |         1, 10) AS BIGINT) AS HUGEINT)) % 1099511627776 AS BIGINT) AS digest
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_cdc_apply" -> (q126CdcApply _),
     "q131_incremental_agg" -> (q131IncrementalAgg _),
-    "q135_snapshot_diff" -> (q135SnapshotDiff _))
+    "q135_snapshot_diff" -> (q135SnapshotDiff _),
+    "q146_table_digest" -> (q146TableDigest _))
 
   val oracles: Map[String, String] = Map(
     "q126_cdc_apply" -> q126Oracle,
     "q131_incremental_agg" -> q131Oracle,
-    "q135_snapshot_diff" -> q135Oracle)
+    "q135_snapshot_diff" -> q135Oracle,
+    "q146_table_digest" -> q146Oracle)
 }
