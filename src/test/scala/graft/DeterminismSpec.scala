@@ -38,4 +38,9 @@ class DeterminismSpec extends SparkSpec {
   pinned("q119_weighted_median") // integer cumulative weights
   pinned("q124_mad_outliers")    // bucket-refinement median selection
   pinned("q48_dedup_clusters")   // iterative min-label propagation
+  pinned("q127_hll_distinct")    // integer HLL registers + harmonic sum
+  pinned("q132_bitmap_rollup")   // bit_or word bitmaps, popcount rollup
+  pinned("q142_rolling_bitmap")  // windowed bitmap OR-merge
+  pinned("q146_table_digest")    // commutative md5-slice sum digest
+  pinned("q136_range_boundaries") // sampled cumulative-count selection
 }
