@@ -578,7 +578,44 @@ object Dedup {
       |WHERE levenshtein(a.p_name, b.p_name) <= 4
       |ORDER BY dist, k1, k2 LIMIT 50""".stripMargin
 
+  /** q147: cluster representative selection — the KEEP-BEST step that turns
+    * q48's near-dup clusters into a dedup decision (keep the highest-quality
+    * member, here longest text with doc_id tie-break, instead of q48's
+    * arbitrary min-id representative — what a production corpus dedup
+    * actually ships). Composition: cluster labels (iterative CC) ⋈ document
+    * quality, then one small-frame arg-max per cluster; the argmax runs on
+    * the reduced cluster frame, never the corpus. */
+  def q147ClusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = q48DedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+    val quality = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_rep"), col("cluster_size"))
+      .agg(max(struct(col("n_chars"), negate(col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_rep"), col("cluster_size"),
+        negate(col("m.nid")).as("best_doc"), col("m.n_chars").as("best_n_chars"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  val q147Oracle: String =
+    s"""WITH RECURSIVE $clusterLabelCtes,
+      |sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1),
+      |j AS (
+      |  SELECT l.id, l.cluster_rep, s.cluster_size, d.n_chars
+      |  FROM labels l
+      |  JOIN sizes s ON l.cluster_rep = s.cluster_rep
+      |  JOIN documents d ON l.id = d.doc_id),
+      |best AS (
+      |  SELECT cluster_rep, CAST(cluster_size AS BIGINT) cluster_size,
+      |         max({'nc': n_chars, 'nid': -id}) m
+      |  FROM j GROUP BY 1, 2)
+      |SELECT cluster_rep, cluster_size,
+      |       CAST(-(m.nid) AS BIGINT) AS best_doc,
+      |       CAST(m.nc AS BIGINT) AS best_n_chars
+      |FROM best ORDER BY cluster_rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_cluster_keepbest" -> (q147ClusterKeepBest _),
     "q129_editdist_pairs" -> (q129EditDistPairs _),
     "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
     "q45_exact_dup_stats"      -> (q45ExactDupStats _),
@@ -590,6 +627,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_cluster_keepbest" -> q147Oracle,
     "q129_editdist_pairs" -> q129Oracle,
     "q44_dedup_latest_per_key" -> q44Oracle,
     "q45_exact_dup_stats"      -> q45Oracle,

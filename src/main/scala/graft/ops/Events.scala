@@ -621,7 +621,54 @@ object Events {
       |FROM days LEFT JOIN o ON o.sd <= days.d AND days.d < o.sd + 7
       |GROUP BY days.d ORDER BY d""".stripMargin
 
+  /** q148: session quality summary — bounce rate (single-event sessions),
+    * depth and duration, reduced from q21's session frame in one more
+    * aggregate. Ratios are truncated ppm of exact counts; the engine-side
+    * session assignment is identical to q21 (gap > 30 min starts a new
+    * session), so this pins the composition, not new sessionization. */
+  def q148SessionStats(s: SparkSession, dir: String): DataFrame = {
+    val sessions = q21Sessions(s, dir)
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      coalesce(sum(when(col("n_events") === 1, 1L).otherwise(0L)), lit(0L)).as("n_bounce"),
+      expr("coalesce((sum(case when n_events = 1 then 1 else 0 end) * 1000000) div count(1), 0)")
+        .as("bounce_ppm"),
+      coalesce(sum(col("n_events")), lit(0L)).as("n_events_total"),
+      expr("(coalesce(sum(n_events), 0) * 1000) div greatest(count(1), 1)")
+        .as("events_per_session_milli"),
+      coalesce(max(col("duration_ms")), lit(0L)).as("max_duration_ms"))
+  }
+
+  val q148Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL
+      |           OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_start
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |sessions AS (
+      |  SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, session_seq, CAST(count(*) AS BIGINT) n_events,
+      |         max(ts_ms) - min(ts_ms) AS duration_ms
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(coalesce(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_bounce,
+      |  CAST(coalesce((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+      |       // count(*), 0) AS BIGINT) AS bounce_ppm,
+      |  CAST(coalesce(sum(n_events), 0) AS BIGINT) AS n_events_total,
+      |  CAST((coalesce(sum(n_events), 0) * 1000) // greatest(count(*), 1) AS BIGINT)
+      |    AS events_per_session_milli,
+      |  CAST(coalesce(max(duration_ms), 0) AS BIGINT) AS max_duration_ms
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_session_stats"   -> (q148SessionStats _),
     "q144_attribution"     -> (q144Attribution _),
     "q145_interval_sweep"  -> (q145IntervalSweep _),
     "q141_event_sequences" -> (q141EventSequences _),
@@ -640,6 +687,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_session_stats"   -> q148Oracle,
     "q144_attribution"     -> q144Oracle,
     "q145_interval_sweep"  -> q145Oracle,
     "q141_event_sequences" -> q141Oracle,
