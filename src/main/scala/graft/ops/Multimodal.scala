@@ -13,18 +13,67 @@ import org.apache.spark.sql.functions._
   * schema, struct metadata, chunked frame extraction, per-frame hashing,
   * batch-shaped aggregation — is real and oracle-checked.
   *
-  * STUB: true media decoding (JPEG/PCM/H.264) needs native libraries absent
-  * from this container. `decodeStub` stands in with a deterministic
-  * byte-level "feature" (length, content hash, leading-bytes digest) so the
-  * operator shape, schema, and distribution properties are exercised
-  * end-to-end; swap `decodeStub` for a real codec UDF (or `mapInPandas` on
-  * the PySpark side) in production. At 100 TB this stays embarrassingly
-  * parallel: per-row column algebra, no shuffle until the final tiny
+  * IMAGE decode is REAL: [[decodeImage]]/[[decodeImages]] use the JDK's
+  * `javax.imageio` (PNG/BMP/GIF/JPEG/TIFF readers ship in java.desktop —
+  * no native installs), spec-tested end-to-end through Spark on generated
+  * PNGs (ImageDecodeSpec). The driver's synthetic testdata carries no
+  * image bytes, so the ORACLE-CHECKED queries (q60/q61/q82/q104) run the
+  * deterministic byte-level stand-in `decodeStub` over text-derived
+  * payloads — same operator shape, schema, and distribution properties.
+  * Remaining genuine stubs: video/audio codecs (H.264/PCM — native
+  * libraries absent from this container); their frame-sample/feature
+  * plumbing is exercised by the same paths. At 100 TB decode stays
+  * embarrassingly parallel: per-row work, no shuffle until the final tiny
   * aggregate.
   */
 object Multimodal {
 
   private val FrameBytes = 64
+
+  /** Decoded-image features: `ok=false` rows carry zeros (undecodable
+    * payloads quarantine downstream rather than kill the job). Luma is
+    * exact milli-scale Rec.601 (299r+587g+114b); `ahash64` is the standard
+    * 8×8 average-hash over a nearest-pixel sample grid — all integer
+    * arithmetic, so the same image bytes hash identically on any host. */
+  case class ImageFeature(ok: Boolean, width: Int, height: Int,
+      avg_luma_milli: Long, ahash64: Long)
+
+  /** REAL image decode — JDK `javax.imageio` (part of java.desktop; pure
+    * JVM for PNG/BMP/GIF, headless-safe, no native installs), replacing the
+    * byte-level stand-in for payloads that actually are images. Decode
+    * failure is data, not an exception. Spec-tested end-to-end through
+    * Spark on generated PNGs (ImageDecodeSpec); the driver's synthetic
+    * testdata has no image bytes, so no oracle row — the operator is the
+    * production decode path the q60 stub documents. */
+  def decodeImage(bytes: Array[Byte]): ImageFeature = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) ImageFeature(ok = false, 0, 0, 0L, 0L)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val luma = Array.tabulate(64) { k =>
+          val rgb = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        }
+        val total = luma.sum
+        var hash = 0L
+        var k = 0
+        while (k < 64) { if (luma(k) * 64 > total) hash |= (1L << k); k += 1 }
+        ImageFeature(ok = true, w, h, total / 64, hash)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => ImageFeature(ok = false, 0, 0, 0L, 0L)
+    }
+  }
+
+  /** Column form of [[decodeImage]]: adds an `img` struct. Embarrassingly
+    * parallel per-row work — the 100 TB decode stays shuffle-free until
+    * whatever aggregate follows. */
+  def decodeImages(df: DataFrame, payloadCol: String): DataFrame = {
+    val decode = udf(decodeImage _)
+    df.withColumn("img", decode(col(payloadCol)))
+  }
 
   /** Deterministic fake decode of a binary payload: byte length + md5 +
     * "thumbnail" digest of the first 16 bytes. STUB for a real codec. */
