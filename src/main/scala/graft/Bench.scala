@@ -47,20 +47,33 @@ object Bench {
     //     queries keyed by the short id prefix ("q01".."q105" — unique) so
     //     the whole line is ~1.3 KB and survives the 2000-char tail even
     //     with sbt's trailing "[success] Total time" line after it.
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def rN(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def line(keyOf: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + r3(v) }
+    def line(keyOf: String => String, dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + rN(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total_sec","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_sec","value":${rN(total, 3)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     }
     if (only.isEmpty) // a subset run must not clobber the full-run artifact
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
-        (line(identity) + "\n").getBytes("UTF-8"))
+        (line(identity, 3) + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(_) => () } // stdout still carries the short line
     spark.stop()
     // after stop(): nothing (Spark shutdown chatter goes to stderr) prints
-    // below this line on stdout
-    println(line(_.takeWhile(_ != '_')))
+    // below this line on stdout.
+    //
+    // SELF-SIZING: the driver parses the JSON from the LAST 2000 chars of
+    // stdout, and sbt appends a ~75-char "[success] Total time" line after
+    // us — so this line must stay ≤ ~1900 chars to survive the tail WHOLE.
+    // At 132 queries the 3-decimal form is ~1.85 KB (≈90 bytes of margin);
+    // every added query erodes it. Degrade per-query precision (3 → 2 → 1
+    // decimals) until the line fits; the full 3-decimal detail is always in
+    // bench_local.json.
+    val shortLine = Iterator(3, 2, 1)
+      .map(dp => line(_.takeWhile(_ != '_'), dp))
+      .find(_.length <= 1900)
+      .getOrElse(line(_.takeWhile(_ != '_'), 1))
+    println(shortLine)
   }
 }
