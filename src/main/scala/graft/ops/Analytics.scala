@@ -1425,7 +1425,104 @@ object Analytics {
       |    AS growth_ppm
       |FROM monthly ORDER BY priority, ym""".stripMargin
 
+  /** q149: cross-domain cohorts — lifetime order revenue joined with event
+    * engagement per customer (orders.o_custkey ≡ events.user_id in the
+    * testdata's id space), rolled up into fixed $100k revenue bands. The
+    * "join two marts" shape: each fact table reduces FIRST (two partial+
+    * final aggregates on the shared key), the join moves only one row per
+    * customer, and the band rollup is a third tiny aggregate — at 100 TB
+    * nothing but per-customer rows ever crosses between the domains.
+    * Customers with no events (and event-only users with no orders) stay
+    * via the full outer join — cohort analysis over the union, not the
+    * intersection. Ratios are truncated milli/ppm of exact counts. */
+  def q149RevenueEngagement(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("id"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val eng = Tables.events(s, dir)
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    rev.join(eng, Seq("id"), "full_outer")
+      .select(
+        expr("coalesce(cents, 0L) div 10000000").as("rev_band_100k"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"))
+      .groupBy(col("rev_band_100k"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("n_events")).as("n_events"),
+        expr("(sum(n_events) * 1000) div count(1)").as("events_per_customer_milli"),
+        expr("coalesce((sum(n_purch) * 1000000) div nullif(sum(n_events), 0), 0)")
+          .as("purchase_event_ppm"))
+      .orderBy(col("rev_band_100k"))
+  }
+
+  val q149Oracle: String =
+    """WITH rev AS (
+      |  SELECT o_custkey id,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) cents,
+      |         CAST(count(*) AS BIGINT) n_orders
+      |  FROM orders GROUP BY 1),
+      |eng AS (
+      |  SELECT user_id id, CAST(count(*) AS BIGINT) n_events,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) n_purch
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(r.cents, 0) // 10000000 AS rev_band_100k,
+      |         coalesce(r.n_orders, 0) n_orders,
+      |         coalesce(e.n_events, 0) n_events,
+      |         coalesce(e.n_purch, 0) n_purch
+      |  FROM rev r FULL OUTER JOIN eng e ON r.id = e.id)
+      |SELECT CAST(rev_band_100k AS BIGINT) AS rev_band_100k,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST((sum(n_events) * 1000) // count(*) AS BIGINT) AS events_per_customer_milli,
+      |  CAST(coalesce((sum(n_purch) * 1000000) // nullif(sum(n_events), 0), 0) AS BIGINT)
+      |    AS purchase_event_ppm
+      |FROM j GROUP BY 1 ORDER BY rev_band_100k""".stripMargin
+
+  /** q150: inter-arrival distribution — gaps in days between a customer's
+    * consecutive orders, bucketed by week. The reorder-cadence profile: one
+    * lag window on the scaling key (per-customer partitions are small),
+    * then a global histogram aggregate. Exact integer day arithmetic. */
+  def q150InterarrivalGaps(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("d"))
+      .withColumn("gap_days", col("d") - lag(col("d"), 1).over(byCust))
+      .filter(col("gap_days").isNotNull)
+      .groupBy(expr("gap_days div 7").as("gap_week_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+      .orderBy(col("gap_week_bucket"))
+  }
+
+  val q150Oracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) d,
+      |         o_orderkey
+      |  FROM orders),
+      |g AS (
+      |  SELECT d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap_days
+      |  FROM o)
+      |SELECT CAST(gap_days // 7 AS BIGINT) AS gap_week_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_gaps,
+      |       CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+      |       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY 1 ORDER BY gap_week_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_revenue_engagement" -> (q149RevenueEngagement _),
+    "q150_interarrival_gaps"  -> (q150InterarrivalGaps _),
     "q140_mom_growth"     -> (q140MomGrowth _),
     "q137_chi_square"     -> (q137ChiSquare _),
     "q139_asof_forward"   -> (q139AsofForward _),
@@ -1463,6 +1560,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_revenue_engagement" -> q149Oracle,
+    "q150_interarrival_gaps"  -> q150Oracle,
     "q140_mom_growth"     -> q140Oracle,
     "q137_chi_square"     -> q137Oracle,
     "q139_asof_forward"   -> q139Oracle,
