@@ -254,14 +254,34 @@ object Materialize {
       spark.read.parquet(dir(root, target))
     }
 
-    /** Retention: delete all but the newest `keepLast` live versions (and
-      * any uncommitted debris older than the retained set). Returns the
-      * deleted version numbers. */
+    /** Retention: delete all but the newest `keepLast` live versions, plus
+      * any uncommitted debris (marker-less v= directory from a writer that
+      * died mid-job) numbered below the oldest retained live version —
+      * [[write]] only reclaims debris at the next-slot position, so old
+      * crash leftovers would otherwise accumulate forever. Debris at or
+      * above the oldest retained version is left alone: it could be a LIVE
+      * concurrent writer racing the next slot (see [[write]]'s
+      * single-writer contract). Returns the deleted LIVE version numbers
+      * (debris deletions are not reported — they were never versions). */
     def expireVersions(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
       require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
-      val doomed = versions(spark, root).dropRight(keepLast)
+      val live = versions(spark, root)
+      val doomed = live.dropRight(keepLast)
       val f = fs(spark, root)
       doomed.foreach(v => f.delete(new org.apache.hadoop.fs.Path(dir(root, v)), true))
+      // Reap marker-less crash debris strictly below the retained range.
+      val oldestRetained = live.drop(doomed.length).headOption
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      if (oldestRetained.isDefined && f.exists(rootP)) {
+        f.listStatus(rootP).foreach { st =>
+          st.getPath.getName match {
+            case Pat(n) if st.isDirectory && n.toLong < oldestRetained.get &&
+              !f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+              f.delete(st.getPath, true)
+            case _ => ()
+          }
+        }
+      }
       doomed
     }
   }

@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * image bytes, so the ORACLE-CHECKED queries (q60/q61/q82/q104) run the
   * deterministic byte-level stand-in `decodeStub` over text-derived
   * payloads — same operator shape, schema, and distribution properties.
-  * Remaining genuine stubs: video/audio codecs (H.264/PCM — native
-  * libraries absent from this container); their frame-sample/feature
-  * plumbing is exercised by the same paths. At 100 TB decode stays
-  * embarrassingly parallel: per-row work, no shuffle until the final tiny
-  * aggregate.
+  *
+  * AUDIO decode is REAL too: [[decodeAudio]]/[[decodeAudios]] parse
+  * PCM16 WAV via `javax.sound.sampled` (pure JVM), spec-tested on
+  * generated fixtures (AudioDecodeSpec). The one remaining genuine stub
+  * is the VIDEO codec (H.264 — native libraries absent from this
+  * container); its frame-sample/feature plumbing is exercised by the same
+  * paths. At 100 TB decode stays embarrassingly parallel: per-row work,
+  * no shuffle until the final tiny aggregate.
   */
 object Multimodal {
 
@@ -38,16 +41,43 @@ object Multimodal {
   case class ImageFeature(ok: Boolean, width: Int, height: Int,
       avg_luma_milli: Long, ahash64: Long)
 
+  /** Pixel cap for [[decodeImage]]: a payload whose HEADER declares more
+    * pixels than this quarantines as ok=false without ever allocating the
+    * raster. A 42-byte crafted PNG can declare a multi-GiB image
+    * (decompression bomb) — `ImageIO.read` would materialize it and throw
+    * OutOfMemoryError, which is fatal (not NonFatal) and would kill the
+    * executor instead of quarantining the row. 64 MP ≈ 256 MB ARGB raster. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode — JDK `javax.imageio` (part of java.desktop; pure
     * JVM for PNG/BMP/GIF, headless-safe, no native installs), replacing the
     * byte-level stand-in for payloads that actually are images. Decode
-    * failure is data, not an exception. Spec-tested end-to-end through
-    * Spark on generated PNGs (ImageDecodeSpec); the driver's synthetic
-    * testdata has no image bytes, so no oracle row — the operator is the
-    * production decode path the q60 stub documents. */
-  def decodeImage(bytes: Array[Byte]): ImageFeature = {
+    * failure is data, not an exception — including decompression bombs:
+    * width×height is peeked from the format header (`ImageReader.getWidth`
+    * reads metadata only) and payloads above `maxPixels` quarantine as
+    * ok=false BEFORE the raster is allocated. Spec-tested end-to-end
+    * through Spark on generated PNGs (ImageDecodeSpec); the driver's
+    * synthetic testdata has no image bytes, so no oracle row — the
+    * operator is the production decode path the q60 stub documents. */
+  def decodeImage(bytes: Array[Byte], maxPixels: Long = MaxDecodePixels): ImageFeature = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > maxPixels) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
       if (img == null) ImageFeature(ok = false, 0, 0, 0L, 0L)
       else {
         val w = img.getWidth
@@ -71,8 +101,86 @@ object Multimodal {
     * parallel per-row work — the 100 TB decode stays shuffle-free until
     * whatever aggregate follows. */
   def decodeImages(df: DataFrame, payloadCol: String): DataFrame = {
-    val decode = udf(decodeImage _)
+    val decode = udf((b: Array[Byte]) => decodeImage(b))
     df.withColumn("img", decode(col(payloadCol)))
+  }
+
+  /** Decoded-audio features — all exact integers so results are
+    * bit-identical on any host: `mean_square` is Σs²/n in integer
+    * division, `rms` its exact integer square root (⌊√mean_square⌋).
+    * ok=false rows carry zeros (quarantine-as-data, same contract as
+    * [[ImageFeature]]). */
+  case class AudioFeature(ok: Boolean, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_frames: Long, duration_ms: Long,
+      peak_abs: Long, mean_square: Long, rms: Long)
+
+  /** Frame cap for [[decodeAudio]]: bounds the Σs² accumulator (a frame is
+    * ≤ 8 16-bit samples at 7.1; 10^8 frames × 8 × 32767² ≈ 8.6·10^17 < 2^63)
+    * and quarantines absurd declared lengths before any work. */
+  val MaxDecodeFrames: Long = 100L * 1000 * 1000
+
+  /** REAL audio decode — JDK `javax.sound.sampled` (java.desktop ships a
+    * pure-JVM WAV/AIFF/AU parser; no native libs), the audio analogue of
+    * [[decodeImage]]. Scope: PCM_SIGNED 16-bit (the WAV interchange
+    * format); anything else — malformed header, truncated sample data,
+    * declared length over `maxFrames`, non-PCM16 encodings — quarantines
+    * as ok=false, never an exception. Duration is exact integer
+    * milliseconds; peak/mean-square/RMS are exact integer arithmetic over
+    * every interleaved sample. Spec-tested end-to-end through Spark on
+    * generated WAV fixtures (AudioDecodeSpec). */
+  def decodeAudio(bytes: Array[Byte], maxFrames: Long = MaxDecodeFrames): AudioFeature = {
+    val bad = AudioFeature(ok = false, 0, 0, 0, 0L, 0L, 0L, 0L, 0L)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val declaredFrames = ais.getFrameLength
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1 &&
+            fmt.getFrameSize == 2 * fmt.getChannels
+        if (!pcm16 || declaredFrames < 0 || declaredFrames > maxFrames) bad
+        else {
+          val data = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          if (data.length != declaredFrames * frameSize) bad // truncated/padded
+          else {
+            val big = fmt.isBigEndian
+            val nSamples = data.length / 2
+            var peak = 0L
+            var sumSq = 0L
+            var i = 0
+            while (i < nSamples) {
+              val lo = data(2 * i + (if (big) 1 else 0)) & 0xff
+              val hi = data(2 * i + (if (big) 0 else 1)).toInt // sign-extends
+              val s = (hi << 8) | lo
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              sumSq += s.toLong * s
+              i += 1
+            }
+            val rate = math.round(fmt.getSampleRate)
+            val meanSq = if (nSamples == 0) 0L else sumSq / nSamples
+            // Exact ⌊√meanSq⌋: float sqrt then step to the true floor.
+            var r = math.sqrt(meanSq.toDouble).toLong
+            while (r > 0 && r * r > meanSq) r -= 1
+            while ((r + 1) * (r + 1) <= meanSq) r += 1
+            AudioFeature(ok = true, rate, fmt.getChannels, 16, declaredFrames,
+              declaredFrames * 1000L / rate, peak, meanSq, r)
+          }
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => bad
+    }
+  }
+
+  /** Column form of [[decodeAudio]]: adds an `audio` struct. Same
+    * shuffle-free per-row shape as [[decodeImages]]. */
+  def decodeAudios(df: DataFrame, payloadCol: String): DataFrame = {
+    val decode = udf((b: Array[Byte]) => decodeAudio(b))
+    df.withColumn("audio", decode(col(payloadCol)))
   }
 
   /** Deterministic fake decode of a binary payload: byte length + md5 +

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HyperLogLog distinct-count sketch, built from first principles on
@@ -16,9 +15,12 @@ import org.apache.spark.sql.functions._
   * Exactness discipline: the whole sketch is integer arithmetic —
   *   - bucket = first 8 md5 bits, rho = leading-zero rank of the next 40
   *     bits (via base-2 string length: `conv(hex, 16, 2)` / DuckDB
-  *     `bin()` — both render minimal-width, so length is the bit width);
-  *   - the harmonic sum Σ 2^-M_j is scaled by 2^40 so every term
-  *     `2^(40-M_j)` is an exact BIGINT (M_j ∈ [1, 40]);
+  *     `bin()` — both render minimal-width, so length is the bit width;
+  *     the all-zero slice is special-cased to rho = ValueBits + 1 per
+  *     Flajolet's definition — bin(0) renders "0" with length 1, which
+  *     would otherwise yield 40);
+  *   - the harmonic sum Σ 2^-M_j is scaled by 2^41 so every term
+  *     `2^(41-M_j)` is an exact BIGINT (M_j ∈ [1, 41]);
   *   - alpha_m·m² is the precomputed integer constant 47073
   *     (⌊0.7213/(1+1.079/256)·256²⌋), so the estimate is one integer
   *     division.
@@ -37,26 +39,35 @@ object Sketches {
   val ValueBits = 40         // rho domain: md5 bits 9..48
   val AlphaM2 = 47073L       // ⌊alpha_256 · 256²⌋, alpha_256 = 0.7213/(1 + 1.079/256)
 
-  /** Per-group HLL registers: (group, bucket, M) for non-empty buckets. */
+  /** Per-group HLL registers: (group, bucket, M) for non-empty buckets.
+    * The all-zero 40-bit slice (probability 2^-40 per key) takes
+    * rho = ValueBits + 1 = 41, Flajolet's rank of a value with no 1-bit. */
   def hllRegisters(df: DataFrame, group: Column, key: Column): DataFrame = {
     val h = md5(key.cast("string").cast("binary"))
+    val slice = conv(substring(h, 3, 10), 16, 10).cast("long")
     df.select(group.as("g"),
         conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
-        (lit(ValueBits + 1) - length(conv(substring(h, 3, 10), 16, 2))).as("rho"))
+        when(slice === 0, lit(ValueBits + 1))
+          .otherwise(lit(ValueBits + 1) - length(conv(substring(h, 3, 10), 16, 2)))
+          .as("rho"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("m"))
   }
 
   /** Collapse registers to the HLL raw estimate (exact integer form).
-    * Empty buckets contribute 2^40 (rho 0) via the (m − present) term. */
-  def hllEstimate(regs: DataFrame): DataFrame =
+    * The harmonic sum is scaled by 2^(ValueBits+1) so the maximal register
+    * M = 41 still contributes an integral term 2^0; empty buckets
+    * contribute 2^41 (rho 0) via the (m − present) term. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val scaleBits = ValueBits + 1
     regs.groupBy(col("g"))
-      .agg(sum(expr(s"shiftleft(1L, $ValueBits - m)")).as("s"),
+      .agg(sum(expr(s"shiftleft(1L, $scaleBits - m)")).as("s"),
         count(lit(1)).as("nb"))
       .select(col("g"),
-        expr(s"${AlphaM2 * (1L << ValueBits)}L div (s + ($Buckets - nb) * ${1L << ValueBits}L)")
+        expr(s"${AlphaM2 * (1L << scaleBits)}L div (s + ($Buckets - nb) * ${1L << scaleBits}L)")
           .as("hll_estimate"),
         (lit(Buckets) - col("nb")).cast("long").as("n_zero_registers"))
+  }
 
   /** q127: distinct users per event type — HLL estimate vs exact, with the
     * zero-register count (the small-range-correction signal) and the signed
@@ -81,22 +92,25 @@ object Sketches {
   }
 
   val q127Oracle: String = {
-    val s40 = 1L << ValueBits
+    val scale = 1L << (ValueBits + 1)
     s"""WITH h AS (
        |  SELECT event_type,
        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) bucket,
-       |    ${ValueBits + 1} - length(bin(
-       |      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 10) AS BIGINT))) rho
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 10) AS BIGINT) = 0
+       |         THEN ${ValueBits + 1}
+       |         ELSE ${ValueBits + 1} - length(bin(
+       |           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 10) AS BIGINT)))
+       |    END rho
        |  FROM events),
        |regs AS (SELECT event_type, bucket, max(rho) m FROM h GROUP BY 1, 2),
        |terms AS (
        |  SELECT event_type,
-       |    CAST(sum(1::BIGINT << ($ValueBits - m)) AS BIGINT) s,
+       |    CAST(sum(1::BIGINT << (${ValueBits + 1} - m)) AS BIGINT) s,
        |    count(*) nb
        |  FROM regs GROUP BY 1),
        |est AS (
        |  SELECT event_type,
-       |    CAST(${AlphaM2 * s40} // (s + ($Buckets - nb) * $s40) AS BIGINT) hll_estimate,
+       |    CAST(${AlphaM2 * scale} // (s + ($Buckets - nb) * $scale) AS BIGINT) hll_estimate,
        |    CAST($Buckets - nb AS BIGINT) n_zero_registers
        |  FROM terms),
        |ex AS (SELECT event_type, count(DISTINCT user_id) exact_distinct FROM events GROUP BY 1)
@@ -156,18 +170,25 @@ object Sketches {
     * WORD BITMAPS — |words| ≈ |id-space|/32 rows per day, already the
     * compressed representation — so the expansion volume is ~32× smaller
     * than q123's at the same accuracy (both exact). OR-merge per (target
-    * day, word), popcount-sum per day; the trailing-day cap comes from a
-    * window max over the reduced daily frame (no driver round-trip, no
-    * cartesian). Oracle is the INDEPENDENT user-level formulation. */
+    * day, word), popcount-sum per day; the trailing-day cap is a 1-row
+    * max(dday) aggregate attached via a BROADCAST cross join — a global
+    * window would funnel the whole daily-bitmap frame (days ×
+    * |id-space|/32 words) through ONE task's sort, exactly the
+    * low-cardinality-window shape PlanSpec bans elsewhere. No driver
+    * round-trip, no single-task sort, no cartesian (the broadcast side is
+    * one row). Oracle is the INDEPENDENT user-level formulation. */
   def q142RollingBitmap(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+    // Persisted: both the 1-row max and the window expansion read the
+    // reduced daily frame, so the fact table is scanned once.
+    val daily = graft.Caches.persist(Tables.events(s, dir)
       .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dday"),
         expr("user_id div 32").as("word"),
         expr("shiftleft(1L, cast(user_id % 32 as int))").as("mask"))
       .groupBy(col("dday"), col("word"))
-      .agg(bit_or(col("mask")).as("bm"))
+      .agg(bit_or(col("mask")).as("bm")))
+    val maxd = daily.agg(max(col("dday")).as("maxd"))
     daily
-      .withColumn("maxd", max(col("dday")).over(Window.partitionBy()))
+      .crossJoin(broadcast(maxd))
       .select(explode(expr("sequence(dday, least(dday + 6, maxd))")).as("d"),
         col("word"), col("bm"))
       .groupBy(col("d"), col("word")).agg(bit_or(col("bm")).as("bm"))

@@ -47,6 +47,15 @@ class ImageDecodeSpec extends SparkSpec {
     assert(got(3L) === ((false, 0, 0, 0L, 0L)))
   }
 
+  test("decodeImage: pixel cap quarantines before the raster is allocated") {
+    // 10×8 = 80 px: above a 50-px cap → quarantined from the HEADER peek
+    // (the bomb path — a crafted PNG can declare GiB-scale dimensions);
+    // under the default cap it decodes normally.
+    val img = png(10, 8)((_, _) => 0x123456)
+    assert(!Multimodal.decodeImage(img, maxPixels = 50L).ok)
+    assert(Multimodal.decodeImage(img).ok)
+  }
+
   test("decodeImage survives PNG round-trip of random images deterministically") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 5) {
