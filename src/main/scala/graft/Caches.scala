@@ -47,6 +47,17 @@ object Caches {
     df
   }
 
+  /** [[persist]] at an explicit storage level — DISK_ONLY for frames whose
+    * footprint is a multiple of the input (e.g. an exploded token stream):
+    * spilling them through storage memory would evict caches that earn
+    * their residency, while disk keeps the recompute-avoidance without the
+    * memory bill. */
+  def persist(df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    df.persist(level)
+    register(() => { df.unpersist(false); () })
+    df
+  }
+
   /** Register an already-localCheckpoint()ed frame for release. */
   def trackCheckpoint(df: DataFrame): DataFrame = {
     register(() => releaseCheckpoint(df))

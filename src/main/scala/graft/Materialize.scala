@@ -293,9 +293,9 @@ object Materialize {
     * built-in JDBC relation provider — predicate pushdown and column
     * pruning reach the remote database, `numPartitions`+`partitionColumn`
     * split the read into parallel range scans (the 100 TB ingest shape).
-    * No JDBC driver jar ships in this container (zero egress), so these
-    * are thin, untested-by-spec wrappers; SourcesSpec covers the parquet
-    * mapping the driver contract (TESTDATA.md) actually exercises. */
+    * Executed for real by SourcesSpec against embedded Derby (pure JVM,
+    * ships in /opt/spark/jars): append-create, 4-way partitioned-range
+    * read, append, and overwrite all round-trip. */
   def readJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)

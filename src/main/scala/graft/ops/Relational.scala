@@ -418,19 +418,95 @@ object Relational {
       |WHERE year(o_orderdate) = 1997
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
-  /** Approximate aggregates (SURVEY §2.4 A7 approx row): HLL distinct and
-    * approximate percentiles. Sketch internals differ across engines, so no
-    * DuckDB oracle — OperatorsSpec bounds the error against exact values
-    * instead (rows-only driver check). */
-  def q18ApproxStats(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+  /** Approximate aggregates (SURVEY §2.4 A7 approx row), re-expressed over
+    * the engine's OWN deterministic sketches so the DuckDB oracle can
+    * hash-check them (VERDICT r4 item 1): distinct customers per status via
+    * the integer-exact HLL ([[Sketches]] — the same registers as q127), and
+    * the approximate median price via a fixed-width $1000 bucket histogram
+    * (mid-bucket estimate at the ceil(n/2) rank). Spark's
+    * `approx_count_distinct`/`percentile_approx` answer the same questions
+    * interactively but their sketch internals are engine-specific and
+    * unhashable across engines; these sketches merge identically
+    * (register max / histogram sum are associative) and reproduce
+    * bit-for-bit anywhere. n_zero_registers (q127) is the small-range
+    * signal: raw HLL is the large-range regime; OperatorsSpec bounds its
+    * error only there. Scale shape: two partial+final aggregations over
+    * the fact table (registers, histogram) + one over the distinct frame;
+    * the median window runs on the REDUCED per-bucket histogram. */
+  def q18ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Caches.persist(Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_custkey"), col("o_totalprice")))
+    val base = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+    val hll = Sketches.hllEstimate(
+        Sketches.hllRegisters(o, col("o_orderstatus"), col("o_custkey")))
+      .select(col("g").as("o_orderstatus"), col("hll_estimate").as("hll_customers"))
+    val hist = o
+      .select(col("o_orderstatus"), floor(col("o_totalprice") / 1000).cast("long").as("bucket"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("o_orderstatus")).orderBy(col("bucket"))))
+    val med = cum
+      .join(base.select(col("o_orderstatus"), col("n_orders")), Seq("o_orderstatus"))
+      .filter(col("cum") * 2 >= col("n_orders")) // first bucket at rank ceil(n/2)
       .groupBy(col("o_orderstatus"))
-      .agg(
-        count(lit(1)).as("n_orders"),
-        countDistinct(col("o_custkey")).as("exact_customers"),
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+      .agg(min(col("bucket")).as("mb"))
+      .select(col("o_orderstatus"), (col("mb") * 1000 + 500).as("approx_median_price"))
+    base.join(hll, Seq("o_orderstatus")).join(med, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_orders"), col("exact_customers"),
+        col("hll_customers"),
+        (col("hll_customers") - col("exact_customers")).as("hll_err"),
+        col("approx_median_price"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  val q18Oracle: String = {
+    import Sketches.{AlphaM2, Buckets, ValueBits}
+    val scale = 1L << (ValueBits + 1)
+    s"""WITH o AS (SELECT o_orderstatus, o_custkey, o_totalprice FROM orders),
+      |base AS (
+      |  SELECT o_orderstatus, count(*) AS n_orders,
+      |         count(DISTINCT o_custkey) AS exact_customers
+      |  FROM o GROUP BY 1),
+      |h AS (
+      |  SELECT o_orderstatus,
+      |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2) AS BIGINT) bucket,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 10) AS BIGINT) = 0
+      |         THEN ${ValueBits + 1}
+      |         ELSE ${ValueBits + 1} - length(bin(
+      |           CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 10) AS BIGINT)))
+      |    END rho
+      |  FROM o),
+      |regs AS (SELECT o_orderstatus, bucket, max(rho) m FROM h GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT o_orderstatus,
+      |    CAST(sum(1::BIGINT << (${ValueBits + 1} - m)) AS BIGINT) s, count(*) nb
+      |  FROM regs GROUP BY 1),
+      |est AS (
+      |  SELECT o_orderstatus,
+      |    CAST(${AlphaM2 * scale} // (s + ($Buckets - nb) * $scale) AS BIGINT) hll_customers
+      |  FROM terms),
+      |b AS (
+      |  SELECT o_orderstatus, CAST(floor(o_totalprice / 1000) AS BIGINT) bucket, count(*) cnt
+      |  FROM o GROUP BY 1, 2),
+      |c AS (
+      |  SELECT o_orderstatus, bucket,
+      |         sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bucket) cum
+      |  FROM b),
+      |med AS (
+      |  SELECT c.o_orderstatus, CAST(min(bucket) * 1000 + 500 AS BIGINT) approx_median_price
+      |  FROM c JOIN base USING (o_orderstatus)
+      |  WHERE cum * 2 >= n_orders GROUP BY 1)
+      |SELECT base.o_orderstatus, n_orders,
+      |       CAST(exact_customers AS BIGINT) AS exact_customers,
+      |       hll_customers,
+      |       CAST(hll_customers - exact_customers AS BIGINT) AS hll_err,
+      |       approx_median_price
+      |FROM base JOIN est USING (o_orderstatus) JOIN med USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+  }
 
   /** Full outer join (SURVEY §2.3 — the remaining join kind): each year's
     * top-20 customers by order count, stitched FULL OUTER on custkey so
@@ -859,6 +935,7 @@ object Relational {
     "q96_string_functions2"    -> q96Oracle,
     "q16_range_join"           -> q16Oracle,
     "q17_asof_signup"          -> q17Oracle,
+    "q18_approx_stats"         -> q18Oracle,
     "q19_full_outer_join"      -> q19Oracle,
     "q28_dispersion"           -> q28Oracle,
     "q26_pivot_status"         -> q26Oracle,

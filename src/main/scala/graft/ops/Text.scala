@@ -474,7 +474,11 @@ object Text {
     // ~|grams| (freq) and ~|docs-per-partition| (scoring) rows — an
     // explicit (doc, gram) groupBy would ADD a near-uncompressible shuffle
     // (measured 2.1x row reduction for one full extra exchange: a loss).
-    val shared = graft.Caches.persist(pos) // model build + scoring both read it
+    // DISK_ONLY: the exploded stream is ~3x corpus characters — caching it
+    // through storage MEMORY would evict caches that earn their residency
+    // at 100 TB; disk still saves the double scan+explode (VERDICT r4).
+    val shared = graft.Caches.persist(pos,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY) // model + scoring share it
     val freq = shared.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
     shared.join(broadcast(freq), Seq("gram"))
       .groupBy(col("doc_id"))

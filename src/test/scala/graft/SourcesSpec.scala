@@ -220,6 +220,46 @@ class SourcesSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("JDBC (embedded Derby): append-create, partitioned-range read, append, overwrite") {
+    // Derby ships in /opt/spark/jars (pure JVM, in-memory DB) — this
+    // executes the real spark.read/write.jdbc relation provider end-to-end,
+    // closing the §2.1 S4/S6/S7 JDBC row that was previously
+    // unverifiable-by-spec (VERDICT r4 item 3). derby.log goes to a temp
+    // home; the memory: DB is dropped at the end.
+    System.setProperty("derby.system.home", tmp("graft-derby"))
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val o = Tables.orders(spark, sf())
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    val nOrders = o.count()
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)), sum(Exact.cents(col("o_totalprice"))),
+        countDistinct(col("o_custkey")), max(col("o_orderkey"))).head
+    try {
+      // S6 append sink: mode=append creates the table on first write
+      Materialize.writeJdbc(o, url, "ORDERS_T")
+      val back = Materialize.readJdbc(spark, url, "ORDERS_T")
+      assert(key(back) == key(o))
+
+      // S4 partitioned-range parallel read: 4 concurrent range scans
+      val maxK = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val part = Materialize.readJdbcPartitioned(
+        spark, url, "ORDERS_T", "o_orderkey", 1L, maxK, 4)
+      assert(part.rdd.getNumPartitions == 4, "expected 4 JDBC range partitions")
+      assert(key(part) == key(o))
+
+      // append semantics (spacex_api_dag.py:49): second write adds rows
+      Materialize.writeJdbc(o.limit(10), url, "ORDERS_T")
+      assert(Materialize.readJdbc(spark, url, "ORDERS_T").count() == nOrders + 10)
+
+      // S7 replace sink: overwrite truncates/recreates
+      Materialize.writeJdbc(o.limit(5), url, "ORDERS_T", mode = "overwrite")
+      assert(Materialize.readJdbc(spark, url, "ORDERS_T").count() == 5)
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftjdbc;drop=true")
+      catch { case _: java.sql.SQLException => () } // success path throws 08006
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark
     wh.sql("DROP TABLE IF EXISTS graft_orders_b")
