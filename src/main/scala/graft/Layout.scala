@@ -74,14 +74,40 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Deterministic z-clustered layout: like [[zorderWrite]] but the
+    * file assignment is the EQUI-WIDTH z-range bucket
+    * `z·nBuckets div 2^(2·bits)` written as a hive partition — one file
+    * per non-empty bucket — instead of sampled range boundaries. Slightly
+    * less balanced than range partitioning (range sampling equalizes row
+    * counts; equi-width equalizes z-span), but the bucket→file mapping is
+    * a pure function of the DATA: layout, manifest, and every file-skip
+    * decision reproduce bit-for-bit run-to-run and engine-to-engine,
+    * which makes the pruning arithmetic oracle-checkable (q152). The
+    * `repartition(__zb)` puts each bucket in exactly one task, and
+    * `partitionBy` splits per bucket, so each bucket directory holds
+    * exactly one data file. */
+  def zorderBucketWrite(df: DataFrame, path: String, colA: String, colB: String,
+      nBuckets: Int, bits: Int = 8): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    normalized(df, Seq(colA, colB), bits)
+      .withColumn("__z", zValue(col(s"__z_$colA"), col(s"__z_$colB"), bits))
+      .withColumn("__zb", expr(s"(__z * $nBuckets) div ${1L << (2 * bits)}"))
+      .drop("__z", s"__z_$colA", s"__z_$colB")
+      .repartition(col("__zb"))
+      .write.mode("overwrite").partitionBy("__zb").parquet(path)
+  }
+
   /** File-level manifest of a parquet table: one row per data file with
     * its row count and per-column min/max — the file-skipping index. One
     * distributed aggregation keyed by `input_file_name()` (high
-    * cardinality — scales with the table). */
-  def manifest(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    * cardinality — scales with the table). `schema` makes the read safe on
+    * an empty partitioned table (no data files → inference would fail). */
+  def manifest(spark: SparkSession, path: String, cols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(path)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    reader.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -24,6 +24,7 @@ object SparkEntry {
       ops.Mixture.queries ++ ops.Graph.queries ++
       ops.Changes.queries ++ ops.Sketches.queries ++
       ops.Launches.queries ++ ops.Multimodal.queries ++ ops.Skew.queries ++
+      ops.Maintenance.queries ++
       streaming.Streaming.queries ++ streaming.StatefulSessions.queries ++
       Map("q101_corpus_pipeline" -> (Pipelines.q101CorpusPipeline _))
 
@@ -35,6 +36,7 @@ object SparkEntry {
       ops.Mixture.oracles ++ ops.Graph.oracles ++
       ops.Changes.oracles ++ ops.Sketches.oracles ++
       ops.Launches.oracles ++ ops.Multimodal.oracles ++ ops.Skew.oracles ++
+      ops.Maintenance.oracles ++
       streaming.Streaming.oracles ++ streaming.StatefulSessions.oracles ++
       Map("q101_corpus_pipeline" -> Pipelines.q101Oracle)
 }

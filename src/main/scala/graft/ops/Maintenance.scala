@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.{Checks, Exact, Layout, Materialize, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-checked queries for the table-maintenance / data-quality
+  * components that were previously spec-only (VERDICT r4 item 5):
+  * quarantine routing ([[Checks.quarantine]]), z-layout file pruning
+  * ([[Layout.zorderBucketWrite]]/[[Layout.manifest]]/
+  * [[Layout.candidateFiles]]), and versioned time travel
+  * ([[Materialize.Versioned]]). Each query drives the REAL operator and
+  * reduces its effect to a deterministic, DuckDB-expressible summary, so
+  * the operators graduate from test-only evidence to CORRECTNESS rows.
+  */
+object Maintenance {
+
+  /** q151: quarantine routing over lineitem — dbt-style rules, DLT-style
+    * bad-records split (the reference's dbt tree ships no tests at all —
+    * `/root/reference/dbt/models/`; SURVEY §6). Output is the row count
+    * per `_failed_rules` combination ("" = the passing frame), which pins
+    * BOTH sides of the split and the rule-order labeling. Scale: the two
+    * frames are each one codegen'd predicate scan (no join, no shuffle
+    * before the count aggregates). */
+  def q151QualityQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val rules = Seq(
+      "qty_in_1_25"  -> Checks.inRange(col("l_quantity"), lit(1.0), lit(25.0)),
+      "disc_le_5pct" -> coalesce(col("l_discount") <= 0.05, lit(false)),
+      "flag_known"   -> Checks.acceptedValues(col("l_returnflag"), Seq("A", "N", "R")))
+    val (pass, quarantined) = Checks.quarantine(li, rules: _*)
+    val passRow = pass.agg(count(lit(1)).as("n_rows"))
+      .select(lit("").as("failed_rules"), col("n_rows"))
+    val quarRows = quarantined
+      .groupBy(col("_failed_rules").as("failed_rules"))
+      .agg(count(lit(1)).as("n_rows"))
+    passRow.unionByName(quarRows).orderBy(col("failed_rules"))
+  }
+
+  val q151Oracle: String =
+    """WITH r AS (
+      |  SELECT
+      |    CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 25, FALSE)
+      |         THEN 'qty_in_1_25' END AS f1,
+      |    CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE)
+      |         THEN 'disc_le_5pct' END AS f2,
+      |    CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)
+      |         THEN 'flag_known' END AS f3
+      |  FROM lineitem)
+      |SELECT concat_ws(',', f1, f2, f3) AS failed_rules, count(*) AS n_rows
+      |FROM r GROUP BY 1 ORDER BY failed_rules""".stripMargin
+
+  private val ZBits = 8      // 8 normalized bits per column → 16-bit z values
+  private val ZBuckets = 16  // files; bucket = z·16 div 2^16
+
+  private val zSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType), StructField("__zb", LongType)))
+
+  /** q152: file pruning on a z-clustered layout — OPTIMIZE ZORDER +
+    * manifest-based file skipping, reduced to checkable arithmetic. Writes
+    * orders z-bucketed on (o_custkey, o_totalprice) (deterministic
+    * equi-width buckets — [[Layout.zorderBucketWrite]]), builds the
+    * [[Layout.manifest]], and for one predicate per clustered column
+    * reports: total files, candidate files per [[Layout.candidateFiles]],
+    * rows in the candidate files, and the matching rows found by scanning
+    * ONLY those files. matching_rows equals the oracle's direct count —
+    * the no-false-negative law of min/max pruning — while
+    * n_candidate_files < n_files is the pruning win itself (~1/4 of files
+    * per single-column predicate at these settings: z-interleaving gives
+    * each column half the bits). The only driver read is the ≤16-row
+    * candidate file list (the planner-side decision a real engine also
+    * makes on the driver). DuckDB reproduces the bucket stats exactly —
+    * the bucket id is integer arithmetic on floor-truncated normalized
+    * values, IEEE-identical in both engines. */
+  def q152LayoutPruning(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-q152").toString + "/orders_z"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Layout.zorderBucketWrite(o, path, "o_custkey", "o_totalprice", ZBuckets, ZBits)
+    val man = graft.Caches.persist(
+      Layout.manifest(s, path, Seq("o_custkey", "o_totalprice"), Some(zSchema)))
+    val preds = Seq(
+      ("custkey_100_200", "o_custkey", 100.0, 200.0),
+      ("price_100k_150k", "o_totalprice", 100000.0, 150000.0))
+    val parts = preds.flatMap { case (name, c, lo, hi) =>
+      val cand = Layout.candidateFiles(man, c, lit(lo), lit(hi))
+      val candFiles = cand.select(col("file")).collect().map(_.getString(0)).toSeq
+      val scanned = s.read.schema(zSchema).parquet(path)
+        .filter(if (candFiles.isEmpty) lit(false)
+                else input_file_name().isin(candFiles: _*))
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      def tag(metric: String, v: DataFrame) =
+        v.select(lit(name).as("predicate"), lit(metric).as("metric"), col("v"))
+      Seq(
+        tag("n_files", man.agg(count(lit(1)).as("v"))),
+        tag("n_candidate_files", cand.agg(count(lit(1)).as("v"))),
+        tag("candidate_rows", cand.agg(coalesce(sum(col("n_rows")), lit(0L)).as("v"))),
+        tag("matching_rows", scanned.agg(count(lit(1)).as("v"))))
+    }
+    // tagged union + conditional agg (no single-row cross joins — PlanSpec)
+    parts.reduce(_ unionByName _)
+      .groupBy(col("predicate"))
+      .agg(
+        max(when(col("metric") === "n_files", col("v"))).as("n_files"),
+        max(when(col("metric") === "n_candidate_files", col("v"))).as("n_candidate_files"),
+        max(when(col("metric") === "candidate_rows", col("v"))).as("candidate_rows"),
+        max(when(col("metric") === "matching_rows", col("v"))).as("matching_rows"))
+      .orderBy(col("predicate"))
+  }
+
+  /** The Morton interleave of the two `bits`-bit normalized values, as a
+    * SQL expression — generated so engine and oracle share one formula. */
+  private def zSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
+  val q152Oracle: String = {
+    val span = (1 << ZBits) - 1
+    def norm(c: String, lo: String, hi: String) =
+      s"""LEAST(GREATEST(CASE WHEN $hi > $lo
+         |  THEN CAST(floor((CAST($c AS DOUBLE) - $lo) / ($hi - $lo) * $span) AS BIGINT)
+         |  ELSE 0 END, 0), $span)""".stripMargin
+    s"""WITH bnd AS (
+      |  SELECT min(CAST(o_custkey AS DOUBLE)) loA, max(CAST(o_custkey AS DOUBLE)) hiA,
+      |         min(CAST(o_totalprice AS DOUBLE)) loB, max(CAST(o_totalprice AS DOUBLE)) hiB
+      |  FROM orders),
+      |nz AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    ${norm("o_custkey", "loA", "hiA")} AS za,
+      |    ${norm("o_totalprice", "loB", "hiB")} AS zb
+      |  FROM orders, bnd),
+      |z AS (SELECT o_custkey, o_totalprice,
+      |        (${zSql("za", "zb", ZBits)}) * $ZBuckets // ${1L << (2 * ZBits)} AS zbk
+      |      FROM nz),
+      |f AS (SELECT zbk, count(*) AS n_rows,
+      |        min(o_custkey) minc, max(o_custkey) maxc,
+      |        min(o_totalprice) minp, max(o_totalprice) maxp
+      |      FROM z GROUP BY 1),
+      |p1 AS (
+      |  SELECT 'custkey_100_200' AS predicate,
+      |    (SELECT count(*) FROM f) AS n_files,
+      |    count(*) AS n_candidate_files,
+      |    CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS candidate_rows,
+      |    (SELECT count(*) FROM orders WHERE o_custkey >= 100 AND o_custkey <= 200)
+      |      AS matching_rows
+      |  FROM f WHERE maxc >= 100 AND minc <= 200),
+      |p2 AS (
+      |  SELECT 'price_100k_150k' AS predicate,
+      |    (SELECT count(*) FROM f) AS n_files,
+      |    count(*) AS n_candidate_files,
+      |    CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS candidate_rows,
+      |    (SELECT count(*) FROM orders
+      |     WHERE o_totalprice >= 100000 AND o_totalprice <= 150000) AS matching_rows
+      |  FROM f WHERE maxp >= 100000 AND minp <= 150000)
+      |SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY predicate""".stripMargin
+  }
+
+  /** q153: versioned time travel — write two snapshots of orders (v1 =
+    * orders through 1996, v2 = all), then read v1, v2, and latest back
+    * through [[Materialize.Versioned.read]] and summarize each. The v1
+    * row pins that old versions stay readable and immutable after later
+    * writes; latest ≡ v2 pins the default-read contract. Oracle recomputes
+    * the summaries from the raw table with the same filters. */
+  def q153TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q153").toString + "/orders_v"
+    val o = Tables.orders(s, dir)
+    val v1 = Materialize.Versioned.write(s, root, o.filter(year(col("o_orderdate")) <= 1996))
+    val v2 = Materialize.Versioned.write(s, root, o)
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(Exact.cents(col("o_totalprice"))), lit(0L)).as("sum_price_cents"),
+          coalesce(max(col("o_orderkey")), lit(0L)).as("max_orderkey"))
+        .select(lit(tag).as("version"), col("n_rows"),
+          col("sum_price_cents"), col("max_orderkey"))
+    summarize(Materialize.Versioned.read(s, root, Some(v1)), "v1")
+      .unionByName(summarize(Materialize.Versioned.read(s, root, Some(v2)), "v2"))
+      .unionByName(summarize(Materialize.Versioned.read(s, root), "latest"))
+      .orderBy(col("version"))
+  }
+
+  val q153Oracle: String =
+    """WITH s AS (
+      |  SELECT 'v1' AS version, count(*) AS n_rows,
+      |    CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+      |      AS sum_price_cents,
+      |    coalesce(max(o_orderkey), 0) AS max_orderkey
+      |  FROM orders WHERE year(o_orderdate) <= 1996
+      |  UNION ALL
+      |  SELECT 'v2', count(*),
+      |    CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT),
+      |    coalesce(max(o_orderkey), 0)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'latest', count(*),
+      |    CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT),
+      |    coalesce(max(o_orderkey), 0)
+      |  FROM orders)
+      |SELECT * FROM s ORDER BY version""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_quality_quarantine" -> (q151QualityQuarantine _),
+    "q152_layout_pruning"     -> (q152LayoutPruning _),
+    "q153_time_travel"        -> (q153TimeTravel _))
+
+  val oracles: Map[String, String] = Map(
+    "q151_quality_quarantine" -> q151Oracle,
+    "q152_layout_pruning"     -> q152Oracle,
+    "q153_time_travel"        -> q153Oracle)
+}

@@ -76,7 +76,11 @@ class PlanSpec extends SparkSpec {
     // single broadcast scalar row (q49's corpus doc count).
     val nestedLoopOk = Set("q50_cosine_topk", "q51_ivf_topk", "q49_tfidf_top_terms",
       // embeds q50's declared brute-force baseline as the recall ground truth
-      "q111_ann_recall")
+      "q111_ann_recall",
+      // 1-row broadcast max(dday) cap replacing a global window (ADVICE r4)
+      "q142_rolling_bitmap",
+      // Layout.normalized attaches a 1-row broadcast min/max bounds frame
+      "q152_layout_pruning")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
