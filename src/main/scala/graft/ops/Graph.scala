@@ -66,6 +66,96 @@ object Graph {
     ranks.select(col("id"), col("rank").as("pr_scaled"))
   }
 
+  /** Textbook PageRank with dangling-mass redistribution (VERDICT r4
+    * item 7): each iteration the rank mass sitting on dangling nodes (no
+    * out-edges) is summed and re-spread evenly over ALL nodes before
+    * damping — `rank' = base + d·(contribs + dm/n)` — so total rank is
+    * conserved, the property the simplified [[pageRank]] deliberately
+    * trades away. Still exact integer fixed-point: the dangling sum is a
+    * 1-row aggregate attached via broadcast (no driver read, no global
+    * window), `dm div n` is floor division in both engines. Per iteration:
+    * one equi-join + one hash aggregate (as [[pageRank]]) plus one
+    * broadcast-anti-join-derived 1-row sum — O(|dangling|) extra, never a
+    * second wide shuffle. */
+  def pageRankRedistributed(edges: DataFrame, iterations: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    val shares = edges.join(outw, "src")
+      .select(col("src"), col("dst"), expr("(w * 1000000L) div ow").as("share"))
+    val sharesP = graft.Caches.persist(shares)
+    val nodesP = graft.Caches.persist(nodes)
+    val dangling = graft.Caches.persist(
+      nodesP.join(outw, nodesP("id") === outw("src"), "left_anti"))
+    val n = nodesP.count()
+    val init = Scale / math.max(n, 1L)
+    val base = init * (100 - Damping) / 100
+    var ranks = nodesP.select(col("id"), lit(init).as("rank"))
+    for (_ <- 1 to iterations) {
+      val dm = dangling.join(ranks, "id")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+        .select(expr(s"dmass div ${math.max(n, 1L)}").as("dshare"))
+      val contrib = sharesP.join(ranks, sharesP("src") === ranks("id"))
+        .select(col("dst"), expr("(rank * share) div 1000000L").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cb"))
+      ranks = nodesP.join(contrib, nodesP("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("id"),
+          (lit(base) + expr("(85L * (coalesce(cb, 0L) + dshare)) div 100")).as("rank"))
+    }
+    ranks.select(col("id"), col("rank").as("pr_scaled"))
+  }
+
+  /** q154: redistribution PageRank on a trade graph WITH dangling nodes —
+    * edges whose supplier nation sits in region 0 are dropped, so region-0
+    * nations receive rank but emit none except through redistribution.
+    * Contrast row for q117's simplified semantics. */
+  def q154PagerankDangling(s: SparkSession, dir: String): DataFrame = {
+    val r0 = Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("long").as("rid"))
+    val edges = tradeEdges(s, dir)
+      .join(broadcast(r0), col("src") === col("rid"), "left_anti")
+    pageRankRedistributed(edges, iterations = 5)
+      .select(col("id").as("nation_id"), col("pr_scaled"))
+      .orderBy(col("nation_id"))
+  }
+
+  val q154Oracle: String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""dm$i AS (
+         |  SELECT COALESCE(SUM(rank), 0)//(SELECT COUNT(*) FROM nodes) AS dshare
+         |  FROM $prev WHERE id IN (SELECT id FROM dangling)),
+         |r$i AS (
+         |  SELECT n.id,
+         |    $baseSql + 85*(COALESCE(c.cb, 0) + (SELECT dshare FROM dm$i))//100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM((r.rank*e.share)//1000000) AS BIGINT) AS cb
+         |    FROM shares e JOIN $prev r ON e.src = r.id GROUP BY 1) c ON n.id = c.id)""".stripMargin
+    }
+    val its = (1 to 5).map(iter).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst,
+       |         CAST(COUNT(*) AS BIGINT) w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE s_nationkey NOT IN
+       |    (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) ow FROM edges GROUP BY 1),
+       |dangling AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outw)),
+       |shares AS (SELECT e.src, e.dst, (e.w*1000000)//o.ow AS share
+       |           FROM edges e JOIN outw o ON e.src = o.src),
+       |r0 AS (SELECT id, CAST($Scale//(SELECT COUNT(*) FROM nodes) AS BIGINT) AS rank
+       |       FROM nodes),
+       |$its
+       |SELECT id AS nation_id, CAST(rank AS BIGINT) AS pr_scaled
+       |FROM r5 ORDER BY nation_id""".stripMargin
+  }
+
   /** q117: PageRank over the nation-level trade graph — edges are
     * (supplier nation → customer nation) with weight = shipped line count.
     * The edge build is the scale-bearing part (three fact-dim joins over
@@ -78,8 +168,10 @@ object Graph {
   }
 
   /** `(SCALE // N) * 15 // 100` — identical to the Spark-side
-    * `init * (100 - Damping) / 100` (all BIGINT floor divisions). */
-  private val baseSql: String =
+    * `init * (100 - Damping) / 100` (all BIGINT floor divisions).
+    * A `def`, not a `val`: q154Oracle (declared earlier in the file)
+    * interpolates it during object init — a val would still be null. */
+  private def baseSql: String =
     s"(($Scale//(SELECT COUNT(*) FROM nodes))*15)//100"
 
   private def iterSql(prev: String): String =
@@ -161,22 +253,52 @@ object Graph {
        |SELECT id AS nation_id, dist AS hops FROM d4 ORDER BY nation_id""".stripMargin
   }
 
-  /** Per-node triangle counts over the undirected trade graph. Each edge is
-    * canonically oriented low-id → high-id, so every triangle {a<b<c} is
-    * enumerated exactly once as the wedge (a,b)+(b,c) closed by (a,c) —
-    * two equi-joins, no cartesian, no double counting. At scale the
-    * orientation key would be (degree, id) instead of raw id, which bounds
-    * wedge fan-out by the arboricity rather than the max degree (the
-    * classic skew hedge); id-orientation keeps the oracle identical and the
-    * count is the same either way. */
+  /** Undirected edges oriented by the (degree, id) total order — the
+    * Schank–Wagner "forward" orientation: each edge points from its
+    * lower-(deg, id) endpoint to the higher. A node's OUT-degree under
+    * this orientation is bounded by the graph's degeneracy (≈ arboricity),
+    * not its raw degree — a hub of degree 10^6 whose neighbors are all
+    * lower-degree leaves gets out-degree 0, so the wedge enumeration
+    * below never fans out quadratically on skewed degree distributions
+    * (GraphSpec pins this on a planted star). Returns (s, t, ds, dt) with
+    * (ds, s) < (dt, t) lexicographically. */
+  def orientByDegree(undirected: DataFrame): DataFrame = {
+    val und = undirected
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val da = deg.select(col("id").as("a"), col("d").as("da"))
+    val db = deg.select(col("id").as("b"), col("d").as("db"))
+    und.join(da, "a").join(db, "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("da").as("ds"), col("db").as("dt")))
+          .otherwise(
+            struct(col("b").as("s"), col("a").as("t"), col("db").as("ds"), col("da").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"),
+        col("e.ds").as("ds"), col("e.dt").as("dt"))
+  }
+
+  /** Per-node triangle counts over an undirected graph, via degree-ordered
+    * orientation (VERDICT r4 item 6): every triangle {x, y, z} with
+    * x ≺ y ≺ z in the (degree, id) order is enumerated exactly once as the
+    * wedge (x→y, x→z) closed by the oriented edge (y→z) — two equi-joins,
+    * no cartesian, no double counting, and per-node wedge fan-out bounded
+    * by out-degree² ≤ degeneracy² rather than max-degree² (the skew
+    * hedge). Counts are orientation-invariant, so the oracle's plain
+    * low-id/high-id formulation pins the same result. */
   def triangleCounts(undirected: DataFrame): DataFrame = {
-    val e = graft.Caches.persist(
-      undirected.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b")).distinct())
-    val e1 = e.select(col("a").as("x"), col("b").as("y"))
-    val e2 = e.select(col("a").as("y2"), col("b").as("z"))
-    val wedges = e1.join(e2, col("y") === col("y2")).select(col("x"), col("y"), col("z"))
-    val closed = wedges.join(e, wedges("x") === e("a") && wedges("z") === e("b"))
+    val e = graft.Caches.persist(orientByDegree(undirected))
+    val e1 = e.select(col("s").as("x"), col("t").as("y"),
+      col("dt").as("dy"))
+    val e2 = e.select(col("s").as("x2"), col("t").as("z"), col("dt").as("dz"))
+    val wedges = e1.join(e2, col("x") === col("x2"))
+      // y ≺ z in (deg, id): the closing edge is then oriented y→z
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("x"), col("y"), col("z"))
+    val closed = wedges.join(e, wedges("y") === e("s") && wedges("z") === e("t"))
       .select(col("x"), col("y"), col("z"))
     closed.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
@@ -221,10 +343,12 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_pagerank" -> (q117Pagerank _),
     "q121_shortest_hops" -> (q121ShortestHops _),
-    "q122_triangles" -> (q122Triangles _))
+    "q122_triangles" -> (q122Triangles _),
+    "q154_pagerank_dangling" -> (q154PagerankDangling _))
 
   def oracles: Map[String, String] = Map(
     "q117_pagerank" -> q117Oracle,
     "q121_shortest_hops" -> q121Oracle,
-    "q122_triangles" -> q122Oracle)
+    "q122_triangles" -> q122Oracle,
+    "q154_pagerank_dangling" -> q154Oracle)
 }

@@ -140,6 +140,50 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got=$got")
   }
 
+  test("degree orientation bounds wedge fan-out on a planted star (hub emits no wedges)") {
+    import spark.implicits._
+    // Star K_{1,50}: center 0 (degree 50, HIGHEST), leaves 1..50 (degree 1).
+    // Raw-id orientation would point every edge 0→leaf — out-degree 50 at
+    // the hub, C(50,2)=1225 wedges. Degree orientation points every edge
+    // leaf→hub: max out-degree 1, ZERO wedges — the arboricity bound.
+    val star = (1L to 50L).map(l => (0L, l)).toDF("u", "v")
+    val oriented = Graph.orientByDegree(star)
+    val outDeg = oriented.groupBy("s").count().agg(max("count")).head.getLong(0)
+    assert(outDeg == 1L, s"hub must emit nothing; max out-degree=$outDeg")
+    assert(oriented.filter(col("s") === 0L).count() == 0L, "all edges point INTO the hub")
+    assert(Graph.triangleCounts(star).count() == 0L, "a star has no triangles")
+    // Star + one leaf-leaf edge: exactly one triangle {0, 1, 2}.
+    val tri = Graph.triangleCounts(star.union(Seq((1L, 2L)).toDF("u", "v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got=$tri")
+  }
+
+  test("pageRankRedistributed conserves more mass than the simplified form and matches scalar ref") {
+    import spark.implicits._
+    // 1→2, 2→3; node 3 dangles (receives, never emits). Redistribution
+    // returns its mass to the pool each iteration.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankRedistributed(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Scalar reference of the same integer recurrence.
+    val nodes = Seq(1L, 2L, 3L)
+    val share = Map((1L, 2L) -> Graph.ShareScale, (2L, 3L) -> Graph.ShareScale)
+    val init = Graph.Scale / 3
+    val base = init * (100 - Graph.Damping) / 100
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 4) {
+      val dshare = rank(3L) / 3
+      val contrib = nodes.map { v =>
+        v -> share.collect { case ((s, d), sh) if d == v => (rank(s) * sh) / Graph.ShareScale }.sum
+      }.toMap
+      rank = nodes.map(v => v -> (base + 85L * (contrib(v) + dshare) / 100)).toMap
+    }
+    assert(got == rank, s"got=$got expected=$rank")
+    val simplified = Graph.pageRank(edges, iterations = 4)
+      .collect().map(r => r.getLong(1)).sum
+    assert(got.values.sum > simplified, "redistribution conserves the dangling mass")
+  }
+
   test("q118 Apriori invariant: pair support never exceeds either item's support") {
     val pairs = Analytics.q118BasketPairs(spark, sf("sf0.01")).collect()
     assert(pairs.nonEmpty)

@@ -80,7 +80,9 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast max(dday) cap replacing a global window (ADVICE r4)
       "q142_rolling_bitmap",
       // Layout.normalized attaches a 1-row broadcast min/max bounds frame
-      "q152_layout_pruning")
+      "q152_layout_pruning",
+      // per-iteration 1-row broadcast dangling-mass share
+      "q154_pagerank_dangling")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
