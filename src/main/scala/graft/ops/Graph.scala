@@ -92,10 +92,20 @@ object Graph {
     val base = init * (100 - Damping) / 100
     var ranks = nodesP.select(col("id"), lit(init).as("rank"))
     for (_ <- 1 to iterations) {
-      val dm = dangling.join(ranks, "id")
+      // localCheckpoint each iteration's ranks: the dangling-mass
+      // broadcast is an EAGER subjob, so without materialization it would
+      // re-execute the whole rank chain from scratch every iteration
+      // (O(k²) total work), and plain persist() keeps the ever-deepening
+      // lineage that Catalyst re-analyzes per iteration (the q48 lesson —
+      // measured SLOWER than no cache at all here). Checkpointing gives
+      // O(k) work on a flat plan; the broadcast and the next iteration's
+      // join share the materialized RDD. q117 needs none of this — its
+      // plan is a single lazily-evaluated tree.
+      val r = graft.Caches.trackCheckpoint(ranks.localCheckpoint())
+      val dm = dangling.join(r, "id")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
         .select(expr(s"dmass div ${math.max(n, 1L)}").as("dshare"))
-      val contrib = sharesP.join(ranks, sharesP("src") === ranks("id"))
+      val contrib = sharesP.join(r, sharesP("src") === r("id"))
         .select(col("dst"), expr("(rank * share) div 1000000L").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cb"))
       ranks = nodesP.join(contrib, nodesP("id") === contrib("dst"), "left")
