@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   * deterministic byte-level stand-in `decodeStub` over text-derived
   * payloads — same operator shape, schema, and distribution properties.
   *
-  * AUDIO decode is REAL too: [[decodeAudio]]/[[decodeAudios]] parse
-  * PCM16 WAV via `javax.sound.sampled` (pure JVM), spec-tested on
-  * generated fixtures (AudioDecodeSpec). The one remaining genuine stub
-  * is the VIDEO codec (H.264 — native libraries absent from this
-  * container); its frame-sample/feature plumbing is exercised by the same
-  * paths. At 100 TB decode stays embarrassingly parallel: per-row work,
-  * no shuffle until the final tiny aggregate.
+  * AUDIO decode is REAL too ([[decodeAudio]]: PCM16 WAV via
+  * `javax.sound.sampled`, spec-tested — AudioDecodeSpec), and VIDEO
+  * decode is real for the multi-frame formats the JDK has a codec for
+  * ([[decodeVideo]]: animated GIF frame extraction, per-frame luma,
+  * motion signal — VideoDecodeSpec). H.264/VP9 specifically remain
+  * unavailable (native codecs absent from this container); decodeVideo
+  * is the declared swap-in point — its caps, features, and quarantine
+  * contract are codec-independent. At 100 TB decode stays embarrassingly
+  * parallel: per-row work, no shuffle until the final tiny aggregate.
   */
 object Multimodal {
 
@@ -80,21 +82,34 @@ object Multimodal {
         } finally if (iis != null) iis.close()
       if (img == null) ImageFeature(ok = false, 0, 0, 0L, 0L)
       else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val luma = Array.tabulate(64) { k =>
-          val rgb = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8)
-          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
-        }
-        val total = luma.sum
-        var hash = 0L
-        var k = 0
-        while (k < 64) { if (luma(k) * 64 > total) hash |= (1L << k); k += 1 }
-        ImageFeature(ok = true, w, h, total / 64, hash)
+        val grid = lumaGrid(img)
+        ImageFeature(ok = true, img.getWidth, img.getHeight, grid.sum / 64, ahash(grid))
       }
     } catch {
       case scala.util.control.NonFatal(_) => ImageFeature(ok = false, 0, 0, 0L, 0L)
     }
+  }
+
+  /** 8×8 nearest-pixel sample grid of exact milli-scale Rec.601 luma
+    * (299r+587g+114b) — the shared basis for [[decodeImage]]'s stats and
+    * [[decodeVideo]]'s per-frame/motion features. */
+  private def lumaGrid(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(64) { k =>
+      val rgb = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+    }
+  }
+
+  /** Standard 8×8 average-hash over a luma grid (bit i set iff sample i
+    * exceeds the grid mean) — all integer arithmetic. */
+  private def ahash(grid: Array[Long]): Long = {
+    val total = grid.sum
+    var hash = 0L
+    var k = 0
+    while (k < 64) { if (grid(k) * 64 > total) hash |= (1L << k); k += 1 }
+    hash
   }
 
   /** Column form of [[decodeImage]]: adds an `img` struct. Embarrassingly
@@ -181,6 +196,79 @@ object Multimodal {
   def decodeAudios(df: DataFrame, payloadCol: String): DataFrame = {
     val decode = udf((b: Array[Byte]) => decodeAudio(b))
     df.withColumn("audio", decode(col(payloadCol)))
+  }
+
+  /** Decoded-video features — exact integers throughout ([[ImageFeature]]
+    * contract): `avg_luma_milli` is the mean over decoded frames of the
+    * per-frame 64-sample Rec.601 luma mean, `motion_milli` the mean
+    * absolute luma-grid difference between consecutive frames (0 for a
+    * static clip — THE cheap scene-change / dead-clip signal a video
+    * corpus pipeline filters on), `first_ahash64` frame 0's perceptual
+    * hash for near-dup bucketing. */
+  case class VideoFeature(ok: Boolean, n_frames: Int, width: Int, height: Int,
+      avg_luma_milli: Long, motion_milli: Long, first_ahash64: Long)
+
+  /** Frame cap for [[decodeVideo]] — bounds per-row work and memory. */
+  val MaxDecodeVideoFrames: Int = 256
+
+  /** REAL video decode for the multi-frame formats the JDK ships a codec
+    * for — animated GIF (and multi-page TIFF) via `javax.imageio`'s
+    * sequence reader, pure JVM. Each stored frame raster decodes under the
+    * same header-peek pixel cap as [[decodeImage]]; malformed payloads,
+    * oversized frames, or over-cap frame counts quarantine as ok=false.
+    * H.264/VP9 remain genuinely out of reach in this container (native
+    * codecs only) — for those this function IS the swap-in point: the
+    * per-frame feature extraction, caps, and quarantine contract are
+    * codec-independent. GIF frames are decoded as STORED rasters (no
+    * disposal-method compositing): full-frame clips — the generated
+    * fixture and the common corpus case — are exact; delta-encoded GIFs
+    * yield per-patch stats, stated here rather than hidden.
+    * Spec: VideoDecodeSpec (generated animated GIFs through Spark). */
+  def decodeVideo(bytes: Array[Byte], maxPixels: Long = MaxDecodePixels,
+      maxFrames: Int = MaxDecodeVideoFrames): VideoFeature = {
+    val bad = VideoFeature(ok = false, 0, 0, 0, 0L, 0L, 0L)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) bad
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val w0 = reader.getWidth(0).toLong
+            val h0 = reader.getHeight(0).toLong
+            if (n < 1 || n > maxFrames || w0 <= 0 || h0 <= 0 || w0 * h0 > maxPixels) bad
+            else if ((0 until n).exists { i =>
+              val w = reader.getWidth(i).toLong
+              val h = reader.getHeight(i).toLong
+              w <= 0 || h <= 0 || w * h > maxPixels // header peek per frame
+            }) bad
+            else {
+              val grids = (0 until n).map(i => lumaGrid(reader.read(i)))
+              val frameMeans = grids.map(g => g.sum / 64)
+              val motion =
+                if (n < 2) 0L
+                else grids.sliding(2).map { case Seq(a, b) =>
+                  (0 until 64).map(k => math.abs(a(k) - b(k))).sum / 64
+                }.sum / (n - 1)
+              VideoFeature(ok = true, n, w0.toInt, h0.toInt,
+                frameMeans.sum / n, motion, ahash(grids.head))
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => bad
+    }
+  }
+
+  /** Column form of [[decodeVideo]]: adds a `video` struct. */
+  def decodeVideos(df: DataFrame, payloadCol: String): DataFrame = {
+    val decode = udf((b: Array[Byte]) => decodeVideo(b))
+    df.withColumn("video", decode(col(payloadCol)))
   }
 
   /** Deterministic fake decode of a binary payload: byte length + md5 +

@@ -1,0 +1,72 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{IIOImage, ImageIO}
+import org.apache.spark.sql.functions._
+
+/** End-to-end REAL video decode through Spark: generated animated GIFs →
+  * binary column → Multimodal.decodeVideos → frame count, dimensions,
+  * exact per-frame luma mean, motion signal, first-frame aHash — the
+  * video member of the ImageDecodeSpec/AudioDecodeSpec family (the JDK's
+  * GIF codec is the one multi-frame format available without native
+  * libraries; the driver's synthetic testdata carries no video bytes).
+  */
+class VideoDecodeSpec extends SparkSpec {
+  import ops.Multimodal
+
+  private def frame(w: Int, h: Int, rgb: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    img
+  }
+
+  /** Animated GIF from full frames via the JDK's sequence writer. */
+  private def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  test("decodeVideos: frames, dims, exact luma, motion, and corrupt quarantine") {
+    import spark.implicits._
+    // black → white → black, 16×16: frame means 0 / 255000 / 0 milli-luma
+    // → avg 85000, motion (255000 + 255000)/2 = 255000, first aHash 0.
+    val blink = gif(Seq(frame(16, 16, 0x000000), frame(16, 16, 0xffffff),
+      frame(16, 16, 0x000000)))
+    // static white, 2 frames: motion exactly 0 — the dead-clip signal.
+    val static = gif(Seq(frame(8, 8, 0xffffff), frame(8, 8, 0xffffff)))
+    val corrupt = Array[Byte]('G', 'I', 'F', '8', '9', 'a', 1, 2, 3)
+    val df = Seq((1L, blink), (2L, static), (3L, corrupt)).toDF("id", "payload")
+    val got = Multimodal.decodeVideos(df, "payload")
+      .select(col("id"), col("video.ok"), col("video.n_frames"), col("video.width"),
+        col("video.height"), col("video.avg_luma_milli"), col("video.motion_milli"),
+        col("video.first_ahash64"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+
+    assert(got(1L) === ((true, 3, 16, 16, 85000L, 255000L, 0L)))
+    assert(got(2L) === ((true, 2, 8, 8, 255000L, 0L, 0L)))
+    assert(got(3L) === ((false, 0, 0, 0, 0L, 0L, 0L)))
+  }
+
+  test("decodeVideo: frame-count and pixel caps quarantine; single frame has zero motion") {
+    val clip = gif(Seq(frame(10, 10, 0x808080), frame(10, 10, 0x808080),
+      frame(10, 10, 0x808080)))
+    assert(!Multimodal.decodeVideo(clip, maxFrames = 2).ok, "3 frames over a 2-frame cap")
+    assert(!Multimodal.decodeVideo(clip, maxPixels = 50L).ok, "100 px over a 50-px cap")
+    val one = Multimodal.decodeVideo(gif(Seq(frame(4, 4, 0xffffff))))
+    assert(one.ok && one.n_frames === 1 && one.motion_milli === 0L)
+    // determinism across repeat decodes
+    assert(Multimodal.decodeVideo(clip) === Multimodal.decodeVideo(clip))
+  }
+}
