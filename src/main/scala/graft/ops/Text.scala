@@ -653,7 +653,74 @@ object Text {
        |JOIN sizes zb ON inter.sb = zb.source
        |ORDER BY sa, sb""".stripMargin
 
+  /** q155: PII detection + redaction — the scrubbing pass every corpus
+    * pipeline runs before training (emails, phone numbers), done with
+    * codegen'd regex builtins (`regexp_count`/`regexp_replace`, no UDF).
+    * The driver's synthetic documents carry no natural PII, so the query
+    * first formats a deterministic "raw support log" line per customer —
+    * synthetic email + E.164-ish phone derived from the key (the q60
+    * stance: fixture synthesized from the data, operator plumbing real) —
+    * then detects and redacts. Output per market segment: rows, detected
+    * email/phone counts, rows fully clean after redaction (the
+    * completeness proof: redaction must kill every match it counted), and
+    * the exact total redacted length. The regex subset used (character
+    * classes, +, {n}) behaves identically in Java regex and RE2, so the
+    * oracle reproduces counts bit-for-bit. Scale: pure per-row map +
+    * one partial+final aggregate — no shuffle before the 5-group rollup. */
+  def q155PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val log = Tables.customer(s, dir).select(col("c_mktsegment"),
+      concat(
+        lit("ticket from "), col("c_name"),
+        lit(" contact c"), col("c_custkey"), lit("@example.com or c"),
+        col("c_custkey"), lit(".alt@mail.example.org phone +1-555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" balance "), col("c_acctbal").cast("string")).as("line"))
+    log
+      .withColumn("n_emails", regexp_count(col("line"), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col("line"), lit(phoneRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("line"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_emails")).cast("long").as("emails_detected"),
+        sum(col("n_phones")).cast("long").as("phones_detected"),
+        sum(when(col("redacted").rlike(emailRe) || col("redacted").rlike(phoneRe), 0L)
+          .otherwise(1L)).as("n_clean_after"),
+        sum(length(col("redacted")).cast("long")).as("total_redacted_chars"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q155Oracle: String =
+    """WITH log AS (
+      |  SELECT c_mktsegment,
+      |    'ticket from ' || c_name || ' contact c' || c_custkey ||
+      |    '@example.com or c' || c_custkey ||
+      |    '.alt@mail.example.org phone +1-555-' ||
+      |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+      |    ' balance ' || CAST(c_acctbal AS VARCHAR) AS line
+      |  FROM customer),
+      |r AS (
+      |  SELECT c_mktsegment,
+      |    len(regexp_extract_all(line, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails,
+      |    len(regexp_extract_all(line, '\+1-555-[0-9]{4}')) AS n_phones,
+      |    regexp_replace(regexp_replace(line, '[a-z0-9._]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+      |                   '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+      |  FROM log)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(n_emails) AS BIGINT) AS emails_detected,
+      |  CAST(sum(n_phones) AS BIGINT) AS phones_detected,
+      |  CAST(sum(CASE WHEN regexp_matches(redacted, '[a-z0-9._]+@[a-z0-9.-]+')
+      |                  OR regexp_matches(redacted, '\+1-555-[0-9]{4}')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS n_clean_after,
+      |  CAST(sum(length(redacted)) AS BIGINT) AS total_redacted_chars
+      |FROM r GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_pii_redaction" -> (q155PiiRedaction _),
     "q138_source_overlap" -> (q138SourceOverlap _),
     "q134_exact_k_sample" -> (q134ExactKSample _),
     "q116_countmin_sketch" -> (q116CountMinSketch _),
@@ -671,6 +738,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_pii_redaction" -> q155Oracle,
     "q116_countmin_sketch" -> q116Oracle,
     "q114_trigram_rarity" -> q114Oracle,
     "q105_repetition_signals" -> q105Oracle,

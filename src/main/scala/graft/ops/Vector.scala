@@ -618,6 +618,172 @@ object Vector {
       |GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  /** q156: semantic deduplication (SemDeDup, Abbas et al. 2023 shape) —
+    * the embedding-space dedup a training-corpus pipeline runs after
+    * exact/MinHash text dedup: cluster the corpus (k-means, the exact
+    * fixed-point recurrence of q110), find near-duplicate pairs INSIDE
+    * each cluster only, and keep one representative (lowest vec_id) per
+    * duplicate relation, dropping the rest. Two pruning stages bound the
+    * pairwise work: the cluster (SemDeDup's own trick — cross-cluster
+    * pairs are never considered) and hyperplane-LSH banding within the
+    * cluster (q52's trick — same-cluster pairs must also share a band), so
+    * the exact-cosine stage touches (cid, band)-bucket collisions, never
+    * cluster² pairs. All decisions are exact integers (fixed-point
+    * coordinates, int64 dots/norms, the q52 cosine form), so the
+    * kept/dropped sets are bit-identical on any cluster. ε = 0.30: SemDeDup
+    * tunes ε per corpus; this isotropic synthetic corpus has cosines
+    * concentrated near 0 (σ ≈ 1/√64), so 0.30 ≈ 2.4σ marks the
+    * "semantically same" tail (q52's 0.45 finds nothing here — a dedup
+    * threshold above the corpus's own similarity ceiling is a no-op).
+    * Output: per k-means cluster, corpus size, verified dup pairs, dropped
+    * and kept counts — the dedup-rate report a corpus curator reads. */
+  def q156SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    // One explode, both fixed-point scales: xk (2^12) drives the k-means
+    // recurrence exactly as q110; xq (2^24, float-exact) drives
+    // projections and cosine exactly as q52.
+    val base = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * KmFP, 0).cast("long").as("xk"),
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq")))
+    def dists(cent: DataFrame): DataFrame =
+      base.join(broadcast(cent), Seq("j"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("xk") - col("cq")) * (col("xk") - col("cq"))).as("d2"))
+    def nearest(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+    var cent = base.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("j"), col("xk").as("cq"))
+    for (_ <- 1 to KmIters) {
+      val a = nearest(dists(cent))
+      cent = base.join(a, Seq("vec_id"))
+        .groupBy(col("cid"), col("j"))
+        .agg(expr("sum(xk) div count(1)").as("cq"))
+    }
+    val asg = graft.Caches.persist(nearest(dists(cent)))
+    // q52's banding, keyed by (cid, band_idx, band_val).
+    def coef(b: Int): Column =
+      (lit(b * 73856093L) + col("j") * 19349663L + col("j") * lit(b.toLong * 83492791L)) % 97 - 48
+    val projCols = (0 until SimBits).map(b => sum(col("xq") * coef(b)).as(s"p$b"))
+    val proj = base.groupBy(col("vec_id")).agg(projCols.head, projCols.tail: _*)
+    val bandStructs = (0 until SimBits / BandBits).map { bi =>
+      val bits = (0 until BandBits)
+        .map(r => when(col(s"p${bi * BandBits + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(bi).as("band_idx"), bits.as("band_val"))
+    }
+    val bands = graft.Caches.persist(
+      proj.select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("vec_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val"))
+        .join(asg, Seq("vec_id")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.cid") === col("b.cid") && col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val nq = base.groupBy(col("vec_id")).agg(sum(col("xq") * col("xq")).as("nq2"))
+    val dups = cands
+      .join(base.select(col("vec_id").as("vec_a"), col("j"), col("xq").as("xa")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("j"), col("xq").as("xb")), Seq("vec_b", "j"))
+      .groupBy(col("cid"), col("vec_a"), col("vec_b"))
+      .agg(sum(col("xa") * col("xb")).as("dq"))
+      .join(nq.select(col("vec_id").as("vec_a"), col("nq2").as("na2")), Seq("vec_a"))
+      .join(nq.select(col("vec_id").as("vec_b"), col("nq2").as("nb2")), Seq("vec_b"))
+      .filter(col("dq").cast("double") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))) >= 0.30)
+      .select(col("cid"), col("vec_a"), col("vec_b"))
+    val dupsP = graft.Caches.persist(dups)
+    val stats = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val pairStats = dupsP.groupBy(col("cid")).agg(count(lit(1)).as("n_dup_pairs"))
+    // Greedy keep-lowest: every pair is (low, high); the high side drops.
+    val dropStats = dupsP.select(col("cid"), col("vec_b")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+    stats
+      .join(pairStats, Seq("cid"), "left")
+      .join(dropStats, Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
+  val q156Oracle: String = {
+    def distCte(t: Int, centCte: String): String =
+      s"""dist$t AS (
+         |  SELECT x.vec_id, c.cid, sum((x.xk - c.cq) * (x.xk - c.cq)) AS d2
+         |  FROM xq x JOIN $centCte c ON x.j = c.j
+         |  GROUP BY 1, 2),
+         |asg$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM dist$t) t WHERE rn = 1)""".stripMargin
+    def centCte(t: Int): String =
+      s"""cent$t AS (
+         |  SELECT a.cid, x.j, CAST(sum(x.xk) AS BIGINT) // count(*) AS cq
+         |  FROM xq x JOIN asg$t a USING (vec_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      distCte(t, if (t == 1) "cent0" else s"cent${t - 1}") + ",\n" + centCte(t)
+    }.mkString(",\n")
+    s"""WITH xq AS (
+      |  SELECT vec_id, j,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xk,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $FixedPoint) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |cent0 AS (SELECT vec_id AS cid, j, xk AS cq FROM xq WHERE vec_id < $KmK),
+      |$iters,
+      |${distCte(KmIters + 1, s"cent$KmIters")},
+      |asg AS (SELECT vec_id, cid FROM asg${KmIters + 1}),
+      |coefs AS (
+      |  SELECT tb.range AS b, tj.range AS j,
+      |    (tb.range * 73856093 + tj.range * 19349663 + tb.range * tj.range * 83492791) % 97 - 48 AS c
+      |  FROM range(0, $SimBits) tb, range(1, ${Dim + 1}) tj),
+      |proj AS (
+      |  SELECT vec_id, b, sum(xq * c) AS pq
+      |  FROM xq JOIN coefs USING (j)
+      |  GROUP BY vec_id, b),
+      |bands AS (
+      |  SELECT p.vec_id, a.cid, CAST(b // $BandBits AS INT) AS band_idx,
+      |    sum(CASE WHEN pq > 0 THEN (1::BIGINT << CAST(b % $BandBits AS INT)) ELSE 0 END) AS band_val
+      |  FROM proj p JOIN asg a ON p.vec_id = a.vec_id
+      |  GROUP BY 1, 2, 3),
+      |cands AS (
+      |  SELECT DISTINCT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.cid = b.cid AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.vec_id < b.vec_id),
+      |nq AS (SELECT vec_id, sum(xq * xq) AS nq2 FROM xq GROUP BY vec_id),
+      |dups AS (
+      |  SELECT cid, vec_a, vec_b
+      |  FROM (
+      |    SELECT c.cid, c.vec_a, c.vec_b, sum(xa.xq * xb.xq) AS dq
+      |    FROM cands c
+      |    JOIN xq xa ON c.vec_a = xa.vec_id
+      |    JOIN xq xb ON c.vec_b = xb.vec_id AND xa.j = xb.j
+      |    GROUP BY 1, 2, 3) d
+      |  JOIN nq na ON d.vec_a = na.vec_id
+      |  JOIN nq nb ON d.vec_b = nb.vec_id
+      |  WHERE CAST(dq AS DOUBLE) / (sqrt(CAST(na.nq2 AS DOUBLE)) * sqrt(CAST(nb.nq2 AS DOUBLE))) >= 0.30),
+      |stats AS (SELECT cid, count(*) AS n_vecs FROM asg GROUP BY 1),
+      |ps AS (SELECT cid, count(*) AS n_dup_pairs FROM dups GROUP BY 1),
+      |ds AS (SELECT cid, count(*) AS n_dropped
+      |       FROM (SELECT DISTINCT cid, vec_b FROM dups) GROUP BY 1)
+      |SELECT s.cid, s.n_vecs,
+      |  CAST(coalesce(ps.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+      |  CAST(coalesce(ds.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  CAST(s.n_vecs - coalesce(ds.n_dropped, 0) AS BIGINT) AS n_kept
+      |FROM stats s
+      |LEFT JOIN ps ON s.cid = ps.cid
+      |LEFT JOIN ds ON s.cid = ds.cid
+      |ORDER BY s.cid""".stripMargin
+  }
+
   /** ANN index-quality gate: recall@5 of the IVF index (q51) against the
     * brute-force ground truth (q50) — the evaluation every approximate
     * index needs before it replaces an exact scan in production. Composed
@@ -661,6 +827,7 @@ object Vector {
     "q102_ivfpq_topk"        -> (q102IvfPqTopk _),
     "q110_kmeans_train"      -> (q110KmeansFixedPoint _),
     "q111_ann_recall"        -> (q111AnnRecall _),
+    "q156_semantic_dedup"    -> (q156SemanticDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,5 +839,6 @@ object Vector {
     "q102_ivfpq_topk"        -> q102Oracle,
     "q110_kmeans_train"      -> q110Oracle,
     "q111_ann_recall"        -> q111Oracle,
+    "q156_semantic_dedup"    -> q156Oracle,
   )
 }
