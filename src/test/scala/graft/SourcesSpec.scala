@@ -115,11 +115,20 @@ class SourcesSpec extends SparkSpec {
     val v4 = Materialize.Versioned.write(spark, root, Seq((7L, "r")).toDF("k", "v"))
     assert(v4 === 4L)
     assert(Materialize.Versioned.read(spark, root).collect().head.getString(1) === "r")
+    // plant marker-less crash debris BELOW the retained range (v=0) and AT
+    // the next-slot position (v=5): retention must reap the former (write()
+    // never revisits it) and leave the latter (could be a live concurrent
+    // writer racing the slot)
+    val oldDebris = new java.io.File(s"$root/v=00000000"); oldDebris.mkdirs()
+    new java.io.File(oldDebris, "part-00000.parquet").createNewFile()
+    val slotDebris = new java.io.File(s"$root/v=00000005"); slotDebris.mkdirs()
     // retention keeps the newest 2 live versions; v1/v2 gone, v3/v4 intact
     assert(Materialize.Versioned.expireVersions(spark, root, keepLast = 2) === Seq(1L, 2L))
     assert(Materialize.Versioned.versions(spark, root) === Seq(3L, 4L))
     assert(Materialize.Versioned.read(spark, root, Some(3L)).collect().toSet ===
       Set(org.apache.spark.sql.Row(9L, "z")))
+    assert(!oldDebris.exists(), "old crash debris below the retained range is reaped")
+    assert(slotDebris.exists(), "next-slot debris is left for write()'s own reclaim")
   }
 
   test("upsert recovers the table from a crash between the two renames") {
