@@ -210,13 +210,115 @@ object Sketches {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users_7d
       |FROM c GROUP BY 1 ORDER BY d""".stripMargin
 
+  val BloomBits = 256        // m: 8 32-bit words — deliberately small so
+                             // the fp rate is VISIBLE at test SFs (~12% per
+                             // key at sf0.01, saturated ~95% at sf0.1 — the
+                             // undersized-filter cautionary tale, exactly
+                             // priced), not a production setting; 32-bit
+                             // words keep every shift ≤ 31 (DuckDB raises
+                             // on 1<<63 where Spark wraps — the q132 lesson)
+  val BloomHashes = 2        // k
+
+  /** Bit position i of `key` in the m-bit Bloom filter: an md5 slice per
+    * hash index, mod m — integer-exact in both engines. */
+  private def bloomPos(key: Column, i: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(s"#$i")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  /** q157: Bloom-filter semi-join reduction with EXACT false-positive
+    * accounting — the manual form of the runtime filter ScaleSpec pins
+    * Catalyst injecting, exposed as an operator because at 100 TB you
+    * often build the filter yourself (ship a kilobyte bitmap to prune a
+    * petabyte probe). Build: k md5-derived bit positions per build-side
+    * key (suppliers of nations 0–11), OR-folded into 64-bit words — ≤32
+    * rows, broadcast. Probe: each lineitem row tests its k bits via k
+    * BROADCAST joins on the word index — entirely map-side, no shuffle
+    * until the final per-flag rollup. Report per l_returnflag: rows,
+    * bloom passes, true matches, false positives, and missed matches —
+    * the last pinned to 0 by the oracle (a Bloom filter can never drop a
+    * true match; the fp columns price what it lets through). All bit
+    * arithmetic is exact int64, so even the "approximate" filter is
+    * hash-reproducible. */
+  def q157BloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.supplier(s, dir).filter(col("s_nationkey") < 12)
+      .select(col("s_suppkey")).distinct()
+    val words = dim
+      .select(explode(array((0 until BloomHashes).map(i =>
+        bloomPos(col("s_suppkey"), i)): _*)).as("pos"))
+      .select(expr("pos div 32").as("w"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+      .groupBy(col("w")).agg(bit_or(col("mask")).as("bm"))
+    val marked = dim.withColumn("is_match", lit(1L))
+    var f = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_returnflag"))
+    for (i <- 0 until BloomHashes) {
+      f = f.withColumn(s"p$i", bloomPos(col("l_suppkey"), i))
+        .withColumn(s"w$i", expr(s"p$i div 32"))
+        .withColumn(s"m$i", expr(s"shiftleft(1L, cast(p$i % 32 as int))"))
+        .join(broadcast(words.select(col("w").as(s"w$i"), col("bm").as(s"bm$i"))),
+          Seq(s"w$i"), "left")
+    }
+    val pass = (0 until BloomHashes)
+      .map(i => (coalesce(col(s"bm$i"), lit(0L)).bitwiseAND(col(s"m$i"))) =!= 0L)
+      .reduce(_ && _)
+    f.join(broadcast(marked), col("l_suppkey") === col("s_suppkey"), "left")
+      .withColumn("is_match", coalesce(col("is_match"), lit(0L)))
+      .withColumn("pass", when(pass, 1L).otherwise(0L))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("pass")).as("n_pass_bloom"),
+        sum(col("pass") * col("is_match")).as("n_true_match"),
+        sum(col("pass") * (lit(1L) - col("is_match"))).as("n_false_pos"),
+        sum((lit(1L) - col("pass")) * col("is_match")).as("n_missed"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q157Oracle: String = {
+    def pos(key: String, i: Int) =
+      s"CAST('0x' || substr(md5($key || '#$i'), 1, 8) AS BIGINT) % $BloomBits"
+    val dimPoss = (0 until BloomHashes)
+      .map(i => s"SELECT ${pos("CAST(s_suppkey AS VARCHAR)", i)} AS pos FROM dim")
+      .mkString(" UNION ALL ")
+    val probeCols = (0 until BloomHashes)
+      .map(i => s"${pos("CAST(l_suppkey AS VARCHAR)", i)} AS p$i").mkString(",\n    ")
+    val joins = (0 until BloomHashes)
+      .map(i => s"LEFT JOIN words w$i ON p$i // 32 = w$i.w").mkString("\n  ")
+    val passCond = (0 until BloomHashes)
+      .map(i => s"(coalesce(w$i.bm, 0) & (1::BIGINT << CAST(p$i % 32 AS INT))) <> 0")
+      .mkString(" AND ")
+    s"""WITH dim AS (
+      |  SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey < 12),
+      |poss AS ($dimPoss),
+      |words AS (
+      |  SELECT pos // 32 AS w, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bm
+      |  FROM poss GROUP BY 1),
+      |probe AS (
+      |  SELECT l_suppkey, l_returnflag,
+      |    $probeCols
+      |  FROM lineitem),
+      |flagged AS (
+      |  SELECT l_returnflag,
+      |    CASE WHEN $passCond THEN 1 ELSE 0 END AS pass,
+      |    CASE WHEN l_suppkey IN (SELECT s_suppkey FROM dim) THEN 1 ELSE 0 END AS is_match
+      |  FROM probe
+      |  $joins)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(pass) AS BIGINT) AS n_pass_bloom,
+      |  CAST(sum(pass * is_match) AS BIGINT) AS n_true_match,
+      |  CAST(sum(pass * (1 - is_match)) AS BIGINT) AS n_false_pos,
+      |  CAST(sum((1 - pass) * is_match) AS BIGINT) AS n_missed
+      |FROM flagged GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_hll_distinct" -> (q127HllDistinct _),
     "q132_bitmap_rollup" -> (q132BitmapRollup _),
-    "q142_rolling_bitmap" -> (q142RollingBitmap _))
+    "q142_rolling_bitmap" -> (q142RollingBitmap _),
+    "q157_bloom_semijoin" -> (q157BloomSemijoin _))
 
   val oracles: Map[String, String] = Map(
     "q127_hll_distinct" -> q127Oracle,
     "q132_bitmap_rollup" -> q132Oracle,
-    "q142_rolling_bitmap" -> q142Oracle)
+    "q142_rolling_bitmap" -> q142Oracle,
+    "q157_bloom_semijoin" -> q157Oracle)
 }
