@@ -34,6 +34,8 @@ class DeterminismSpec extends SparkSpec {
   pinned("q154_pagerank_dangling") // + dangling-mass redistribution
   pinned("q122_triangles")       // degree-ordered wedge enumeration
   pinned("q18_approx_stats")     // integer HLL + bucket-histogram median
+  pinned("q156_semantic_dedup")  // kmeans fixed point + LSH bands + int cosine
+  pinned("q157_bloom_semijoin")  // md5 bit positions, OR-folded words
   pinned("q110_kmeans_train")    // exact fixed-point Lloyd's
   pinned("q116_countmin_sketch") // mergeable counter grid
   pinned("q113_mixture_sample")  // integer water-filling allocation
