@@ -614,7 +614,72 @@ object Dedup {
       |       CAST(m.nc AS BIGINT) AS best_n_chars
       |FROM best ORDER BY cluster_rep""".stripMargin
 
+  /** q158: leakage-safe train/val/test split — eval-set hygiene as an
+    * operator. A content-stable hash split on doc_id (q101's shape) leaks:
+    * two near-duplicate documents can land in train and test, and the
+    * model is then evaluated on (a paraphrase of) its training data. The
+    * fix is to split by near-dup GROUP: every document takes its q48
+    * cluster representative as its split key (singletons key on
+    * themselves), so a whole near-dup cluster moves to one split
+    * atomically. 80/10/10 by the md5 of the group key — content-stable
+    * (adding documents never reshuffles existing groups' assignment).
+    * Output: per-split doc/group counts plus a `_leaky_groups` audit row —
+    * the count of groups spanning >1 split, which the construction forces
+    * to 0 and the oracle RE-DERIVES independently (the check is the
+    * contract, not a tautology: any future change that splits by doc
+    * again fails this row). Scale: the split is one map over the
+    * cluster-labeled frame; the audit is one distinct + count on (group,
+    * split) — both tiny next to the q48 clustering they consume. */
+  def q158LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = q48DedupClusters(s, dir).select(col("doc_id"), col("cluster_rep"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val bucket =
+      conv(substring(md5(col("grp").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100
+    val tagged = graft.Caches.persist(docs
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")))
+    val perSplit = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+    val leaky = tagged.select(col("grp"), col("split")).distinct()
+      .groupBy(col("grp")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("v"))
+      .select(lit("_leaky_groups").as("split"), col("v").as("n_docs"),
+        col("v").as("n_groups"))
+    perSplit.unionByName(leaky).orderBy(col("split"))
+  }
+
+  val q158Oracle: String =
+    s"""WITH RECURSIVE $clusterLabelCtes,
+      |keyed AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+      |tagged AS (
+      |  SELECT doc_id, grp,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80
+      |           THEN 'train'
+      |         WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM keyed),
+      |per AS (
+      |  SELECT split, count(*) AS n_docs, count(DISTINCT grp) AS n_groups
+      |  FROM tagged GROUP BY 1),
+      |leaky AS (
+      |  SELECT count(*) AS v FROM (
+      |    SELECT grp FROM (SELECT DISTINCT grp, split FROM tagged) t
+      |    GROUP BY grp HAVING count(*) > 1) x)
+      |SELECT split, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_groups AS BIGINT) AS n_groups
+      |FROM per
+      |UNION ALL
+      |SELECT '_leaky_groups', CAST(v AS BIGINT), CAST(v AS BIGINT) FROM leaky
+      |ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_leakage_safe_split" -> (q158LeakageSafeSplit _),
     "q147_cluster_keepbest" -> (q147ClusterKeepBest _),
     "q129_editdist_pairs" -> (q129EditDistPairs _),
     "q44_dedup_latest_per_key" -> (q44LatestPerKey _),
@@ -627,6 +692,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_leakage_safe_split" -> q158Oracle,
     "q147_cluster_keepbest" -> q147Oracle,
     "q129_editdist_pairs" -> q129Oracle,
     "q44_dedup_latest_per_key" -> q44Oracle,
