@@ -717,6 +717,96 @@ object Analytics {
       |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q162: EXACT equi-depth histogram (8 buckets over lineitem price
+    * cents) without a global sort. Equi-width (q87) wastes buckets on
+    * empty ranges of a skewed distribution; equi-depth is what optimizer
+    * statistics and monitoring dashboards actually store — but the naive
+    * construction is `ntile(8) OVER (ORDER BY v)`: one task sorts the
+    * whole table. Here the 7 interior boundaries are found by the q124
+    * two-level refinement, generalized to ALL target ranks in one pass:
+    *
+    *   1. per-value counts (one hash aggregate — the only full shuffle);
+    *   2. integer coarse buckets `(v−mn) div w` (K=1024) → cumulative
+    *      counts over a ≤K+1-row frame (bounded, not data-scaled);
+    *   3. each target rank `r_k = ceil(tot·k/8)` finds its coarse bucket
+    *      from that broadcast-sized frame, then refines among only that
+    *      bucket's values — boundary `b_k` is a SELECTED cell, the min
+    *      value whose running count reaches `r_k`;
+    *   4. values join the 8 broadcast boundaries (`v ≤ b_k`, min k) —
+    *      bucket assignment is by VALUE, so ties never straddle buckets
+    *      and bucket populations are deterministic from the data alone.
+    *
+    * All arithmetic is integer (cents, integer div, integer ranks); the
+    * only doubles are the final /100 displays. */
+  def q162EquidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val B = 8
+    val K = 1024
+    val pv = graft.Caches.persist(
+      Tables.lineitem(s, dir)
+        .select(Exact.cents(col("l_extendedprice")).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+    val stats = broadcast(pv.agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      sum(col("cnt")).as("tot")))
+    val coarse = pv.crossJoin(stats)
+      .withColumn("w", expr(s"(mx - mn + $K) div $K"))
+      .withColumn("c", expr("(v - mn) div w"))
+    val ccum = broadcast(coarse.groupBy(col("c"), col("tot"))
+      .agg(sum(col("cnt")).as("cc"))
+      .withColumn("cum", sum(col("cc")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val targets = stats.select(col("tot"),
+      explode(sequence(lit(1), lit(B))).as("k"))
+      .withColumn("target", expr(s"(tot * k + ${B - 1}) div $B"))
+    val perK = broadcast(targets.join(ccum, Seq("tot"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("k"), col("target"))
+      .agg(min(col("c")).as("mbkt"), min_by(col("cum") - col("cc"), col("c")).as("below")))
+    val bounds = broadcast(coarse.join(perK, col("c") === col("mbkt"))
+      .withColumn("cum2", sum(col("cnt")).over(
+        Window.partitionBy(col("k")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("below") + col("cum2") >= col("target"))
+      .groupBy(col("k")).agg(min(col("v")).as("b")))
+    pv.join(bounds, col("v") <= col("b"))
+      .groupBy(col("v"), col("cnt")).agg(min(col("k")).as("bucket"))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        (min(col("v")).cast("double") / 100.0).as("min_price"),
+        (max(col("v")).cast("double") / 100.0).as("max_price"),
+        (sum(col("v") * col("cnt")).cast("double") / 100.0).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val q162Oracle: String =
+    """WITH pv AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |pc AS (
+      |  SELECT v, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS tot
+      |  FROM pv),
+      |ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+      |bounds AS (
+      |  SELECT k, min(v) AS b
+      |  FROM pc CROSS JOIN ks
+      |  WHERE cum >= (tot * k + 7) // 8
+      |  GROUP BY k),
+      |asg AS (
+      |  SELECT v, cnt, min(k) AS bucket
+      |  FROM pv JOIN bounds ON v <= b
+      |  GROUP BY v, cnt)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(min(v) AS DOUBLE) / 100.0 AS min_price,
+      |  CAST(max(v) AS DOUBLE) / 100.0 AS max_price,
+      |  CAST(sum(v * cnt) AS DOUBLE) / 100.0 AS sum_price
+      |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exact-moment Pearson correlation (SURVEY §2.4 A9; built-in `corr`
     * sums doubles — order-dependent, breaks hash parity): price↔quantity
     * correlation per returnflag from exact integer/decimal moments, with
@@ -1531,6 +1621,7 @@ object Analytics {
     "q118_basket_pairs"   -> (q118BasketPairs _),
     "q119_weighted_median" -> (q119WeightedMedian _),
     "q124_mad_outliers"   -> (q124MadOutliers _),
+    "q162_equidepth_histogram" -> (q162EquidepthHistogram _),
     "q58_grouping_sets"   -> (q58GroupingSets _),
     "q59_array_ops"       -> (q59ArrayOps _),
     "q62_arg_extremes"    -> (q62ArgExtremes _),
@@ -1570,6 +1661,7 @@ object Analytics {
     "q118_basket_pairs"   -> q118Oracle,
     "q119_weighted_median" -> q119Oracle,
     "q124_mad_outliers"   -> q124Oracle,
+    "q162_equidepth_histogram" -> q162Oracle,
     "q58_grouping_sets"   -> q58Oracle,
     "q59_array_ops"       -> q59Oracle,
     "q62_arg_extremes"    -> q62Oracle,

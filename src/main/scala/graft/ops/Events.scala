@@ -667,7 +667,81 @@ object Events {
       |  CAST(coalesce(max(duration_ms), 0) AS BIGINT) AS max_duration_ms
       |FROM agg""".stripMargin
 
+  /** q161: seasonal-baseline anomaly detection — flag hours whose event
+    * count deviates >3σ from the hour-of-week baseline (same weekday +
+    * hour across all other weeks). The monitoring primitive for any
+    * ingest pipeline: "is this hour's volume abnormal *for a Tuesday
+    * 14:00*", not "abnormal vs a flat mean".
+    *
+    * Baseline is LEAVE-ONE-OUT (the candidate hour is excluded from its
+    * own mean/variance — a hot anomaly would otherwise drag the baseline
+    * toward itself and mask smaller ones). The 3σ test is evaluated in
+    * EXACT INTEGER arithmetic: with per-slot n' buckets, sum s', sum of
+    * squares ss' (all integers from integer counts), `z² > 9` is
+    * equivalent to `(cnt·n' − s')² > 9·(ss'·n' − s'²)` — no float compare
+    * at the decision boundary, so engines can't disagree on marginal
+    * rows. Terms are widened to DECIMAL(38,0)/HUGEINT first: at cluster
+    * magnitudes (1e9 events/hour × 1e2 weeks) the squared terms pass
+    * 2^63, so the widening is the 100 TB requirement, not pedantry.
+    *
+    * Scale: two hash aggregates (hour buckets, then 168 hour-of-week
+    * slots) + a broadcast-sized join of buckets back to their slot stats.
+    * Reported `baseline_mean` is one int/int double division
+    * (IEEE-identical) rounded to 4. */
+  def q161SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val buckets = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", (expr("h div 24") + lit(4L)) % 7)
+      .withColumn("hod", col("h") % 24)
+    val slots = buckets.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    val j = buckets.join(broadcast(slots), Seq("dow", "hod"))
+      .withColumn("np", col("n") - lit(1L))
+      .withColumn("sp", col("s") - col("cnt"))
+      .withColumn("ssp", col("ss") - col("cnt") * col("cnt"))
+    val lhsRoot = wide(col("cnt")) * wide(col("np")) - wide(col("sp"))
+    val rhs = lit(9) * (wide(col("ssp")) * wide(col("np")) - wide(col("sp")) * wide(col("sp")))
+    j.filter(col("np") >= 4 && lhsRoot * lhsRoot > rhs)
+      .select((col("h") * lit(3600L)).as("hour_epoch_s"), col("dow"), col("hod"),
+        col("cnt"),
+        round(col("sp").cast("double") / col("np").cast("double"), 4)
+          .as("baseline_mean"),
+        col("np").as("n_baseline_weeks"))
+      .orderBy(col("hour_epoch_s"))
+  }
+
+  val q161Oracle: String =
+    """WITH b AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS h, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |k AS (
+      |  SELECT h, cnt, ((h // 24) + 4) % 7 AS dow, h % 24 AS hod FROM b),
+      |slots AS (
+      |  SELECT dow, hod, count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss
+      |  FROM k GROUP BY 1, 2),
+      |j AS (
+      |  SELECT k.h, k.cnt, k.dow, k.hod,
+      |    s.n - 1 AS np, s.s - k.cnt AS sp, s.ss - k.cnt * k.cnt AS ssp
+      |  FROM k JOIN slots s ON k.dow = s.dow AND k.hod = s.hod)
+      |SELECT CAST(h * 3600 AS BIGINT) AS hour_epoch_s,
+      |  CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+      |  CAST(cnt AS BIGINT) AS cnt,
+      |  round(CAST(sp AS DOUBLE) / CAST(np AS DOUBLE), 4) AS baseline_mean,
+      |  CAST(np AS BIGINT) AS n_baseline_weeks
+      |FROM j
+      |WHERE np >= 4
+      |  AND (CAST(cnt AS HUGEINT) * CAST(np AS HUGEINT) - CAST(sp AS HUGEINT))
+      |      * (CAST(cnt AS HUGEINT) * CAST(np AS HUGEINT) - CAST(sp AS HUGEINT))
+      |    > 9 * (CAST(ssp AS HUGEINT) * CAST(np AS HUGEINT)
+      |           - CAST(sp AS HUGEINT) * CAST(sp AS HUGEINT))
+      |ORDER BY hour_epoch_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_seasonal_anomaly" -> (q161SeasonalAnomaly _),
     "q148_session_stats"   -> (q148SessionStats _),
     "q144_attribution"     -> (q144Attribution _),
     "q145_interval_sweep"  -> (q145IntervalSweep _),
@@ -687,6 +761,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_seasonal_anomaly" -> q161Oracle,
     "q148_session_stats"   -> q148Oracle,
     "q144_attribution"     -> q144Oracle,
     "q145_interval_sweep"  -> q145Oracle,

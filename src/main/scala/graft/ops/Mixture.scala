@@ -215,11 +215,90 @@ object Mixture {
       |  CAST(sum(toks) AS DOUBLE) / (count(*) * $PackCapacity) AS mean_fill
       |FROM seqs GROUP BY source ORDER BY source""".stripMargin
 
+  /** q159: weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007): each document gets priority
+    * `q_i = w_i / u_i` with `w_i` its weight (chars) and `u_i` a uniform
+    * in (0,1] derived from md5(doc_id); the sample is the top-k priorities
+    * and the (k+1)-th priority is the threshold τ. The scheme's point is
+    * the estimator: `ŵ_i = max(w_i, τ)` makes `Σ ŵ_i` over the sample an
+    * UNBIASED estimate of the total weight of ANY subset — so the output
+    * carries the estimate next to the exact total (q157's error-accounting
+    * discipline, as a `rank=0` audit row).
+    *
+    * Determinism across engines: `u = (h+1)/2^32` and `q = w/u` use only
+    * IEEE-correctly-rounded ops (÷, no ln/pow — the classic A-ES
+    * exponential-race key `-ln(u)/w` would hinge on libm vs
+    * java.lang.Math transcendental rounding), so the priorities are
+    * bit-identical in Spark and DuckDB; `ŵ` is re-scaled to integer micros
+    * before the order-sensitive SUM, keeping the audit row exact.
+    *
+    * Scale: top-(k+1) is `orderBy(...).limit(k+1)` =
+    * TakeOrderedAndProject — per-partition heaps, k+1 rows to the driver
+    * stage, never a global sort. The post-limit window runs on a k+1-row
+    * frame. Weighted reservoir over 100 TB is exactly this plan. */
+  def q159PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val K = 20
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val pri = docs
+      .withColumn("u", (h.cast("double") + lit(1.0)) / lit(4294967296.0))
+      .withColumn("pri", col("w").cast("double") / col("u"))
+    val top = pri.orderBy(col("pri").desc, col("doc_id").asc).limit(K + 1)
+    val win = Window.orderBy(col("pri").desc, col("doc_id").asc)
+    val tau = Window.partitionBy()
+    val sample = top
+      .withColumn("rank", row_number().over(win))
+      .withColumn("tau", min(col("pri")).over(tau))
+      .filter(col("rank") <= K)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("w").as("weight"),
+        round(greatest(col("w").cast("double"), col("tau")) * 1e6)
+          .cast("long").as("w_hat_micros"))
+    // Tagged union, not a crossJoin of two 1-row aggregates — the latter
+    // plans as CartesianProduct (PlanSpec lint; the q133 pattern).
+    val audit = pri.select(col("w").as("v"), lit(0).as("tag"))
+      .unionByName(sample.select(col("w_hat_micros").as("v"), lit(1).as("tag")))
+      .agg(sum(when(col("tag") === 0, col("v"))).as("weight"),
+        sum(when(col("tag") === 1, col("v"))).as("w_hat_micros"))
+      .select(lit(0L).as("rank"), lit(-1L).as("doc_id"),
+        col("weight"), col("w_hat_micros"))
+    sample.unionByName(audit).orderBy(col("rank"))
+  }
+
+  val q159Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, greatest(n_chars, 1) AS w FROM documents),
+      |p AS (
+      |  SELECT doc_id, w,
+      |    CAST(w AS DOUBLE) /
+      |      ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+      |        / 4294967296.0) AS pri
+      |  FROM w),
+      |top AS (SELECT * FROM p ORDER BY pri DESC, doc_id ASC LIMIT 21),
+      |ranked AS (
+      |  SELECT doc_id, w, pri,
+      |    row_number() OVER (ORDER BY pri DESC, doc_id ASC) AS rank,
+      |    min(pri) OVER () AS tau
+      |  FROM top),
+      |samp AS (
+      |  SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(w AS BIGINT) AS weight,
+      |    CAST(round(greatest(CAST(w AS DOUBLE), tau) * 1e6) AS BIGINT) AS w_hat_micros
+      |  FROM ranked WHERE rank <= 20)
+      |SELECT rank, doc_id, weight, w_hat_micros FROM samp
+      |UNION ALL
+      |SELECT 0, -1, (SELECT CAST(sum(w) AS BIGINT) FROM p),
+      |  (SELECT CAST(sum(w_hat_micros) AS BIGINT) FROM samp)
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_mixture_sample" -> (q113MixtureSample _),
-    "q115_sequence_pack"  -> (q115SequencePack _))
+    "q115_sequence_pack"  -> (q115SequencePack _),
+    "q159_priority_sample" -> (q159PrioritySample _))
 
   val oracles: Map[String, String] = Map(
     "q113_mixture_sample" -> q113Oracle,
-    "q115_sequence_pack"  -> q115Oracle)
+    "q115_sequence_pack"  -> q115Oracle,
+    "q159_priority_sample" -> q159Oracle)
 }

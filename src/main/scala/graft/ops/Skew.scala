@@ -69,11 +69,58 @@ object Skew {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q160: pre-flight join-skew / output-cardinality profiler. Before
+    * launching a many-to-many join at 100 TB (here: the lineitem part-level
+    * self-join a "parts bought together" analysis implies), the cheap move
+    * is profiling the key distribution: exact output cardinality is
+    * `Σ_k f(k)²`, and the heavy keys that would stall a reducer are the
+    * top `f(k)` — this one aggregate decides broadcast vs salt vs AQE and
+    * sizes the salt bucket count, for the cost of ONE map-side-combined
+    * groupBy instead of an exploratory join that may never finish.
+    *
+    * Output: top-5 heaviest keys (each with its per-side rows and its
+    * `f²` contribution) plus a `partkey=-1` audit row carrying the exact
+    * totals: distinct keys in `left_rows`, total input rows in
+    * `right_rows`, and the full `Σ f²` join output cardinality in
+    * `out_rows` — the number the planner needs. All integers; the top-5 is
+    * TakeOrderedAndProject, never a global sort. */
+  def q160JoinSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("f"))
+    val top = freq
+      .select(col("l_partkey").as("partkey"), col("f").as("left_rows"),
+        col("f").as("right_rows"), (col("f") * col("f")).as("out_rows"))
+      .orderBy(col("out_rows").desc, col("partkey").asc)
+      .limit(5)
+    val audit = freq.agg(
+      count(lit(1)).as("left_rows"), sum(col("f")).as("right_rows"),
+      sum(col("f") * col("f")).as("out_rows"))
+      .select(lit(-1L).as("partkey"), col("left_rows"), col("right_rows"),
+        col("out_rows"))
+    top.unionByName(audit).orderBy(col("out_rows").desc, col("partkey").asc)
+  }
+
+  val q160Oracle: String =
+    """WITH freq AS (
+      |  SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1),
+      |top AS (
+      |  SELECT l_partkey AS partkey, CAST(f AS BIGINT) AS left_rows,
+      |    CAST(f AS BIGINT) AS right_rows, CAST(f * f AS BIGINT) AS out_rows
+      |  FROM freq ORDER BY f * f DESC, l_partkey ASC LIMIT 5)
+      |SELECT * FROM top
+      |UNION ALL
+      |SELECT -1, count(*), CAST(sum(f) AS BIGINT), CAST(sum(f * f) AS BIGINT)
+      |FROM freq
+      |ORDER BY out_rows DESC, partkey ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_salted_skew_join" -> (q67SaltedSkewJoin _),
+    "q160_join_skew_profile" -> (q160JoinSkewProfile _),
   )
 
   val oracles: Map[String, String] = Map(
     "q67_salted_skew_join" -> q67Oracle,
+    "q160_join_skew_profile" -> q160Oracle,
   )
 }

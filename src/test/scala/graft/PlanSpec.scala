@@ -82,7 +82,10 @@ class PlanSpec extends SparkSpec {
       // Layout.normalized attaches a 1-row broadcast min/max bounds frame
       "q152_layout_pruning",
       // per-iteration 1-row broadcast dangling-mass share
-      "q154_pagerank_dangling")
+      "q154_pagerank_dangling",
+      // 1-row broadcast (mn,mx,tot) stats frame + 8-row broadcast boundary
+      // probe (v <= b_k) — both bounded-constant sides by construction
+      "q162_equidepth_histogram")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
@@ -111,11 +114,15 @@ class PlanSpec extends SparkSpec {
     // at the first multi-child node matters: an Aggregate on a JOINED side
     // branch doesn't shrink the window's input — the window still sorts
     // the join output, which must then carry a scaling partition key.
+    // A constant-k Limit bounds the window's frame just as hard as an
+    // Aggregate does (q159 windows over a top-(k+1) TakeOrderedAndProject).
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
     def reducedBelow(w: LWindow): Boolean = {
       var n = w.child
       var found = false
       while (!found && n.children.size == 1) {
-        found = n.isInstanceOf[Aggregate]
+        found = n.isInstanceOf[Aggregate] ||
+          n.isInstanceOf[GlobalLimit] || n.isInstanceOf[LocalLimit]
         n = n.children.head
       }
       found
