@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HyperLogLog distinct-count sketch, built from first principles on
@@ -310,15 +311,117 @@ object Sketches {
       |FROM flagged GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q164: per-group quantile estimation from a BOTTOM-K hash sample,
+    * with exact error accounting. The mergeable-summary story for
+    * quantiles: per group, keep the k=64 rows with the smallest
+    * md5(row-key) — a uniform without-replacement sample that any two
+    * partial sketches merge into by re-truncating to k (the KMV property,
+    * pointed at order statistics instead of distinct counts). The group
+    * median estimated from the sample sits next to the EXACT median and
+    * the absolute error, so the operator reports its own accuracy (the
+    * q157/q159 discipline).
+    *
+    * Shuffle shape: the sample is a [[graft.functions.TopKPairsAggregator]]
+    * groupBy (score = negated hash → bottom-k; map-side combine caps every
+    * partial buffer at k rows per group — never a per-group ranking window
+    * over the fact table). Both medians are then SELECTED cells from
+    * per-(group, value) aggregated frames: cumulative-count windows run
+    * on Aggregate-reduced inputs, and `med2 = lower + upper` (the two
+    * middle order statistics) keeps everything in exact integer cents —
+    * no interpolation, no floats. */
+  def q164BottomkQuantile(s: SparkSession, dir: String): DataFrame = {
+    val SampleK = 64
+    val bottomK = udaf(new graft.functions.TopKPairsAggregator(SampleK),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    val base = graft.Caches.persist(
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("o_orderkey"),
+          graft.Exact.cents(col("o_totalprice")).as("cents"),
+          conv(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("h")))
+    val sampledKeys = base.groupBy(col("nationkey"))
+      .agg(bottomK(col("o_orderkey"), -col("h")).as("picks"))
+      .select(col("nationkey"), explode(col("picks")).as("sk"))
+      .select(col("nationkey"), col("sk.key").as("o_orderkey"))
+    val sampleVals = base.join(broadcast(sampledKeys), Seq("nationkey", "o_orderkey"), "left_semi")
+    // med2 = lower + upper middle order statistics of `cents` per nation
+    // (equal when the count is odd) — selected, never interpolated.
+    def med2(df: DataFrame, medName: String, totName: String): DataFrame = {
+      val byG = Window.partitionBy(col("nationkey"))
+      val cumW = byG.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col("nationkey"), col("cents")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cumW))
+        .withColumn("tot", sum(col("cnt")).over(byG))
+        .groupBy(col("nationkey"))
+        .agg(
+          (min(when(col("cum") >= expr("(tot + 1) div 2"), col("cents"))) +
+            min(when(col("cum") >= expr("(tot + 2) div 2"), col("cents"))))
+            .as(medName),
+          max(col("tot")).as(totName))
+    }
+    med2(base, "exact_med_x2_cents", "n_rows")
+      .join(med2(sampleVals, "est_med_x2_cents", "k_used"), Seq("nationkey"))
+      .select(col("nationkey"), col("n_rows"), col("k_used"),
+        col("exact_med_x2_cents"), col("est_med_x2_cents"),
+        abs(col("est_med_x2_cents") - col("exact_med_x2_cents")).as("err_x2_cents"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q164Oracle: String =
+    """WITH base AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |samp AS (
+      |  SELECT nationkey, cents FROM (
+      |    SELECT nationkey, cents,
+      |      row_number() OVER (PARTITION BY nationkey ORDER BY h ASC, o_orderkey ASC) AS rn
+      |    FROM base) r WHERE rn <= 64),
+      |me AS (
+      |  SELECT nationkey,
+      |    min(CASE WHEN cum >= (tot + 1) // 2 THEN cents END) +
+      |      min(CASE WHEN cum >= (tot + 2) // 2 THEN cents END) AS exact_med_x2_cents,
+      |    CAST(max(tot) AS BIGINT) AS n_rows
+      |  FROM (
+      |    SELECT nationkey, cents,
+      |      sum(cnt) OVER (PARTITION BY nationkey ORDER BY cents
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(cnt) OVER (PARTITION BY nationkey) AS tot
+      |    FROM (SELECT nationkey, cents, count(*) AS cnt FROM base GROUP BY 1, 2) pv) c
+      |  GROUP BY 1),
+      |ms AS (
+      |  SELECT nationkey,
+      |    min(CASE WHEN cum >= (tot + 1) // 2 THEN cents END) +
+      |      min(CASE WHEN cum >= (tot + 2) // 2 THEN cents END) AS est_med_x2_cents,
+      |    CAST(max(tot) AS BIGINT) AS k_used
+      |  FROM (
+      |    SELECT nationkey, cents,
+      |      sum(cnt) OVER (PARTITION BY nationkey ORDER BY cents
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(cnt) OVER (PARTITION BY nationkey) AS tot
+      |    FROM (SELECT nationkey, cents, count(*) AS cnt FROM samp GROUP BY 1, 2) pv) c
+      |  GROUP BY 1)
+      |SELECT me.nationkey, n_rows, k_used, exact_med_x2_cents, est_med_x2_cents,
+      |  abs(est_med_x2_cents - exact_med_x2_cents) AS err_x2_cents
+      |FROM me JOIN ms ON me.nationkey = ms.nationkey
+      |ORDER BY me.nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_hll_distinct" -> (q127HllDistinct _),
     "q132_bitmap_rollup" -> (q132BitmapRollup _),
     "q142_rolling_bitmap" -> (q142RollingBitmap _),
-    "q157_bloom_semijoin" -> (q157BloomSemijoin _))
+    "q157_bloom_semijoin" -> (q157BloomSemijoin _),
+    "q164_bottomk_quantile" -> (q164BottomkQuantile _))
 
   val oracles: Map[String, String] = Map(
     "q127_hll_distinct" -> q127Oracle,
     "q132_bitmap_rollup" -> q132Oracle,
     "q142_rolling_bitmap" -> q142Oracle,
-    "q157_bloom_semijoin" -> q157Oracle)
+    "q157_bloom_semijoin" -> q157Oracle,
+    "q164_bottomk_quantile" -> q164Oracle)
 }

@@ -721,7 +721,73 @@ object Text {
       |  CAST(sum(length(redacted)) AS BIGINT) AS total_redacted_chars
       |FROM r GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** q163: repeated-span coverage — per document, the fraction of its
+    * 5-gram token POSITIONS whose gram also occurs in at least one other
+    * document (the Lee et al. "Deduplicating Training Data" substring
+    * signal, at span granularity). Doc-level dedup (q44–q48) misses
+    * boilerplate: a page that is 60% shared template and 40% unique text
+    * survives every whole-doc and near-dup filter, yet more than half its
+    * training tokens are duplicated. This query scores exactly that.
+    *
+    * Topology is the q109 inverted-index shape: grams explode once,
+    * cross-doc support is a gram-keyed aggregate (distinct doc count ≥ 2),
+    * and docs re-join their own gram stream on the gram key — never
+    * doc×doc. Unlike [[shingles5]] the gram stream here is POSITIONAL
+    * (not distinct): a doc that repeats a shared span 10 times has 10
+    * duplicated positions, which is the point of span coverage.
+    * `dup_frac` is one int/int double division (IEEE-identical), rounded
+    * to 6; top-20 is TakeOrderedAndProject. */
+  def q163SpanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val grams = graft.Caches.persist(toks.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("toks")) - lit(4)),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + lit(1)),
+          element_at(col("toks"), i + lit(2)), element_at(col("toks"), i + lit(3)),
+          element_at(col("toks"), i + lit(4))))).as("gram")))
+    val shared = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val perDoc = grams.join(shared, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    toks.select(col("doc_id"), (size(col("toks")) - lit(4)).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6))
+      .orderBy(col("dup_frac").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val q163Oracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, $tokensSql AS toks FROM documents),
+      |t5 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4])) AS gram
+      |  FROM t5),
+      |shared AS (
+      |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) d
+      |  GROUP BY gram HAVING count(*) >= 2),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+      |  FROM g WHERE gram IN (SELECT gram FROM shared) GROUP BY 1)
+      |SELECT t5.doc_id AS doc_id, CAST(len(toks) - 4 AS BIGINT) AS n_grams,
+      |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+      |  round(CAST(coalesce(n_dup_grams, 0) AS DOUBLE)
+      |        / CAST(len(toks) - 4 AS DOUBLE), 6) AS dup_frac
+      |FROM t5 LEFT JOIN per_doc ON t5.doc_id = per_doc.doc_id
+      |ORDER BY dup_frac DESC, doc_id ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_span_coverage" -> (q163SpanCoverage _),
     "q155_pii_redaction" -> (q155PiiRedaction _),
     "q138_source_overlap" -> (q138SourceOverlap _),
     "q134_exact_k_sample" -> (q134ExactKSample _),
@@ -740,6 +806,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_span_coverage" -> q163Oracle,
     "q155_pii_redaction" -> q155Oracle,
     "q116_countmin_sketch" -> q116Oracle,
     "q114_trigram_rarity" -> q114Oracle,
