@@ -48,4 +48,7 @@ class DeterminismSpec extends SparkSpec {
   pinned("q142_rolling_bitmap")  // windowed bitmap OR-merge
   pinned("q146_table_digest")    // commutative md5-slice sum digest
   pinned("q136_range_boundaries") // sampled cumulative-count selection
+  pinned("q159_priority_sample")  // division-only priority keys + micros audit sum
+  pinned("q162_equidepth_histogram") // two-level integer boundary refinement
+  pinned("q164_bottomk_quantile") // merge-truncated bottom-k sample, selected medians
 }

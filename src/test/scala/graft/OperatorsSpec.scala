@@ -344,4 +344,94 @@ class OperatorsSpec extends SparkSpec {
       "prefix-filtered result differs from brute force")
     Caches.releaseAll()
   }
+
+  test("q159 priority sample: audit totals exact, estimator dominated below by weights") {
+    val rows = Mixture.q159PrioritySample(spark, sf()).collect()
+    val (audit, sample) = rows.partition(_.getAs[Long]("rank") == 0L)
+    assert(audit.length == 1 && sample.length == 20)
+    assert(sample.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 20L))
+    // exact-total audit column matches an independent aggregation
+    val exactTotal = Tables.documents(spark, sf())
+      .agg(sum(greatest(col("n_chars"), lit(1L)))).head.getLong(0)
+    assert(audit.head.getAs[Long]("weight") == exactTotal)
+    // ŵ = max(w, τ) ≥ w, so every sampled estimate ≥ its own weight
+    sample.foreach { r =>
+      assert(r.getAs[Long]("w_hat_micros") >= r.getAs[Long]("weight") * 1000000L)
+    }
+    // estimate column of the audit row is the sample's own sum
+    assert(audit.head.getAs[Long]("w_hat_micros") ==
+      sample.map(_.getAs[Long]("w_hat_micros")).sum)
+  }
+
+  test("q162 equi-depth: boundaries hit exact ceil(tot*k/8) ranks; total preserved") {
+    val out = Analytics.q162EquidepthHistogram(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val tot = Tables.lineitem(spark, sf()).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == tot)
+    // ranges strictly increase and never overlap
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_price") < b.getAs[Double]("min_price") ||
+          a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
+      case _ =>
+    }
+    // cumulative population reaches each target rank exactly at its bucket
+    // (boundary = first value whose running count >= ceil(tot*k/8)), and
+    // without the k-th bucket's own rows it falls short of the target
+    var cum = 0L
+    out.foreach { r =>
+      val k = r.getAs[Long]("bucket")
+      val target = (tot * k + 7) / 8
+      assert(cum < target, s"bucket $k starts at/after its target")
+      cum += r.getAs[Long]("n_rows")
+      assert(cum >= target, s"bucket $k ends before its target rank")
+    }
+    Caches.releaseAll()
+  }
+
+  test("q163 span coverage: planted boilerplate scores high, unique doc scores zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    val boiler = "this website uses cookies to improve your experience please accept our terms"
+    Seq(
+      (1L, s"$boiler unique article about volcanoes erupting basalt plumes overnight"),
+      (2L, s"$boiler another story entirely concerning deep sea anglerfish lanterns glowing"),
+      (3L, s"$boiler third page discussing ancient pottery kilns excavated yesterday afternoon"),
+      (4L, "completely singular text with no shared spans whatsoever covering quantum dot manufacturing processes"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q163SpanCoverage(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"), r.getAs[Double]("dup_frac")))
+      .toMap
+    // the 12-token boilerplate contributes 12-4=8 shared 5-gram positions per doc
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2 == 8, s"doc $id dup grams = ${out(id)._2}")
+      assert(out(id)._3 > 0.0)
+    }
+    assert(out(4L)._2 == 0L && out(4L)._3 == 0.0)
+    // ordering: boilerplate docs rank above the clean doc
+    Caches.releaseAll()
+  }
+
+  test("q164 bottom-k quantile: k_used = min(64, n), exact median matches brute force") {
+    val out = Sketches.q164BottomkQuantile(spark, sf()).collect()
+    val brute = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf()), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nk"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+      .collect().groupBy(_.getAs[Long]("nk"))
+      .view.mapValues { rs =>
+        val v = rs.map(_.getAs[Long]("cents")).sorted
+        v((v.length - 1) / 2) + v(v.length / 2)
+      }.toMap
+    out.foreach { r =>
+      val nk = r.getAs[Long]("nationkey")
+      assert(r.getAs[Long]("k_used") == math.min(64L, r.getAs[Long]("n_rows")))
+      assert(r.getAs[Long]("exact_med_x2_cents") == brute(nk), s"nation $nk exact median")
+      assert(r.getAs[Long]("err_x2_cents") ==
+        math.abs(r.getAs[Long]("est_med_x2_cents") - r.getAs[Long]("exact_med_x2_cents")))
+    }
+    Caches.releaseAll()
+  }
 }
