@@ -433,6 +433,131 @@ object Multimodal {
       |FROM h JOIN b USING (ahash64)
       |ORDER BY doc_id""".stripMargin
 
+  /** 8-point DCT-II basis, fixed-point: `DctTab(u*8+x) = round(1024 ·
+    * cos(π(2x+1)u/16))`. Integer literals (not runtime `Math.cos`) so the
+    * transform is exact integer multiply-accumulate — bit-identical on any
+    * JVM and replayable in oracle SQL, where a float DCT would hash-drift.
+    * Rows u≥1 sum to zero, which [[phash64]]'s DC exclusion relies on. */
+  val DctTab: Array[Long] = Array(
+    1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024,
+    1004, 851, 569, 200, -200, -569, -851, -1004,
+    946, 392, -392, -946, -946, -392, 392, 946,
+    851, -200, -1004, -569, 569, 1004, 200, -851,
+    724, -724, -724, 724, 724, -724, -724, 724,
+    569, -1004, 200, 851, -851, -200, 1004, -569,
+    392, -946, 946, -392, -392, 946, -946, 392,
+    200, -569, 851, -1004, 1004, -851, 569, -200)
+
+  /** DCT perceptual hash (pHash) over an 8×8 grid (row-major, any
+    * non-negative integer scale): 2-D integer DCT-II, then bit c=8u+v set
+    * iff coefficient C[u][v] exceeds the MEDIAN of the 63 non-DC
+    * coefficients (rank-32 selected cell, ties by coefficient index —
+    * never interpolated). The DC term is excluded from both the median and
+    * the bits (bit 0 is always 0): since every u≥1 basis row sums to zero,
+    * a uniform brightness shift moves ONLY the DC coefficient, making the
+    * hash exactly invariant to additive and positive-multiplicative
+    * luma changes — the robustness aHash ([[ahash]]) only approximates.
+    * aHash thresholds raw pixels (texture-sensitive); pHash thresholds
+    * low-frequency structure, the standard near-dup upgrade. */
+  def phash64(grid: Array[Long]): Long = {
+    require(grid.length == 64)
+    val c = Array.tabulate(64) { uv =>
+      val u = uv / 8
+      val v = uv % 8
+      var acc = 0L
+      var k = 0
+      while (k < 64) {
+        acc += grid(k) * DctTab(u * 8 + k / 8) * DctTab(v * 8 + k % 8)
+        k += 1
+      }
+      acc
+    }
+    val med = c.zipWithIndex.drop(1).sortBy { case (x, i) => (x, i) }
+      .apply(31)._1 // rank 32 of the 63 non-DC coefficients
+    var hash = 0L
+    var uv = 1
+    while (uv < 64) { if (c(uv) > med) hash |= (1L << uv); uv += 1 }
+    hash
+  }
+
+  /** q165: pHash near-dup bucketing over payload bytes — the q104
+    * stand-in discipline (no image bytes in testdata: the sampling,
+    * fixed-point DCT, median thresholding, and bucketing — the parts that
+    * run at corpus scale — are exercised exactly; on real images the same
+    * arithmetic runs over decoded luma, [[phash64]] + ImageDecodeSpec).
+    *
+    * Plan: 64-sample explode (shared scan, persisted) × a 64-row constant
+    * coefficient frame → per-(doc, coefficient) integer MAC → per-doc
+    * rank-32 median selection (window partitioned by the scaling doc_id
+    * key over the 64-row aggregated frame) → bit_or assembly → bucket
+    * join. All integers; the DCT table is embedded literally in both
+    * engines. */
+  def q165PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val tab = DctTab.mkString("array(", ",", ")")
+    val px = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("k", explode(sequence(lit(0L), lit(63L))))
+      .select(col("doc_id"), col("k"),
+        expr("CAST(ascii(substring(text, CAST(k * length(text) div 64 AS INT) + 1, 1)) AS BIGINT)")
+          .as("g")))
+    val coef = px
+      .withColumn("c", explode(sequence(lit(0L), lit(63L))))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("g") *
+        expr(s"element_at($tab, CAST((c div 8) * 8 + (k div 8) AS INT) + 1)") *
+        expr(s"element_at($tab, CAST((c % 8) * 8 + (k % 8) AS INT) + 1)"))
+        .as("coef"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("coef"), col("c"))
+    val med = coef.filter(col("c") > 0)
+      .withColumn("rn", row_number().over(byDoc))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("rn") === 32, col("coef"))).as("med"))
+    val hash = coef.filter(col("c") > 0).join(med, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(bit_or(
+        when(col("coef") > col("med"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(c AS INT))")).otherwise(lit(0L)))
+        .as("phash64"))
+    val buckets = hash.groupBy(col("phash64")).agg(count(lit(1)).as("n_same_hash"))
+    hash.join(buckets, Seq("phash64"))
+      .select(col("doc_id"), col("phash64"), col("n_same_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q165Oracle: String = {
+    val tab = DctTab.mkString("[", ",", "]")
+    s"""WITH px AS (
+      |  SELECT doc_id, i AS k,
+      |    CAST(ascii(substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)) AS BIGINT) AS g
+      |  FROM documents, range(0, 64) t(i)),
+      |coef AS (
+      |  SELECT doc_id, c,
+      |    CAST(sum(g * ($tab)[CAST((c // 8) * 8 + (k // 8) AS INT) + 1]
+      |               * ($tab)[CAST((c % 8) * 8 + (k % 8) AS INT) + 1]) AS BIGINT) AS coef
+      |  FROM px, range(0, 64) s(c)
+      |  GROUP BY 1, 2),
+      |med AS (
+      |  SELECT doc_id, min(CASE WHEN rn = 32 THEN coef END) AS med
+      |  FROM (SELECT doc_id, coef,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY coef, c) AS rn
+      |        FROM coef WHERE c > 0) r
+      |  GROUP BY 1),
+      |h AS (
+      |  SELECT coef.doc_id,
+      |    bit_or(CASE WHEN coef > med
+      |      THEN CASE WHEN c = 63 THEN (1::BIGINT << 62) * -2
+      |                ELSE (1::BIGINT << CAST(c AS INT)) END
+      |      ELSE 0::BIGINT END) AS phash64
+      |  FROM coef JOIN med ON coef.doc_id = med.doc_id
+      |  WHERE c > 0
+      |  GROUP BY 1),
+      |b AS (SELECT phash64, count(*) AS n_same_hash FROM h GROUP BY 1)
+      |SELECT doc_id, phash64, n_same_hash
+      |FROM h JOIN b USING (phash64)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Typed batch decode via `mapPartitions` — the Scala analogue of a
@@ -471,6 +596,7 @@ object Multimodal {
     "q61_multimodal_stats"  -> (q61MultimodalStats _),
     "q82_multimodal_resize" -> (q82MultimodalResize _),
     "q104_ahash_neardup"    -> (q104AhashNearDup _),
+    "q165_phash_neardup"    -> (q165PhashNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +604,6 @@ object Multimodal {
     "q61_multimodal_stats"  -> q61Oracle,
     "q82_multimodal_resize" -> q82Oracle,
     "q104_ahash_neardup"    -> q104Oracle,
+    "q165_phash_neardup"    -> q165Oracle,
   )
 }

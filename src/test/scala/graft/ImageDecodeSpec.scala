@@ -68,4 +68,33 @@ class ImageDecodeSpec extends SparkSpec {
       assert(a === b)
     }
   }
+
+  test("phash64: exactly invariant to brightness shift/scale, discriminates structure") {
+    // 8×8 grids straight from generated images (the real decode path)
+    def grid(bytes: Array[Byte]): Array[Long] = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      Array.tabulate(64) { k =>
+        val rgb = img.getRGB((k % 8) * img.getWidth / 8, (k / 8) * img.getHeight / 8)
+        299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+      }
+    }
+    def gv(v: Int) = (v << 16) | (v << 8) | v
+    // deterministic textured images (a ramp or checker is degenerate: its
+    // non-DC coefficients are all ≤ 0, so every bit compares against a
+    // zero median and the hash collapses to 0 — no discrimination to test)
+    val seed1 = Array.tabulate(16, 16)((x, y) => (x * 37 + y * 101 + x * y * 13) % 181)
+    val seed2 = Array.tabulate(16, 16)((x, y) => (x * 71 + y * 29 + x * x * 17) % 181)
+    val g0 = grid(png(16, 16)((x, y) => gv(seed1(x)(y))))
+    assert(Multimodal.phash64(g0) !== 0L) // textured input sets ~half the bits
+    // DC exclusion ⇒ additive brightness shift leaves every hash bit alone
+    val shifted = grid(png(16, 16)((x, y) => gv(seed1(x)(y) + 40)))
+    assert(Multimodal.phash64(shifted) === Multimodal.phash64(g0))
+    // positive scale preserves every sign-vs-median comparison
+    assert(Multimodal.phash64(g0.map(_ * 3)) === Multimodal.phash64(g0))
+    // different texture lands in a different bucket
+    assert(Multimodal.phash64(grid(png(16, 16)((x, y) => gv(seed2(x)(y))))) !==
+      Multimodal.phash64(g0))
+    // bit 0 (the DC slot) is never set
+    assert((Multimodal.phash64(g0) & 1L) === 0L)
+  }
 }
