@@ -405,7 +405,127 @@ object Streaming {
       .outputMode("update")
       .start()
 
+  /** q166: late-data accounting — the operational counterpart of a
+    * watermark. Every production stream quietly DROPS rows that arrive
+    * later than the watermark allows; a pipeline that doesn't measure that
+    * loss can't distinguish "low volume" from "data discarded". This query
+    * replays events in three arrival waves — the on-time bulk (all but the
+    * last 30 min of non-straggler event time), the on-time tail, then a
+    * deterministic md5 5% straggler subset — runs the standard watermarked
+    * hourly aggregation in update mode, and reports the loss as
+    * `n_total − Σ(final window counts)` in an audit row.
+    *
+    * Two Spark subtleties, both measured here and certified by the oracle:
+    * (1) The state-store metric `numRowsDroppedByWatermark` reads 0 — for
+    * streaming AGGREGATIONS Spark drops late rows in a filter BEFORE
+    * partial aggregation, so the store never sees them; the metric only
+    * counts drops at the store (e.g. joins). The portable accounting is
+    * the final aggregate state itself. (2) Since SPARK-40925 (multiple
+    * stateful operators), batch N filters late rows against the watermark
+    * derived from batch N−2's event-time stats, one batch BEHIND the
+    * eviction watermark — so with only two waves nothing is ever dropped
+    * (measured: 0 of 493), and the classic two-batch mental model of
+    * "watermark advanced, stragglers die" needs a third batch to be true.
+    * Hence three waves: the stragglers in batch 2 are filtered against
+    * `W = floor(max_us(wave1)/1000)·1000 − 1 h` (event-time stats are
+    * tracked at ms precision), dropped iff their hour-window END ≤ W.
+    * The oracle re-derives exactly that rule analytically, so a
+    * hash-match certifies the engine's understanding of the lagged
+    * watermark protocol, not just its ability to count.
+    *
+    * Arrival order is pinned: each wave is one parquet file with an
+    * explicit modification time and `maxFilesPerTrigger=1`, so the file
+    * source processes the waves strictly in order on any host. Scale:
+    * the streamed aggregation is q24's bounded-state shape; the audit
+    * itself is one batch aggregate over the final (bounded) sink state. */
+  def q166LateDataAudit(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
+    val straggler =
+      expr("conv(substring(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) % 20 = 0")
+    val ev = graft.Tables.events(s, dir).select(col("event_id"), col("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late-")
+    try {
+      // Wave cut: last 30 min of non-straggler event time arrives second,
+      // so wave 1's stats alone define the watermark that batch 2's late
+      // filter uses (see scaladoc: the late watermark lags one batch).
+      val ns = ev.filter(!straggler)
+      val cut = ns.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+        1800L * 1000000L // µs, exact — the oracle re-derives the same cut
+      val cutTs = timestamp_micros(lit(cut))
+      ns.filter(col("ts") <= cutTs).coalesce(1).write.parquet(s"$tmp/b1")
+      ns.filter(col("ts") > cutTs).coalesce(1).write.parquet(s"$tmp/b2")
+      ev.filter(straggler).coalesce(1).write.parquet(s"$tmp/b3")
+      def stamp(sub: String, t: Long): Unit =
+        new java.io.File(s"$tmp/$sub").listFiles().foreach(_.setLastModified(t))
+      stamp("b1", 1000000000000L)
+      stamp("b2", 1000000060000L)
+      stamp("b3", 1000000120000L)
+      val schema = s.read.parquet(s"$tmp/b1").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(tmp.toString)
+      val agg = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      val name = s"graft_late_audit_${counter.incrementAndGet()}"
+      val ckpt = scratchCheckpoint()
+      val counted =
+        try {
+          val q = agg.writeStream.format("memory").queryName(name)
+            .outputMode("update").option("checkpointLocation", ckpt.toString).start()
+          try q.processAllAvailable()
+          finally q.stop()
+          // The update-mode memory sink APPENDS every emitted update, so a
+          // window touched by both waves appears twice; its count is
+          // monotone, so max(n) per window is the final aggregate state.
+          s.table(name).groupBy(col("window")).agg(max(col("n")).as("n"))
+            .agg(coalesce(sum(col("n")), lit(0L)).as("c")).collect()(0).getLong(0)
+        } finally {
+          s.catalog.dropTempView(name)
+          import scala.jdk.CollectionConverters._
+          try java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      val t = ev.agg(count(lit(1)).as("n_total"),
+        coalesce(sum(when(straggler, 1L).otherwise(0L)), lit(0L)).as("n_stragglers"))
+        .collect()(0)
+      import s.implicits._
+      Seq((t.getLong(0), t.getLong(1), t.getLong(0) - counted, counted))
+        .toDF("n_total", "n_stragglers", "n_late_dropped", "n_counted")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Watermark = ms-floored max on-time event time − 1 h; a straggler is
+    * dropped iff its hour window END has passed the watermark (window end
+    * exclusive ⇒ `<=`). */
+  val q166Oracle: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us,
+      |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS BIGINT) % 20 = 0
+      |      AS straggler
+      |  FROM events),
+      |wm AS (
+      |  SELECT (max(us) // 1000 - 3600000) * 1000 AS w FROM e WHERE NOT straggler)
+      |SELECT count(*) AS n_total,
+      |  CAST(coalesce(sum(CASE WHEN straggler THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_stragglers,
+      |  CAST(coalesce(sum(CASE WHEN straggler
+      |    AND ((us // 3600000000) + 1) * 3600000000 <= (SELECT w FROM wm)
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late_dropped,
+      |  count(*) - CAST(coalesce(sum(CASE WHEN straggler
+      |    AND ((us // 3600000000) + 1) * 3600000000 <= (SELECT w FROM wm)
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_counted
+      |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_late_data_audit" -> (q166LateDataAudit _),
     "q24_streaming_hourly" -> (q24StreamingHourly _),
     "q77_stream_static_join" -> (q77StreamStaticJoin _),
     "q103_stream_stream_join" -> (q103StreamStreamJoin _),
@@ -413,6 +533,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_late_data_audit" -> q166Oracle,
     "q24_streaming_hourly" -> q24Oracle,
     "q77_stream_static_join" -> q77Oracle,
     "q103_stream_stream_join" -> q103Oracle,
