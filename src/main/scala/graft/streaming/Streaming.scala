@@ -428,16 +428,39 @@ object Streaming {
     * "watermark advanced, stragglers die" needs a third batch to be true.
     * Hence three waves: the stragglers in batch 2 are filtered against
     * `W = floor(max_us(wave1)/1000)·1000 − 1 h` (event-time stats are
-    * tracked at ms precision), dropped iff their hour-window END ≤ W.
-    * The oracle re-derives exactly that rule analytically, so a
+    * tracked at ms precision), dropped iff their hour-window END ≤ W —
+    * WAVE 1's max, not the overall non-straggler max: batch 2's late
+    * filter lags two batches behind its own input, so wave 2's stats
+    * (the 30-min tail) have not reached it yet. Pinned empirically by
+    * StreamingSpec's "late-filter watermark lags" fixture, whose
+    * discriminator straggler falls in an hour window that ends between
+    * the two candidate watermarks (kept ⟺ wave-1 rule); the progress
+    * log there shows batch 2 REPORTING wm = max(wave1∪wave2) − 1 h (the
+    * eviction watermark) while FILTERING with max(wave1) − 1 h. The
+    * oracle re-derives exactly the wave-1 rule analytically, so a
     * hash-match certifies the engine's understanding of the lagged
     * watermark protocol, not just its ability to count.
     *
+    * Degenerate input: with zero non-straggler events there is no
+    * watermark cut — the watermark never leaves epoch 0, so nothing can
+    * be dropped, and the audit row is emitted directly ((n, k, 0, n))
+    * without replaying the stream; an all-empty events table yields
+    * (0, 0, 0, 0). EmptyDataSpec pins both.
+    *
     * Arrival order is pinned: each wave is one parquet file with an
     * explicit modification time and `maxFilesPerTrigger=1`, so the file
-    * source processes the waves strictly in order on any host. Scale:
-    * the streamed aggregation is q24's bounded-state shape; the audit
-    * itself is one batch aggregate over the final (bounded) sink state. */
+    * source processes the waves strictly in order on any host. That
+    * `coalesce(1)` is REPLAY INSTRUMENTATION, not the production shape:
+    * in production this audit instruments the live stream (the same
+    * watermarked aggregation the pipeline already runs), where arrival
+    * order is whatever the source delivers and each trigger ingests
+    * many files/offsets; `n_total` comes from the ingest-side count and
+    * `n_counted` from the final aggregate state, no replay involved. A
+    * 100 TB backfill replay would use multi-file waves under
+    * `maxFilesPerTrigger` (or `latestFirst=false` Trigger.AvailableNow),
+    * not three single-task writes. Scale: the streamed aggregation is
+    * q24's bounded-state shape; the audit itself is one batch aggregate
+    * over the final (bounded) sink state. */
   def q166LateDataAudit(outer: SparkSession, dir: String): DataFrame =
       withStateParallelism(outer, 4) { s =>
     val straggler =
@@ -449,7 +472,19 @@ object Streaming {
       // so wave 1's stats alone define the watermark that batch 2's late
       // filter uses (see scaladoc: the late watermark lags one batch).
       val ns = ev.filter(!straggler)
-      val cut = ns.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+      // Nullable read: with zero non-straggler events max() is NULL and the
+      // watermark never advances, so no row can be dropped — short-circuit
+      // to the (n, k, 0, n) audit row instead of dereferencing the null.
+      val maxNsRow = ns.agg(max(unix_micros(col("ts")))).collect()(0)
+      if (maxNsRow.isNullAt(0)) {
+        val t = ev.agg(count(lit(1)).as("n_total"),
+          coalesce(sum(when(straggler, 1L).otherwise(0L)), lit(0L)).as("n_stragglers"))
+          .collect()(0)
+        import s.implicits._
+        Seq((t.getLong(0), t.getLong(1), 0L, t.getLong(0)))
+          .toDF("n_total", "n_stragglers", "n_late_dropped", "n_counted")
+      } else {
+      val cut = maxNsRow.getLong(0) -
         1800L * 1000000L // µs, exact — the oracle re-derives the same cut
       val cutTs = timestamp_micros(lit(cut))
       ns.filter(col("ts") <= cutTs).coalesce(1).write.parquet(s"$tmp/b1")
@@ -494,6 +529,7 @@ object Streaming {
       import s.implicits._
       Seq((t.getLong(0), t.getLong(1), t.getLong(0) - counted, counted))
         .toDF("n_total", "n_stragglers", "n_late_dropped", "n_counted")
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
@@ -502,17 +538,23 @@ object Streaming {
     }
   }
 
-  /** Watermark = ms-floored max on-time event time − 1 h; a straggler is
-    * dropped iff its hour window END has passed the watermark (window end
-    * exclusive ⇒ `<=`). */
+  /** Watermark = ms-floored max WAVE-1 event time − 1 h (wave 1 = on-time
+    * events at or before cut = overall on-time max − 30 min; the late
+    * filter lags one batch, so wave 2's stats don't reach it — see
+    * [[q166LateDataAudit]]'s scaladoc and StreamingSpec's protocol pin).
+    * A straggler is dropped iff its hour window END has passed the
+    * watermark (window end exclusive ⇒ `<=`). */
   val q166Oracle: String =
     """WITH e AS (
       |  SELECT epoch_us(ts) AS us,
       |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS BIGINT) % 20 = 0
       |      AS straggler
       |  FROM events),
+      |cut AS (
+      |  SELECT max(us) - 1800000000 AS c FROM e WHERE NOT straggler),
       |wm AS (
-      |  SELECT (max(us) // 1000 - 3600000) * 1000 AS w FROM e WHERE NOT straggler)
+      |  SELECT (max(us) // 1000 - 3600000) * 1000 AS w FROM e
+      |  WHERE NOT straggler AND us <= (SELECT c FROM cut))
       |SELECT count(*) AS n_total,
       |  CAST(coalesce(sum(CASE WHEN straggler THEN 1 ELSE 0 END), 0) AS BIGINT)
       |    AS n_stragglers,

@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q166: late-filter watermark lags one batch (wave-1 stats, pinned off hour alignment)") {
+    // Non-hour-aligned fixture that DISTINGUISHES the two candidate rules:
+    //   wave 1 (on-time bulk)  A=08:05 B=09:05 C=10:30  → W_wave1 = 09:30
+    //   wave 2 (on-time tail)  D=11:00                  → W_all   = 10:00
+    //   stragglers  S1=08:15 (window end 09:00 ≤ both W → dropped),
+    //               S2=09:15 (window end 10:00: ≤ W_all but > W_wave1 —
+    //                         the discriminator), S3=10:45 (kept by both).
+    // Batch 2's late filter uses the watermark from batch 0's stats only
+    // (SPARK-40925 two-value protocol), so S2 survives: counted = 6, not 5.
+    // ids picked so md5-first-4-hex % 20 == 0 exactly for {9, 13, 53}.
+    import spark.implicits._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2001-09-09 $hhmm:00")
+    val rows = Seq(
+      (1L, ts("08:05")), (2L, ts("09:05")), (3L, ts("10:30")), (4L, ts("11:00")),
+      (9L, ts("08:15")), (13L, ts("09:15")), (53L, ts("10:45")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q166-pin")
+    rows.toDF("event_id", "ts").write.parquet(dir.resolve("events.parquet").toString)
+    val out = graft.streaming.Streaming.q166LateDataAudit(spark, dir.toString)
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((7L, 3L, 1L, 6L)),
+      "wave-1-only watermark must keep the discriminator straggler (6 counted)")
+  }
+
   test("transformWithState (Spark 4 arbitrary-state API) equals the q25 session fold") {
     import graft.streaming.StatefulSessions.{Ev, SessionOut}
     // transformWithState requires the RocksDB state-store provider — set on
