@@ -16,6 +16,23 @@ import org.apache.spark.sql.types._
   */
 object Maintenance {
 
+  /** Materializes a (≤4-row) summary result so the scratch layout it reads
+    * can be deleted before the query returns — q152/q153 write full temp
+    * copies of orders that must not outlive the call (ADVICE r5: every
+    * bench/correctness run leaked them to /tmp). Row order (the query's
+    * total ORDER BY) survives the round-trip. */
+  private def localize(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  private def deleteRecursive(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** q151: quarantine routing over lineitem — dbt-style rules, DLT-style
     * bad-records split (the reference's dbt tree ships no tests at all —
     * `/root/reference/dbt/models/`; SURVEY §6). Output is the row count
@@ -75,7 +92,12 @@ object Maintenance {
     * the bucket id is integer arithmetic on floor-truncated normalized
     * values, IEEE-identical in both engines. */
   def q152LayoutPruning(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-q152").toString + "/orders_z"
+    val root = java.nio.file.Files.createTempDirectory("graft-q152")
+    try localize(q152Body(s, dir, root.toString + "/orders_z"))
+    finally deleteRecursive(root)
+  }
+
+  private def q152Body(s: SparkSession, dir: String, path: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     Layout.zorderBucketWrite(o, path, "o_custkey", "o_totalprice", ZBuckets, ZBits)
@@ -165,7 +187,12 @@ object Maintenance {
     * writes; latest ≡ v2 pins the default-read contract. Oracle recomputes
     * the summaries from the raw table with the same filters. */
   def q153TimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-q153").toString + "/orders_v"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q153")
+    try localize(q153Body(s, dir, tmp.toString + "/orders_v"))
+    finally deleteRecursive(tmp)
+  }
+
+  private def q153Body(s: SparkSession, dir: String, root: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val v1 = Materialize.Versioned.write(s, root, o.filter(year(col("o_orderdate")) <= 1996))
     val v2 = Materialize.Versioned.write(s, root, o)

@@ -32,27 +32,33 @@ object ScaleUp {
         .parquet(s"$dst/$t.parquet")
     }
 
-    def replicate(t: String, shifted: Seq[String]): Unit = {
-      val base = spark.read.parquet(s"$src/$t.parquet")
-      val spans = shifted.map { c =>
-        c -> (base.agg(max(col(c))).head.get(0) match {
-          case null      => 0L
-          case n: Number => n.longValue() + 1L
-        })
+    def maxPlus1(t: String, c: String): Long =
+      spark.read.parquet(s"$src/$t.parquet").agg(max(col(c))).head.get(0) match {
+        case null      => 0L
+        case n: Number => n.longValue() + 1L
       }
+
+    def replicate(t: String, shifted: Seq[(String, Long)]): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
       val copies = (0 until k).map { i =>
-        spans.foldLeft(base) { case (df, (c, span)) =>
+        shifted.foldLeft(base) { case (df, (c, span)) =>
           df.withColumn(c, col(c) + lit(i * span))
         }
       }
       copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
 
-    replicate("orders", Seq("o_orderkey"))
-    replicate("lineitem", Seq("l_orderkey"))
-    replicate("events", Seq("event_id"))
-    replicate("documents", Seq("doc_id"))
-    replicate("embeddings", Seq("vec_id"))
+    // ONE shared span for the linked pair, taken from the parent table:
+    // independently-computed maxima diverge whenever trailing orders have
+    // no lineitems, and every replica's lineitems would then reference the
+    // wrong (or absent) orders — silently corrupting join fan-outs in the
+    // scaling probe (ADVICE r5).
+    val orderSpan = maxPlus1("orders", "o_orderkey")
+    replicate("orders", Seq("o_orderkey" -> orderSpan))
+    replicate("lineitem", Seq("l_orderkey" -> orderSpan))
+    replicate("events", Seq("event_id" -> maxPlus1("events", "event_id")))
+    replicate("documents", Seq("doc_id" -> maxPlus1("documents", "doc_id")))
+    replicate("embeddings", Seq("vec_id" -> maxPlus1("embeddings", "vec_id")))
     println(s"[scaleup] wrote ${k}x of $src to $dst")
     spark.stop()
   }
