@@ -59,6 +59,59 @@ class VideoDecodeSpec extends SparkSpec {
     assert(got(3L) === ((false, 0, 0, 0, 0L, 0L, 0L)))
   }
 
+  /** Raw Y4M clip: uniform-luma frames (one Y value per frame), C420
+    * chroma planes filled with 128 (gray). */
+  private def y4m(w: Int, h: Int, lumas: Seq[Int], header: String = ""): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val hdr = if (header.nonEmpty) header else s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+    out.write(hdr.getBytes("US-ASCII"))
+    lumas.foreach { v =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(Array.fill(w * h)(v.toByte))              // Y plane
+      out.write(Array.fill((w / 2) * (h / 2) * 2)(128.toByte)) // Cb + Cr
+    }
+    out.toByteArray
+  }
+
+  test("decodeY4m: multi-frame features are exact and agree with the GIF rendering") {
+    // 50 → 100 → 200 uniform luma, 16×16: means 50000/100000/200000 milli,
+    // avg (350000/3)=116666, motion (50000+100000)/2 = 75000, aHash 0
+    // (uniform grid — no sample exceeds the mean).
+    val clip = Multimodal.decodeVideo(y4m(16, 16, Seq(50, 100, 200)))
+    assert(clip === Multimodal.VideoFeature(ok = true, 3, 16, 16, 116666L, 75000L, 0L))
+    // the SAME gray content as an animated GIF (r=g=b=v → 1000·v luma)
+    // must produce identical features: the two decoders share one metric.
+    val asGif = Multimodal.decodeVideo(gif(Seq(
+      frame(16, 16, 0x323232), frame(16, 16, 0x646464), frame(16, 16, 0xc8c8c8))))
+    assert(asGif === clip)
+    // chroma layouts only change how many bytes are skipped per frame: a
+    // C444 header over C420-sized frames under-supplies bytes → quarantine
+    assert(Multimodal.decodeVideo(
+      y4m(16, 16, Seq(50), header = "YUV4MPEG2 W16 H16 C444\n")).ok === false)
+    val mono = s"YUV4MPEG2 W8 H8 Cmono\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill(64)(200.toByte)
+    assert(Multimodal.decodeVideo(mono) ===
+      Multimodal.VideoFeature(ok = true, 1, 8, 8, 200000L, 0L, 0L))
+  }
+
+  test("decodeY4m: quarantine — header bomb, truncation, over-cap frames, garbage") {
+    // 38-byte payload declaring a 4-gigapixel frame: rejected from the
+    // header alone (no allocation) — the decompression-bomb discipline.
+    val bomb = "YUV4MPEG2 W65536 H65536 C420\nFRAME\n123".getBytes("US-ASCII")
+    assert(Multimodal.decodeY4m(bomb).ok === false)
+    val good = y4m(8, 8, Seq(10, 20))
+    assert(Multimodal.decodeY4m(good.dropRight(1)).ok === false, "truncated frame")
+    assert(Multimodal.decodeY4m(good ++ Array[Byte](0)).ok === false, "trailing garbage")
+    assert(Multimodal.decodeY4m(good, maxFrames = 1).ok === false, "over frame cap")
+    assert(Multimodal.decodeY4m(y4m(7, 8, Seq(10))).ok === false,
+      "odd width under 4:2:0 subsampling")
+    assert(Multimodal.decodeY4m(y4m(8, 8, Seq.empty)).ok === false, "zero frames")
+    assert(Multimodal.decodeY4m("YUV4MPEG2 W8 H8 C999\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill(96)(0.toByte)).ok === false, "unknown chroma tag")
+    // determinism across repeat decodes
+    assert(Multimodal.decodeY4m(good) === Multimodal.decodeY4m(good))
+  }
+
   test("decodeVideo: frame-count and pixel caps quarantine; single frame has zero motion") {
     val clip = gif(Seq(frame(10, 10, 0x808080), frame(10, 10, 0x808080),
       frame(10, 10, 0x808080)))
