@@ -350,13 +350,101 @@ object Graph {
         col("c_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
 
+  /** Deterministic synchronous weighted label propagation (Raghavan et al.
+    * 2007's LPA, made reproducible). The graph is symmetrized — w(u,v) =
+    * w(u→v) + w(v→u), self-loops dropped — every node starts labeled by its
+    * own id, and for a fixed number of rounds each node simultaneously
+    * adopts `argmax_l Σ_{u ∈ N(v), label(u) = l} w(u,v)`, ties broken
+    * toward the SMALLEST label. Classic async LPA visits nodes in random
+    * order — useless for a reproducible pipeline; the synchronous min-label
+    * form is bit-stable under any partitioning because every step is an
+    * integer aggregate with a total tie order.
+    *
+    * Scale: per round, one equi-join (labels ⋈ edges on the neighbor id)
+    * and three partial+final hash aggregates — (v,label) vote sums, per-v
+    * max vote, min label among maxima — the same O(E)-per-round shuffle
+    * topology as [[pageRank]]; the round count is fixed, so the plan
+    * unrolls with no driver-side reads. The tie-break runs as a self-join
+    * on (v, vote = max) rather than a struct max_by, keeping every
+    * aggregate on fixed-width primitives in HashAggregate (the round-4
+    * SortAggregate-fallback gotcha). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val loopless = edges.filter(col("src") =!= col("dst"))
+    val und = graft.Caches.persist(
+      loopless.select(col("src").as("a"), col("dst").as("b"), col("w"))
+        .unionAll(loopless.select(col("dst").as("a"), col("src").as("b"), col("w")))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
+    var labels = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = und.join(labels, und("b") === labels("id"))
+        .groupBy(col("a"), col("label")).agg(sum(col("w")).as("vote"))
+      val mv = votes.groupBy(col("a")).agg(max(col("vote")).as("mv"))
+      labels = votes.join(mv, "a").filter(col("vote") === col("mv"))
+        .groupBy(col("a")).agg(min(col("label")).as("label"))
+        .select(col("a").as("id"), col("label"))
+    }
+    labels
+  }
+
+  /** q171: LPA communities on the nation trade graph — the
+    * community-detection stage a pipeline uses to group correlated
+    * sources/domains before mixture balancing. Complements q48's connected
+    * components (CC merges anything touching; LPA splits a connected graph
+    * into densely-traded blocks) and q117/q154's PageRank (importance vs
+    * membership). 4 synchronous rounds; output = one row per surviving
+    * community with its size and numerically-sorted member list (rendered
+    * as a string — the driver hasher takes no array columns). */
+  def q171LpaCommunities(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(tradeEdges(s, dir), rounds = 4)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("array_join(transform(sort_array(collect_list(id)), x -> cast(x AS string)), ',')")
+          .as("members"))
+      .orderBy(col("n_members").desc, col("community").asc)
+
+  val q171Oracle: String = {
+    def round(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""v$i AS (SELECT u.a, l.label, CAST(SUM(u.w) AS BIGINT) AS vote
+         |  FROM und u JOIN $prev l ON u.b = l.id GROUP BY 1, 2),
+         |l$i AS (SELECT v.a AS id, MIN(v.label) AS label
+         |  FROM v$i v JOIN (SELECT a, MAX(vote) AS mv FROM v$i GROUP BY 1) m
+         |    ON v.a = m.a AND v.vote = m.mv
+         |  GROUP BY 1)""".stripMargin
+    }
+    val rounds = (1 to 4).map(round).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst,
+       |         CAST(COUNT(*) AS BIGINT) w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM edges WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst AS a, src AS b, w FROM edges WHERE src <> dst) u
+       |  GROUP BY 1, 2),
+       |l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),
+       |$rounds
+       |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+       |FROM l4 GROUP BY 1
+       |ORDER BY n_members DESC, community ASC""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_lpa_communities" -> (q171LpaCommunities _),
     "q117_pagerank" -> (q117Pagerank _),
     "q121_shortest_hops" -> (q121ShortestHops _),
     "q122_triangles" -> (q122Triangles _),
     "q154_pagerank_dangling" -> (q154PagerankDangling _))
 
   def oracles: Map[String, String] = Map(
+    "q171_lpa_communities" -> q171Oracle,
     "q117_pagerank" -> q117Oracle,
     "q121_shortest_hops" -> q121Oracle,
     "q122_triangles" -> q122Oracle,

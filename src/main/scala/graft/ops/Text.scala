@@ -786,7 +786,216 @@ object Text {
       |FROM t5 LEFT JOIN per_doc ON t5.doc_id = per_doc.doc_id
       |ORDER BY dup_frac DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** q169: bigram-LM quality scoring — the CCNet / Gopher "perplexity
+    * filter" stage of a training-corpus pipeline, self-trained: build a
+    * bigram language model from the corpus itself, score every document by
+    * its mean bigram probability under that model, and surface the TAIL
+    * (the 50 worst-scoring documents — the filter's drop candidates) with
+    * a corpus-relative `is_tail` flag.
+    *
+    * Arithmetic is EXACT INTEGER end-to-end, so the engine and any oracle
+    * agree bit-for-bit: per adjacent token pair (w1,w2), the conditional
+    * probability cnt(w1,w2)/cnt(w1·) is carried as the fixed-point integer
+    * `(cb · 2^20) div cp` (cb ≤ cp, so each term ≤ 2^20); the document
+    * score is the integer mean `sum div count` — order-independent, unlike
+    * the float log-prob sum CCNet uses, which no two engines (or two
+    * shuffle widths) reduce identically. Ranking by mean probability
+    * rather than mean log-probability is a monotone-in-spirit proxy: both
+    * send template-like high-probability text to the head and rare-token
+    * noise to the tail, and the integer form is cross-engine reproducible.
+    * `is_tail` (score below half the corpus mean) cross-multiplies in
+    * DECIMAL(38,0) — at 1e11 documents the comparison terms pass 2^63.
+    *
+    * Scale: tokenize/bigram is per-document (partition-local window, the
+    * [[ops.Dedup.q46MinhashLshPairs]] shingle shape); the model is two
+    * hash aggregates (map-side combined); scoring re-joins the bigram
+    * stream to the model on its own keys — at 100 TB the bigram model is
+    * itself table-sized, so these stay shuffle joins (AQE broadcasts them
+    * when small). The corpus mean is a 1-row broadcast (q142's pattern);
+    * output is TakeOrderedAndProject bottom-50, a total order on
+    * (score_fp, doc_id). Documents with <2 tokens carry no bigram
+    * evidence and are excluded — a perplexity filter scores content, and
+    * length-based gates (q41) already handle near-empty docs. */
+  def q169LmQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val bg = graft.Caches.persist(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w1"), col("w2")))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = bg.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    val scored = bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .withColumn("q", expr("(cb * 1048576) div cp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), expr("sum(q) div count(1)").as("score_fp"))
+    val tot = scored.agg(count(lit(1)).as("n"), sum(col("score_fp")).as("t"))
+    scored.crossJoin(broadcast(tot))
+      .withColumn("is_tail",
+        (wide(col("score_fp")) * wide(col("n")) * lit(2) < wide(col("t"))).cast("int"))
+      .select(col("doc_id"), col("n_pairs"), col("score_fp"), col("is_tail"))
+      .orderBy(col("score_fp").asc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  val q169Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+      |  FROM t),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT w1, count(*) AS cp FROM bg GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum((cb.cb * 1048576) // cp.cp) // count(*) AS BIGINT) AS score_fp
+      |  FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)
+      |  GROUP BY doc_id),
+      |tot AS (SELECT count(*) AS n, sum(score_fp) AS t FROM sc)
+      |SELECT doc_id, n_pairs, score_fp,
+      |  CAST(CASE WHEN CAST(score_fp AS HUGEINT) * n * 2 < t
+      |       THEN 1 ELSE 0 END AS INTEGER) AS is_tail
+      |FROM sc, tot
+      |ORDER BY score_fp ASC, doc_id ASC LIMIT 50""".stripMargin
+
+  /** q170: DSIR importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — rank raw documents
+    * by how target-like their hashed-n-gram feature distribution is,
+    * the selection stage that upsamples quality-domain text when building
+    * a pretraining mixture. Target here = the corpus's `lang = 'en'`
+    * slice; raw = everything.
+    *
+    * DSIR's own scaling trick IS the hashing: unigrams hash into 256
+    * buckets, so both "models" are 256-row tables no matter the corpus
+    * size — broadcast by construction. The bucket hash reuses q46's
+    * md5-chunk integer (first 8 hex chars → int, mod 256), the one hash
+    * this repo has proven byte-identical between Spark and DuckDB.
+    *
+    * Where the paper scores log p_target(x) − p_raw(x) with float logs,
+    * this implementation carries the smoothed per-bucket likelihood RATIO
+    * as a fixed-point integer — r_b = ((ct+1)·(Cr+256)·2^20) div
+    * ((cr+1)·(Ct+256)), add-one smoothing on both models — and scores a
+    * document by the integer mean of r_b over its tokens (`sum div
+    * count`). Ranking by mean ratio instead of mean log-ratio is the
+    * exact-arithmetic proxy (same head, same tail, no cross-libm log);
+    * the numerator/denominator products are widened to DECIMAL(38,0)
+    * first because ct·Cr·2^20 passes 2^63 beyond ~1e9 tokens, while the
+    * quotient itself always fits a long.
+    *
+    * Scale: one token explode (codegen'd), two 256-row hash aggregates,
+    * totals via the same aggregates, the per-bucket ratio table joined
+    * back BROADCAST onto the token stream, one per-doc aggregate, top-25
+    * by (score_fp desc, doc_id) as TakeOrderedAndProject. No all-pairs
+    * step, no driver-side model state. */
+  def q170DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val tb = graft.Caches.persist(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 256)
+        .select(col("doc_id"), col("lang"), col("b")))
+    val cr = tb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ct = tb.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = tb.agg(count(lit(1)).as("crt"),
+      coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)), lit(0L)).as("ctt"))
+    val rb = cr.join(ct, Seq("b"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", wide(col("ct") + 1) * wide(col("crt") + 256) * wide(lit(1048576L)))
+      .withColumn("den", wide(col("cr") + 1) * wide(col("ctt") + 256))
+      .withColumn("r", expr("num div den").cast("long"))
+      .select(col("b"), col("r"))
+    tb.join(broadcast(rb), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), expr("sum(r) div count(1)").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
+  val q170Oracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+      |tb AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS b
+      |  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t) u),
+      |cr AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+      |ct AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT
+      |  (SELECT count(*) FROM tb) AS crt,
+      |  (SELECT count(*) FROM tb WHERE lang = 'en') AS ctt),
+      |rb AS (
+      |  SELECT cr.b,
+      |    CAST((CAST(coalesce(ct.ct, 0) + 1 AS HUGEINT) * (crt + 256) * 1048576)
+      |      // (CAST(cr.cr + 1 AS HUGEINT) * (ctt + 256)) AS BIGINT) AS r
+      |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(r) // count(*) AS BIGINT) AS score_fp
+      |FROM tb JOIN rb ON tb.b = rb.b
+      |GROUP BY doc_id
+      |ORDER BY score_fp DESC, doc_id ASC LIMIT 25""".stripMargin
+
+  /** q172: tokenizer OOV-rate by source — fix a top-K corpus vocabulary
+    * (K = 1000, the boundary total-ordered by (count desc, token asc) so
+    * the cut is deterministic in any engine), then measure the share of
+    * token OCCURRENCES falling outside it, per source. This is the
+    * fertility/OOV audit a pipeline runs before committing to a tokenizer
+    * vocab: a source that is mostly out-of-vocab either needs vocab budget
+    * or gets down-weighted, and tracking the rate per source localizes the
+    * problem the corpus-wide number hides.
+    *
+    * The rate is exact fixed-point — `(n_oov · 2^20) div n_tokens` — with
+    * both factors widened to DECIMAL(38,0) before the product (the q170
+    * pattern): per-source occurrence counts pass 2^43 at the 100 TB tier,
+    * where a long product would wrap.
+    *
+    * Scale: one codegen'd explode + map-side-combined token count, a
+    * K-row TakeOrderedAndProject vocab (K constant → broadcast by
+    * construction), broadcast left join back onto the token stream, one
+    * per-source hash aggregate. No shuffle wider than the token count. */
+  def q172OovRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val tok = graft.Caches.persist(
+      Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok")))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
+      .select(col("tok").as("vtok"))
+    tok.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("num", wide(col("n_oov")) * wide(lit(1048576L)))
+      .withColumn("oov_fp", expr("num div n_tokens").cast("long"))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_fp"))
+      .orderBy(col("source").asc)
+  }
+
+  val q172Oracle: String =
+    s"""WITH t AS (SELECT source, $tokensSql AS toks FROM documents),
+      |tk AS (SELECT source, unnest(toks) AS tok FROM t),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1) c
+      |  ORDER BY cnt DESC, tok ASC LIMIT 1000)
+      |SELECT tk.source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST((CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
+      |        * 1048576) // count(*) AS BIGINT) AS oov_fp
+      |FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_lm_quality" -> (q169LmQuality _),
+    "q170_dsir_select" -> (q170DsirSelect _),
+    "q172_oov_rate" -> (q172OovRate _),
     "q163_span_coverage" -> (q163SpanCoverage _),
     "q155_pii_redaction" -> (q155PiiRedaction _),
     "q138_source_overlap" -> (q138SourceOverlap _),
@@ -806,6 +1015,9 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_lm_quality" -> q169Oracle,
+    "q170_dsir_select" -> q170Oracle,
+    "q172_oov_rate" -> q172Oracle,
     "q163_span_coverage" -> q163Oracle,
     "q155_pii_redaction" -> q155Oracle,
     "q116_countmin_sketch" -> q116Oracle,

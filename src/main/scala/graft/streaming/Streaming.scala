@@ -566,7 +566,161 @@ object Streaming {
       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_counted
       |FROM e""".stripMargin
 
+  /** q168: streaming dedup within watermark — `dropDuplicatesWithinWatermark`
+    * as an oracle-certified operator, with its THREE boundary rules pinned
+    * empirically (tools/Dbg168 probes; StreamingSpec re-pins them through
+    * this query on a crafted non-aligned fixture):
+    *
+    *   1. LATE FILTER, two-batch lag: batch N drops an arriving row iff
+    *      `ts ≤ W_f` where W_f = watermark from batch N−2's stats (same
+    *      lagged protocol q166 pins for aggregation, boundary INCLUSIVE —
+    *      a dup exactly at W_f was dropped).
+    *   2. DEDUP: a surviving row whose key has live state is suppressed;
+    *      a first arrival (or a dup whose state was evicted) is emitted.
+    *      Duplicates do NOT extend state lifetime (expiry stays at
+    *      first-arrival ts + delay).
+    *   3. EVICTION, end of batch, ALSO two-batch-lagged as seen by the
+    *      next batch: batch N−1 evicts with the watermark from batch
+    *      N−2's stats (boundary inclusive — a key with expiry == W was
+    *      evicted), so the state batch N reads has been trimmed by
+    *      exactly W_f, the SAME watermark its late filter uses.
+    *
+    * Consequence (a theorem this audit pins): an EXACT-ts replay can
+    * NEVER be re-emitted — evicted ⟹ ts + delay ≤ W_f ⟹ ts < W_f ⟹
+    * late-dropped first; the late filter strictly dominates eviction.
+    * (The first spec draft expected exact replays to re-emit and measured
+    * 0 — rule 3's lag is why.) Re-emission — the real dedup hazard — is
+    * reserved for RESTAMPED duplicates: at-least-once redelivery where
+    * the retry carries a NEWER event time (retry-time stamping), the
+    * scenario `dropDuplicatesWithinWatermark` exists for. A restamped
+    * dup (original ts, arrival ts + 2 h) is re-emitted iff
+    * `ts + 2h > W_f AND ts + 1h ≤ W_f` — new stamp on time, old state
+    * gone. The audit replays every event with original ts in
+    * `(W_f − 3 h, cut]` (cut = max − 90 min), restamped +2 h, as a third
+    * wave after a clock-advancing second wave (b1 = ts ≤ cut, b2 =
+    * rest, b3 = the retries). Anchoring the retry window to W_f rather
+    * than md5-sampling the bulk keeps all three outcome classes
+    * populated at any event density — a bulk sample lands almost
+    * entirely in the late class because the non-late region is only the
+    * last ~4 h of a month-long stream (first design measured 490/0/0).
+    * n_late_dropped is read from the state operator's
+    * `numRowsDroppedByWatermark` (for ROW-LEVEL dedup the store-side
+    * metric IS populated, unlike aggregation's pre-filter — the exact
+    * complement of q166's metric finding); n_reemitted from keys emitted
+    * twice in the append sink. The oracle re-derives all counts from the
+    * pinned rules analytically. Replay instrumentation (coalesce(1),
+    * stamped mtimes, maxFilesPerTrigger=1) is the q166 test shape, not
+    * the production shape — live streams instrument their own dedup stage
+    * and read the same metrics. */
+  def q168StreamDedupAudit(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
+    val ev = graft.Tables.events(s, dir).select(col("event_id"), col("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-")
+    try {
+      val maxRow = ev.agg(max(unix_micros(col("ts")))).collect()(0)
+      if (maxRow.isNullAt(0)) {
+        // no events: nothing streams, nothing drops (EmptyDataSpec class)
+        import s.implicits._
+        Seq((0L, 0L, 0L, 0L, 0L)).toDF("n_events", "n_retries_replayed",
+          "n_late_dropped", "n_reemitted", "n_suppressed")
+      } else {
+        val cut = maxRow.getLong(0) - 5400L * 1000000L // µs, oracle-shared
+        val cutTs = timestamp_micros(lit(cut))
+        val b1 = ev.filter(col("ts") <= cutTs)
+        b1.coalesce(1).write.parquet(s"$tmp/b1")
+        ev.filter(col("ts") > cutTs).coalesce(1).write.parquet(s"$tmp/b2")
+        // W_f from wave 1's stats (nullable: b1 can be empty when all
+        // events sit within 90 min of max — then no retries replay at all)
+        val m1Row = b1.agg(max(unix_micros(col("ts")))).collect()(0)
+        val wf = if (m1Row.isNullAt(0)) Long.MinValue
+                 else (m1Row.getLong(0) / 1000L - 3600000L) * 1000L
+        val retryFrom = timestamp_micros(lit(
+          if (wf == Long.MinValue) Long.MaxValue else wf - 10800L * 1000000L))
+        val retries = col("ts") > retryFrom && col("ts") <= cutTs
+        ev.filter(retries)
+          .withColumn("ts", expr("ts + INTERVAL 2 HOURS")) // restamped retry
+          .coalesce(1).write.parquet(s"$tmp/b3")
+        def stamp(sub: String, t: Long): Unit =
+          new java.io.File(s"$tmp/$sub").listFiles().foreach(_.setLastModified(t))
+        stamp("b1", 1000000000000L)
+        stamp("b2", 1000000060000L)
+        stamp("b3", 1000000120000L)
+        val schema = s.read.parquet(s"$tmp/b1").schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(tmp.toString)
+        val ded = src.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        val name = s"graft_dedup_audit_${counter.incrementAndGet()}"
+        val ckpt = scratchCheckpoint()
+        val (nLate, nRe) =
+          try {
+            val q = ded.writeStream.format("memory").queryName(name)
+              .outputMode("append").option("checkpointLocation", ckpt.toString).start()
+            try q.processAllAvailable()
+            finally q.stop()
+            val late = q.recentProgress.flatMap(_.stateOperators)
+              .map(_.numRowsDroppedByWatermark).sum
+            val re = s.table(name).groupBy(col("event_id"))
+              .agg(count(lit(1)).as("n"))
+              .agg(coalesce(sum(col("n") - 1), lit(0L)).as("re"))
+              .collect()(0).getLong(0)
+            (late, re)
+          } finally {
+            s.catalog.dropTempView(name)
+            import scala.jdk.CollectionConverters._
+            try java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        val t = ev.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(retries, 1L).otherwise(0L)), lit(0L)).as("nd"))
+          .collect()(0)
+        import s.implicits._
+        Seq((t.getLong(0), t.getLong(1), nLate, nRe, t.getLong(1) - nLate - nRe))
+          .toDF("n_events", "n_retries_replayed", "n_late_dropped", "n_reemitted",
+            "n_suppressed")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** The pinned rules, analytically. W_f = ms-floored max(b1) − 1 h — the
+    * ONE lagged watermark both the late filter and the visible eviction
+    * horizon reduce to. A restamped dup (original ts, arrival ts + 2 h):
+    * late iff arrival ≤ W_f; re-emitted iff arrival > W_f and its state
+    * expired (ts + 1 h ≤ W_f); suppressed otherwise. */
+  val q168Oracle: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us FROM events),
+      |m AS (SELECT max(us) AS mu FROM e),
+      |cut AS (SELECT mu - 5400000000 AS c FROM m),
+      |wf AS (
+      |  SELECT (max(us) // 1000 - 3600000) * 1000 AS v FROM e
+      |  WHERE us <= (SELECT c FROM cut)),
+      |d AS (SELECT us FROM e
+      |      WHERE us > (SELECT v FROM wf) - 10800000000
+      |        AND us <= (SELECT c FROM cut))
+      |SELECT
+      |  (SELECT count(*) FROM e) AS n_events,
+      |  (SELECT count(*) FROM d) AS n_retries_replayed,
+      |  CAST(coalesce(sum(CASE WHEN us + 7200000000 <= (SELECT v FROM wf)
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late_dropped,
+      |  CAST(coalesce(sum(CASE WHEN us + 7200000000 > (SELECT v FROM wf)
+      |    AND us + 3600000000 <= (SELECT v FROM wf)
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_reemitted,
+      |  CAST(coalesce(sum(CASE WHEN us + 3600000000 > (SELECT v FROM wf)
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_suppressed
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_stream_dedup_audit" -> (q168StreamDedupAudit _),
     "q166_late_data_audit" -> (q166LateDataAudit _),
     "q24_streaming_hourly" -> (q24StreamingHourly _),
     "q77_stream_static_join" -> (q77StreamStaticJoin _),
@@ -575,6 +729,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_stream_dedup_audit" -> q168Oracle,
     "q166_late_data_audit" -> q166Oracle,
     "q24_streaming_hourly" -> q24Oracle,
     "q77_stream_static_join" -> q77Oracle,

@@ -85,7 +85,11 @@ class PlanSpec extends SparkSpec {
       "q154_pagerank_dangling",
       // 1-row broadcast (mn,mx,tot) stats frame + 8-row broadcast boundary
       // probe (v <= b_k) — both bounded-constant sides by construction
-      "q162_equidepth_histogram")
+      "q162_equidepth_histogram",
+      // 1-row broadcast (n, total-score) corpus frame for the is_tail flag
+      "q169_lm_quality",
+      // 1-row broadcast (Cr, Ct) model totals onto the 256-row bucket table
+      "q170_dsir_select")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString

@@ -63,6 +63,34 @@ class StreamingSpec extends SparkSpec {
       "wave-1-only watermark must keep the discriminator straggler (6 counted)")
   }
 
+  test("q168: dedup-within-watermark boundary rules (late ≤ lagged W_f, evict ≤ W_e)") {
+    // Non-aligned fixture exercising all three outcome classes AND three
+    // boundary equalities (M = 14:00 → cut = 12:30, W_f = max(b1) − 1h =
+    // 11:30, retry window (08:30, 12:30], retries restamped ts + 2h —
+    // rule 3 makes exact-ts replays structurally unreachable):
+    //   (4, 08:30)  ts == window lower bound     → NOT replayed (> pin)
+    //   (1, 09:00)  retry 11:00 < W_f            → late-dropped
+    //   (9, 09:15)  retry 11:15 < W_f            → late-dropped
+    //   (85, 09:30) retry 11:30 == W_f           → late-dropped (≤ pin)
+    //   (13, 10:00) retry 12:00, expiry 11:00    → re-emitted (state gone)
+    //   (92, 10:30) expiry 11:30 == W_f          → re-emitted (evict ≤ pin)
+    //   (53, 11:00) expiry 12:00 > W_f           → suppressed (state live)
+    //   (2, 12:30)  expiry 13:30 > W_f           → suppressed
+    import spark.implicits._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2001-09-09 $hhmm:00")
+    val rows = Seq(
+      (4L, ts("08:30")), (1L, ts("09:00")), (2L, ts("12:30")), (3L, ts("14:00")),
+      (9L, ts("09:15")), (85L, ts("09:30")), (13L, ts("10:00")),
+      (92L, ts("10:30")), (53L, ts("11:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q168-pin")
+    rows.toDF("event_id", "ts").write.parquet(dir.resolve("events.parquet").toString)
+    val out = graft.streaming.Streaming.q168StreamDedupAudit(spark, dir.toString)
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) == ((9L, 7L, 3L, 2L, 2L)),
+      "(n_events, n_retries, n_late, n_reemitted, n_suppressed)")
+  }
+
   test("transformWithState (Spark 4 arbitrary-state API) equals the q25 session fold") {
     import graft.streaming.StatefulSessions.{Ev, SessionOut}
     // transformWithState requires the RocksDB state-store provider — set on
