@@ -22,19 +22,43 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp (PARQUET_TYPE_ILLEGAL). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests do);
-    * the raw ns long is then floor-converted here to the µs TimestampType
-    * the rest of the engine expects (FIXTURES.md: "ns — Spark truncates to
-    * µs; align oracle"). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
-    val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+  /** `events.ts` canonicalization: whatever physical shape the parquet footer
+    * carries, the rest of the engine sees one logical type — µs
+    * `TimestampType` (session-zoned; sessions pin UTC). The generator has
+    * already shipped two shapes across rounds and storage drift like this is
+    * exactly what a staging boundary re-cast exists for (the reference does
+    * the same on its raw layer: `stg_spacex_launches.sql:7` casts
+    * `date_utc::timestamptz` defensively):
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it as a timestamp
+    *    (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong`
+    *    is set (Verify/Bench/tests do); the raw ns long is floor-converted to
+    *    µs (`ts div 1000` — FIXTURES.md: "ns — Spark truncates to µs; align
+    *    oracle").
+    *  - TIMESTAMP_NTZ(MICROS) (`isAdjustedToUTC=0`): reads as
+    *    TimestampNTZType; cast to TimestampType under the pinned-UTC session
+    *    is bit-identical epoch-µs to DuckDB's `epoch_us` on the same file
+    *    (VERDICT r6 verified: max 1706659032194062 both engines).
+    *  - TimestampType: already canonical, pass through.
+    *  - anything else (string/date drift): best-effort cast, same choke point.
+    * TablesSpec plants a parquet fixture per shape and runs a
+    * `unix_micros` + `withWatermark` query over each, so the next silent
+    * testdata regeneration is a no-op instead of a 25-query outage. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    canonicalTs(load(spark, dir, "events"))
+
+  /** The single `ts` normalization choke point, shared by the batch loader
+    * above and every streaming `readStream` over the events table (the
+    * streaming sources re-read the file with their own schema, so they must
+    * apply the same rule — r6's outage hit exactly the sites that had
+    * hand-rolled a two-case copy of this match). Works on batch and
+    * streaming frames alike: it only inspects the analyzed schema. */
+  def canonicalTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")

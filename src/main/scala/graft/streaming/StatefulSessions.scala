@@ -119,11 +119,7 @@ object StatefulSessions {
     val rawSchema = ss.read.parquet(s"$dir/events.parquet").schema
     val src = ss.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val withTs = src.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => src
-    }
+    val withTs = graft.Tables.canonicalTs(src)
     val ev = withTs.select(col("user_id"), col("event_id"),
         expr("unix_micros(ts) div 1000").as("ts_ms"),
         graft.Exact.cents(col("value")).as("value_cents"))

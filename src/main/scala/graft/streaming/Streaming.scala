@@ -117,17 +117,13 @@ object Streaming {
   def q24StreamingHourly(outer: SparkSession, dir: String): DataFrame =
       withStateParallelism(outer, 4) { s =>
     val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema // ts arrives as ns long (nanosAsLong)
+    val rawSchema = s.read.parquet(path).schema // ts shape varies; canonicalTs normalizes
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
     // The file stream source requires a directory: stream the sf dir with a
     // glob filter selecting just the events table.
     val src = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val withTs = src.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => src
-    }
+    val withTs = graft.Tables.canonicalTs(src)
     val agg = withTs
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -220,11 +216,7 @@ object Streaming {
     def src: DataFrame = {
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
+      graft.Tables.canonicalTs(raw)
     }
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
@@ -308,11 +300,7 @@ object Streaming {
     def src: DataFrame = {
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
+      graft.Tables.canonicalTs(raw)
     }
     val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))

@@ -44,11 +44,14 @@ class RobustnessSpec extends SparkSpec {
           expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(x + 0.02 AS FLOAT) ELSE x END)")))
       .write.parquet(s"$dir/embeddings.parquet")
 
-    val ev = spark.read.parquet(s"$src/events.parquet") // ts is raw ns long
+    // shape-agnostic: canonicalize ts first (ns-long / NTZ / TZ all become
+    // µs TimestampType — the same boundary rule the engine applies), then
+    // shift by interval; the perturbed file reads back as TimestampType
+    val ev = Tables.canonicalTs(spark.read.parquet(s"$src/events.parquet"))
     val evSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
     ev.unionByName(ev
         .withColumn("event_id", col("event_id") + lit(evSpan))
-        .withColumn("ts", col("ts") + lit(1800L * 1000000000L)))
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES")))
       .write.parquet(s"$dir/events.parquet")
 
     (dir, docSpan, partSpan, vecSpan)

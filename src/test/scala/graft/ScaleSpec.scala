@@ -195,8 +195,7 @@ class ScaleSpec extends SparkSpec {
     Files.copy(src, dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(dir.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.canonicalTs(spark.readStream.schema(schema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
