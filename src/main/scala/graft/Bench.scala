@@ -43,17 +43,51 @@ object Bench {
       }.drop(1) // first call is JIT warmup
       ts.sorted.apply(1)
     }
-    val canaryFirst = canary()
-    val results = selected.map { case (name, fn) =>
+    // I/O+SHUFFLE CANARY (VERDICT r6 item 4): the CPU canary sat inside its
+    // quiet band both rounds the comparable subset read ~+40%, because
+    // sum-over-range exercises codegen only — real queries lose time on the
+    // shuffle write/read + page-cache path. This probe hash-exchanges a fixed
+    // 10M-row frame carrying a 32-byte md5 payload (≈hundreds of MB of
+    // shuffle file traffic through the local disks) and re-aggregates, so
+    // neighbor contention on I/O registers. Median of 3 after a warmup pass,
+    // same as the CPU probe. Quiet-host bands for both live in README's
+    // bench-history notes.
+    def canaryShuffle(): Double = {
+      val ts = (0 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(10L * 1000 * 1000)
+          .selectExpr("pmod(id * 2654435761, 1000003) as k", "md5(cast(id as string)) as s")
+          .groupBy("k").agg(org.apache.spark.sql.functions.max("s").as("m"))
+          .selectExpr("sum(crc32(m))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1)
+      ts.sorted.apply(1)
+    }
+    val canaryFirst  = canary()
+    val canaryShFirst = canaryShuffle()
+    // FAIL LOUD (VERDICT r6 item 3): a query whose body throws must not
+    // contribute a fake sub-0.13 s "time" — r6 recorded 25 analysis crashes
+    // as failure-floor entries, which IMPROVED total_sec while rc stayed 0.
+    // A failed pass poisons the query: it is named in `failed`, excluded
+    // from total_sec/queries, and the process exits non-zero.
+    val timed = selected.map { case (name, fn) =>
+      var failed = false
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case scala.util.control.NonFatal(_) => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(e) =>
+          if (!failed) System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          failed = true
+        }
         finally Caches.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, failed)
     }
-    val canaryLast = canary()
+    val results = timed.collect { case (n, t, false) => n -> t }.toMap
+    val failedNames = timed.collect { case (n, _, true) => n }.toSeq.sorted
+    val canaryLast   = canary()
+    val canaryShLast = canaryShuffle()
     // Durable output (VERDICT r2 item 2, still "parsed": null through r3):
     // the driver keeps exactly the last 2000 chars of stdout and parses the
     // JSON line from THAT TAIL. Two things defeated it for three rounds:
@@ -70,10 +104,19 @@ object Bench {
     def rN(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def line(keyOf: String => String, dp: Int): String = {
+    // cDp: canary decimals; the SHORT line uses 2 (and omits the empty
+    // failed list) to stay under the 1900-char tail budget — at 159 queries
+    // the 1-decimal map alone is ~1.85 KB. bench_local.json keeps 3dp +
+    // the always-present failed array.
+    def line(keyOf: String => String, dp: Int, cDp: Int = 3,
+        omitEmptyFailed: Boolean = false): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + rN(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total_sec","value":${rN(total, 3)},"unit":"sec","n_queries":${results.size},"canary_first":${rN(canaryFirst, 3)},"canary_last":${rN(canaryLast, 3)},"queries":$qs,"sf":"$sfDir"}"""
+      val fj =
+        if (failedNames.isEmpty && omitEmptyFailed) ""
+        else "\"failed\":" + failedNames.map(n => "\"" + keyOf(n) + "\"")
+          .mkString("[", ",", "]") + ","
+      s"""{"metric":"total_sec","value":${rN(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},$fj"canary_first":${rN(canaryFirst, cDp)},"canary_last":${rN(canaryLast, cDp)},"canary_shuffle_first":${rN(canaryShFirst, cDp)},"canary_shuffle_last":${rN(canaryShLast, cDp)},"queries":$qs,"sf":"$sfDir"}"""
     }
     if (only.isEmpty) // a subset run must not clobber the full-run artifact
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
@@ -91,9 +134,12 @@ object Bench {
     // decimals) until the line fits; the full 3-decimal detail is always in
     // bench_local.json.
     val shortLine = Iterator(3, 2, 1)
-      .map(dp => line(_.takeWhile(_ != '_'), dp))
+      .map(dp => line(_.takeWhile(_ != '_'), dp, cDp = 2, omitEmptyFailed = true))
       .find(_.length <= 1900)
-      .getOrElse(line(_.takeWhile(_ != '_'), 1))
+      .getOrElse(line(_.takeWhile(_ != '_'), 1, cDp = 2, omitEmptyFailed = true))
     println(shortLine)
+    // a bench with hard failures is a failed bench — visible in rc, not just
+    // in the (already-printed) JSON line
+    if (failedNames.nonEmpty) sys.exit(2)
   }
 }
