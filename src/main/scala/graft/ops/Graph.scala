@@ -367,20 +367,47 @@ object Graph {
     * unrolls with no driver-side reads. The tie-break runs as a self-join
     * on (v, vote = max) rather than a struct max_by, keeping every
     * aggregate on fixed-width primitives in HashAggregate (the round-4
-    * SortAggregate-fallback gotcha). */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    * SortAggregate-fallback gotcha).
+    *
+    * `compact=true` (for graphs whose NODE domain is known-bounded — q171's
+    * is the 25-nation key, constant at any sf) coalesces the symmetrized
+    * edge table to one partition after the expensive distributed build AND
+    * broadcasts the per-round label/max-vote frames into their joins.
+    * Both are needed: coalesce alone is NOT enough, because the cached
+    * edge table's pre-materialization stats are the (huge) join-tree
+    * estimate, so the planner picks SortMergeJoin and its co-partitioning
+    * requirement re-shuffles the SinglePartition side back to 32
+    * (r6's 7.6–10.9 s was exactly that: 12 exchanges per run over ≤625-row
+    * frames). With the hints every iteration join is a BroadcastHashJoin
+    * over the one-partition edge scan, every aggregate's required
+    * distribution is satisfied by `SinglePartition`, and the whole
+    * iteration + community rollup plans with ZERO shuffle exchanges after
+    * the edge build. The heavy upstream edge aggregation keeps full
+    * parallelism either way. */
+  def labelPropagation(edges: DataFrame, rounds: Int, compact: Boolean = false): DataFrame = {
     val loopless = edges.filter(col("src") =!= col("dst"))
-    val und = graft.Caches.persist(
+    val undDist = graft.Caches.persist(
       loopless.select(col("src").as("a"), col("dst").as("b"), col("w"))
         .unionAll(loopless.select(col("dst").as("a"), col("src").as("b"), col("w")))
         .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
+    val und = if (compact) undDist.coalesce(1) else undDist
+    def tiny(df: DataFrame): DataFrame = if (compact) broadcast(df) else df
     var labels = und.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    for (_ <- 1 to rounds) {
-      val votes = und.join(labels, und("b") === labels("id"))
+    for (i <- 1 to rounds) {
+      // compact mode: flatten each round onto a ≤|V|-row checkpointed frame
+      // — the broadcast hint makes every round's labels an EAGER subjob, so
+      // without materialization round k re-executes rounds 1..k-1 (the
+      // O(k²) pageRank lesson above) and Catalyst re-optimizes an
+      // ever-deepening unrolled tree (~750 nodes at 4 rounds, measured
+      // ~2 s of pure planning). Distributed mode keeps the lazy chain —
+      // rounds are fixed and nothing re-executes eagerly there.
+      if (compact && i > 1)
+        labels = graft.Caches.trackCheckpoint(labels.coalesce(1).localCheckpoint())
+      val votes = und.join(tiny(labels), und("b") === labels("id"))
         .groupBy(col("a"), col("label")).agg(sum(col("w")).as("vote"))
       val mv = votes.groupBy(col("a")).agg(max(col("vote")).as("mv"))
-      labels = votes.join(mv, "a").filter(col("vote") === col("mv"))
+      labels = votes.join(tiny(mv), "a").filter(col("vote") === col("mv"))
         .groupBy(col("a")).agg(min(col("label")).as("label"))
         .select(col("a").as("id"), col("label"))
     }
@@ -396,7 +423,7 @@ object Graph {
     * community with its size and numerically-sorted member list (rendered
     * as a string — the driver hasher takes no array columns). */
   def q171LpaCommunities(s: SparkSession, dir: String): DataFrame =
-    labelPropagation(tradeEdges(s, dir), rounds = 4)
+    labelPropagation(tradeEdges(s, dir), rounds = 4, compact = true)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"),
         expr("array_join(transform(sort_array(collect_list(id)), x -> cast(x AS string)), ',')")
