@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
   * motion signal) and for codec-FREE uncompressed video
   * ([[decodeY4m]]: YUV4MPEG2 header + raw planar frames, the format
   * ffmpeg emits for codec-less pipelines) — VideoDecodeSpec covers
-  * both. The one remaining gap is COMPRESSED codecs (H.264/VP9), whose
-  * native decoders are absent from this container; decodeVideo is the
-  * declared swap-in point — its caps, features, and quarantine contract
-  * are codec-independent. At 100 TB decode stays embarrassingly
-  * parallel: per-row work, no shuffle until the final tiny aggregate.
+  * both — and for the one COMPRESSED video family reachable pure-JVM:
+  * Motion-JPEG in AVI ([[decodeMjpegAvi]]: RIFF container walk +
+  * per-frame baseline-JPEG decode via the JDK's own JPEG reader,
+  * oracle-checked as q173). The remaining gap is true INTER-frame
+  * codecs (H.264/VP9), whose native decoders are absent from this
+  * container; decodeVideo is the declared swap-in point — its caps,
+  * features, and quarantine contract are codec-independent. At 100 TB
+  * decode stays embarrassingly parallel: per-row work, no shuffle until
+  * the final tiny aggregate.
   */
 object Multimodal {
 
@@ -249,6 +253,8 @@ object Multimodal {
     if (bytes.length >= Y4mMagic.length &&
         Y4mMagic.indices.forall(i => bytes(i) == Y4mMagic(i)))
       decodeY4m(bytes, maxPixels, maxFrames)
+    else if (bytes.length >= 12 && fourccIs(bytes, 0, "RIFF") && fourccIs(bytes, 8, "AVI "))
+      decodeMjpegAvi(bytes, maxPixels, maxFrames)
     else
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -360,6 +366,166 @@ object Multimodal {
         }
       }
     } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  private def fourccIs(bytes: Array[Byte], at: Int, cc: String): Boolean =
+    at + 4 <= bytes.length && (0 until 4).forall(i => (bytes(at + i) & 0xff) == cc.charAt(i))
+
+  /** COMPRESSED-container video decode, pure JVM: Motion-JPEG inside an
+    * AVI (RIFF) container. MJPEG is the one compressed video format fully
+    * reachable without native codecs — every frame is an independent
+    * baseline JPEG, and the JPEG decoder ships in `java.desktop` (the same
+    * `javax.imageio` path [[decodeImage]] uses). This shrinks the
+    * H.264/VP9 disclosure to true INTER-frame codecs.
+    *
+    * Container walk: `RIFF('AVI ', …)` chunks, recursing into
+    * `LIST('movi')` / `LIST('rec ')`; every `##dc`/`##db` stream chunk
+    * whose payload starts with the JPEG SOI marker (FFD8) is one frame.
+    * Headers (`hdrl`/`avih`/index) are skipped, not trusted — frame
+    * dimensions come from each JPEG's own SOF header via
+    * `ImageReader.getWidth/getHeight`, peeked BEFORE the raster is
+    * allocated, under the same `maxPixels` bomb cap as every other decode
+    * path (a 100-byte chunk can declare a multi-GiB frame). Malformed
+    * chunk sizes, a non-JPEG stream chunk, zero frames, over-cap frame
+    * counts, or frames whose dimensions disagree with frame 0 all
+    * quarantine as ok=false, never an exception. Per-row work only —
+    * the 100 TB decode shape is identical to [[decodeY4m]]'s. */
+  def decodeMjpegAvi(bytes: Array[Byte], maxPixels: Long = MaxDecodePixels,
+      maxFrames: Int = MaxDecodeVideoFrames): VideoFeature = {
+    val bad = VideoFeature(ok = false, 0, 0, 0, 0L, 0L, 0L)
+    def u32(i: Int): Long =
+      (bytes(i) & 0xffL) | (bytes(i + 1) & 0xffL) << 8 |
+        (bytes(i + 2) & 0xffL) << 16 | (bytes(i + 3) & 0xffL) << 24
+    try {
+      if (bytes.length < 12 || !fourccIs(bytes, 0, "RIFF") || !fourccIs(bytes, 8, "AVI "))
+        return bad
+      // collect (offset, length) of stream-data chunks inside movi lists;
+      // None = structurally malformed (bad sizes / truncation)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(from: Int, end: Int, inMovi: Boolean): Boolean = {
+        var i = from
+        while (i < end) {
+          if (i + 8 > end) return false
+          val size = u32(i + 4)
+          val dataStart = i + 8L
+          if (size < 0 || dataStart + size > end) return false
+          if (fourccIs(bytes, i, "LIST")) {
+            if (size < 4) return false
+            val lt = new String(bytes, i + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            val sub = inMovi || lt == "movi" || lt == "rec "
+            if (!walk(i + 12, (dataStart + size).toInt, sub)) return false
+          } else if (inMovi && bytes(i + 2) == 'd' &&
+              (bytes(i + 3) == 'c' || bytes(i + 3) == 'b')) {
+            // ##dc / ##db: one stored frame; anything else inside movi
+            // (##wb audio, ix## indexes, JUNK) is skipped, not data
+            frames += ((dataStart.toInt, size.toInt))
+          }
+          i = (dataStart + size + (size & 1L)).toInt // chunks are word-aligned
+        }
+        true
+      }
+      if (!walk(12, bytes.length, inMovi = false)) return bad
+      if (frames.isEmpty || frames.size > maxFrames) return bad
+      val grids = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      var w0 = 0
+      var h0 = 0
+      var fi = 0
+      var ok = true
+      while (ok && fi < frames.size) {
+        val (off, len) = frames(fi)
+        if (len < 2 || (bytes(off) & 0xff) != 0xff || (bytes(off + 1) & 0xff) != 0xd8)
+          ok = false // not a JPEG frame — this is not an MJPEG stream
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes, off, len))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) ok = false
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                val w = reader.getWidth(0) // header peek — no raster yet
+                val h = reader.getHeight(0)
+                if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) ok = false
+                else if (grids.nonEmpty && (w != w0 || h != h0)) ok = false
+                else {
+                  if (grids.isEmpty) { w0 = w; h0 = h }
+                  grids += lumaGrid(reader.read(0))
+                }
+              } finally reader.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        }
+        fi += 1
+      }
+      if (!ok) bad else videoFeature(grids.toSeq, w0, h0)
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Minimal MJPEG-AVI writer (fixture/synthesis side of
+    * [[decodeMjpegAvi]]): RIFF('AVI ') with a LIST('hdrl') carrying a
+    * 56-byte `avih` main header and a LIST('movi') of one `00dc` chunk per
+    * JPEG frame. Enough container for any MJPEG-walking reader (the format
+    * requires nothing else for stored-stream decode; no index — players
+    * that need `idx1` reindex on the fly). Used by VideoDecodeSpec and
+    * q173's per-document synthesis. */
+  def encodeMjpegAvi(jpegFrames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(cc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.write(u32(data.length.toLong))
+      b.write(data)
+      if (data.length % 2 == 1) b.write(0) // word alignment
+      b.toByteArray
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(listType.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.write(body)
+      chunk("LIST", b.toByteArray)
+    }
+    val avih = new java.io.ByteArrayOutputStream()
+    // dwMicroSecPerFrame..reserved[4]: 14 little-endian u32s (=56 bytes)
+    Seq(100000L, 0L, 0L, 0L, jpegFrames.size.toLong, 0L, 1L, 0L,
+      w.toLong, h.toLong, 0L, 0L, 0L, 0L).foreach(v => avih.write(u32(v)))
+    val movi = new java.io.ByteArrayOutputStream()
+    jpegFrames.foreach(f => movi.write(chunk("00dc", f)))
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    body.write(list("hdrl", chunk("avih", avih.toByteArray)))
+    body.write(list("movi", movi.toByteArray))
+    out.write(chunk("RIFF", body.toByteArray))
+    out.toByteArray
+  }
+
+  /** Uniform-gray baseline JPEG frame (RGB JFIF, explicit quality) — the
+    * q173/VideoDecodeSpec frame source. RGB rather than TYPE_BYTE_GRAY on
+    * purpose: `getRGB` on a gray-colorspace raster applies the
+    * linear-gray→sRGB transfer curve and would distort luma, while a flat
+    * RGB frame round-trips the JPEG YCbCr path within ±2 gray levels
+    * (flat planes carry DC-only blocks). */
+  def encodeJpegGray(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
   }
 
   /** Column form of [[decodeVideo]] (GIF/TIFF via ImageIO, Y4M via
@@ -731,6 +897,55 @@ object Multimodal {
       |FROM t JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q173: COMPRESSED video decode as an oracle-checked CORRECTNESS row —
+    * Motion-JPEG in AVI through [[decodeMjpegAvi]] (real RIFF walk + real
+    * `javax.imageio` JPEG decode of every frame). The testdata carries no
+    * video bytes, so each document synthesizes a 2-frame 16×16 clip whose
+    * frame gray levels derive from `doc_id` (v_f = 4 + 16·m_f with
+    * m1 = d mod 16, m2 = (7d+3) mod 16).
+    *
+    * Unlike q167's bit-exact Y4M oracle, JPEG is a LOSSY channel: a flat
+    * frame round-trips the encoder's YCbCr+DCT path within ±2 gray levels,
+    * not exactly. The oracle therefore pins BUCKETED luma/motion —
+    * `avg_luma_milli div 8000` (frame means sit mid-bucket: 4+8k ± 2) and
+    * `(motion_milli + 8000) div 16000` (|Δ| is a multiple of 16, ± 4) —
+    * which certify the decode pipeline end-to-end while leaving the
+    * codec's documented ±2 rounding outside the hash. Structure (ok,
+    * frame count, width) and the flat-frame aHash (uniform grid ⇒ 0 under
+    * the strict-inequality rule) are exact. VideoDecodeSpec pins the
+    * tighter per-pixel tolerance plus the quarantine paths. Plan shape:
+    * per-row UDF synthesis+decode, no shuffle until the final sort. */
+  def q173MjpegAviDecode(s: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val synth = udf { (d: Long) =>
+      val m1 = (d % 16).toInt
+      val m2 = ((d * 7 + 3) % 16).toInt
+      encodeMjpegAvi(Seq(encodeJpegGray(W, W, 4 + 16 * m1),
+        encodeJpegGray(W, W, 4 + 16 * m2)), W, W)
+    }
+    val decode = udf((b: Array[Byte]) => decodeVideo(b))
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("video", decode(synth(col("doc_id"))))
+      .select(
+        col("doc_id"),
+        col("video.ok").cast("int").as("ok"),
+        col("video.n_frames").cast("long").as("n_frames"),
+        col("video.width").cast("long").as("width"),
+        expr("video.avg_luma_milli div 8000").as("luma_bucket"),
+        expr("(video.motion_milli + 8000) div 16000").as("motion_bucket"),
+        col("video.first_ahash64").as("first_ahash64"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q173Oracle: String =
+    """SELECT doc_id, 1 AS ok, 2 AS n_frames, 16 AS width,
+      |  CAST((doc_id % 16) + ((doc_id * 7 + 3) % 16) AS BIGINT) AS luma_bucket,
+      |  CAST(abs((doc_id % 16) - ((doc_id * 7 + 3) % 16)) AS BIGINT) AS motion_bucket,
+      |  CAST(0 AS BIGINT) AS first_ahash64
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
 
   /** Typed batch decode via `mapPartitions` — the Scala analogue of a
@@ -771,6 +986,7 @@ object Multimodal {
     "q104_ahash_neardup"    -> (q104AhashNearDup _),
     "q165_phash_neardup"    -> (q165PhashNearDup _),
     "q167_y4m_video_decode" -> (q167Y4mVideoDecode _),
+    "q173_mjpeg_avi_decode" -> (q173MjpegAviDecode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -780,5 +996,6 @@ object Multimodal {
     "q104_ahash_neardup"    -> q104Oracle,
     "q165_phash_neardup"    -> q165Oracle,
     "q167_y4m_video_decode" -> q167Oracle,
+    "q173_mjpeg_avi_decode" -> q173Oracle,
   )
 }

@@ -112,6 +112,47 @@ class VideoDecodeSpec extends SparkSpec {
     assert(Multimodal.decodeY4m(good) === Multimodal.decodeY4m(good))
   }
 
+  test("decodeMjpegAvi: real RIFF walk + JPEG frames, near-exact flat-frame luma") {
+    // two flat frames v=100 → v=200, 16×16: exact values would be
+    // avg 150000 / motion 100000; JPEG's YCbCr+DCT channel is allowed a
+    // documented ±2 gray levels (±2000 milli) per frame — q173's bucket
+    // oracle is built on exactly this tolerance.
+    val avi = Multimodal.encodeMjpegAvi(Seq(
+      Multimodal.encodeJpegGray(16, 16, 100), Multimodal.encodeJpegGray(16, 16, 200)), 16, 16)
+    val f = Multimodal.decodeVideo(avi)
+    assert(f.ok && f.n_frames === 2 && f.width === 16 && f.height === 16)
+    assert(math.abs(f.avg_luma_milli - 150000L) <= 2000L, s"luma ${f.avg_luma_milli}")
+    assert(math.abs(f.motion_milli - 100000L) <= 4000L, s"motion ${f.motion_milli}")
+    assert(f.first_ahash64 === 0L, "flat frame must aHash to 0")
+    // determinism across repeat decodes (same bytes → same features)
+    assert(Multimodal.decodeVideo(avi) === f)
+    // single frame: zero motion, structure intact
+    val one = Multimodal.decodeVideo(
+      Multimodal.encodeMjpegAvi(Seq(Multimodal.encodeJpegGray(8, 8, 50)), 8, 8))
+    assert(one.ok && one.n_frames === 1 && one.motion_milli === 0L)
+  }
+
+  test("decodeMjpegAvi: quarantine — bombs, truncation, mixed dims, non-JPEG chunks") {
+    val jpeg = Multimodal.encodeJpegGray(16, 16, 128)
+    val good = Multimodal.encodeMjpegAvi(Seq(jpeg, jpeg), 16, 16)
+    // pixel cap enforced from the JPEG SOF header peek, before any raster
+    assert(!Multimodal.decodeVideo(good, maxPixels = 100L).ok, "256 px over a 100-px cap")
+    assert(!Multimodal.decodeVideo(good, maxFrames = 1).ok, "2 frames over a 1-frame cap")
+    assert(!Multimodal.decodeVideo(good.dropRight(40)).ok, "truncated movi chunk")
+    // frames must agree on dimensions (a real MJPEG stream always does)
+    assert(!Multimodal.decodeVideo(Multimodal.encodeMjpegAvi(Seq(
+      jpeg, Multimodal.encodeJpegGray(8, 8, 128)), 16, 16)).ok, "mixed frame dims")
+    // a 00dc chunk that is not JPEG data → not an MJPEG stream
+    assert(!Multimodal.decodeVideo(Multimodal.encodeMjpegAvi(
+      Seq(Array[Byte](1, 2, 3, 4)), 16, 16)).ok, "non-JPEG stream chunk")
+    // empty movi (zero frames)
+    assert(!Multimodal.decodeVideo(Multimodal.encodeMjpegAvi(Seq.empty, 16, 16)).ok)
+    // RIFF/AVI magic with a garbage body (bad chunk sizes) never throws
+    val garbage = "RIFF".getBytes("US-ASCII") ++ Array[Byte](-1, -1, -1, 0x7f) ++
+      "AVI ".getBytes("US-ASCII") ++ Array[Byte](9, 9, 9, 9)
+    assert(!Multimodal.decodeVideo(garbage).ok)
+  }
+
   test("decodeVideo: frame-count and pixel caps quarantine; single frame has zero motion") {
     val clip = gif(Seq(frame(10, 10, 0x808080), frame(10, 10, 0x808080),
       frame(10, 10, 0x808080)))
