@@ -292,13 +292,118 @@ object Mixture {
       |  (SELECT CAST(sum(w_hat_micros) AS BIGINT) FROM samp)
       |ORDER BY rank""".stripMargin
 
+  /** q175: TEMPERATURE-scaled mixture allocation (α = 0.5) — the
+    * multilingual/multi-domain rebalance every large pretraining mix runs:
+    * sampling weights ∝ tokens^α flatten the natural distribution so small
+    * sources are oversampled relative to their share (α=1 is proportional,
+    * α=0 uniform; 0.5 is the common compromise — the unigram-LM /
+    * multilingual-corpus sampling exponent). Complements q113's
+    * water-filling (a CAP-style allocator): temperature reshapes the whole
+    * distribution instead of leveling its head.
+    *
+    * Everything is exact integer arithmetic:
+    *  - tokens^0.5 = isqrt(avail), computed as float floor(sqrt) then
+    *    CLAMPED exactly (`f ± [f²>x] / [(f+1)²≤x]`) so a float-rounding
+    *    edge can never flip a weight — both engines converge to true
+    *    ⌊√x⌋ regardless of their sqrt rounding;
+    *  - the proportional share of budget B uses the decomposition
+    *    `w·(B div W) + (w·(B mod W)) div W` instead of `(B·w) div W`:
+    *    identical value, but every intermediate fits in BIGINT even at the
+    *    100 TB tier (B·w directly would reach ~2^68 and wrap; here
+    *    B div W ≤ √total and w ≤ √avail keep products under ~2^56);
+    *  - the leftover `B − Σbase` (< n_src) goes one token to each of the
+    *    largest remainders `(w·(B mod W)) mod W` (ties → source asc), so
+    *    `Σalloc == B` EXACTLY — largest-remainder (Hamilton) rounding.
+    *
+    * Scale: one corpus groupBy to the |sources|-row inventory; every
+    * "scalar" (W, B, Σbase) is a full-frame window over that reduced frame
+    * (PlanSpec-safe); nothing returns to the corpus. `epochs_ppm` =
+    * alloc·10^6 div avail is the oversampling factor the trainer reads. */
+  /** Temperature (α=0.5) targets over an inventory frame: weight =
+    * exact ⌊√avail⌋, alloc = largest-remainder share of `total div 4`.
+    * Σalloc == total div 4 EXACTLY; alloc MAY exceed a small source's
+    * inventory — that is the oversampling temperature sampling exists for
+    * (epochs_ppm > 10^6 = the trainer repeats that source).
+    * private[graft]: PropertySpec pins the invariants on arbitrary
+    * inventories. */
+  private[graft] def temperatureTargets(inv: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    inv
+      .withColumn("f", floor(sqrt(col("avail").cast("double"))).cast("long"))
+      // exact isqrt clamp: immune to either engine's sqrt rounding
+      .withColumn("weight",
+        col("f") - when(col("f") * col("f") > col("avail"), 1L).otherwise(0L)
+          + when((col("f") + 1L) * (col("f") + 1L) <= col("avail"), 1L).otherwise(0L))
+      .withColumn("total", sum(col("avail")).over(wAll))
+      .withColumn("bigw", sum(col("weight")).over(wAll))
+      .withColumn("b", expr("total div 4"))
+      .withColumn("bw1", expr("greatest(bigw, 1)")) // all-zero-weight guard (ANSI div)
+      .withColumn("base",
+        expr("weight * (b div bw1) + (weight * (b % bw1)) div bw1"))
+      .withColumn("rem", expr("(weight * (b % bw1)) % bw1"))
+      .withColumn("leftover", expr("b - sum(base) over ()"))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("epochs_ppm", expr("alloc_tokens * 1000000 div greatest(avail, 1)"))
+      .select(col("source"), col("avail"), col("n_docs"),
+        col("weight"), col("alloc_tokens"), col("epochs_ppm"))
+  }
+
+  def q175TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(s, dir)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    temperatureTargets(inventory(docTok))
+      .withColumnRenamed("avail", "avail_tokens")
+      .orderBy(col("source").asc)
+  }
+
+  val q175Oracle: String =
+    s"""WITH doc_tok AS (
+      |  SELECT source, CAST(len(${Text.tokensSql}) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |inv AS (
+      |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail, count(*) AS n_docs
+      |  FROM doc_tok GROUP BY 1),
+      |wts AS (
+      |  SELECT *,
+      |    CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)
+      |      - CASE WHEN CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)
+      |             * CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) > avail THEN 1 ELSE 0 END
+      |      + CASE WHEN (CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) + 1)
+      |             * (CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) + 1) <= avail THEN 1 ELSE 0 END
+      |      AS weight
+      |  FROM inv),
+      |tot AS (
+      |  SELECT *, CAST(sum(avail) OVER () AS BIGINT) AS total,
+      |    CAST(greatest(sum(weight) OVER (), 1) AS BIGINT) AS bigw FROM wts),
+      |based AS (
+      |  SELECT *, total // 4 AS b,
+      |    weight * ((total // 4) // bigw)
+      |      + (weight * ((total // 4) % bigw)) // bigw AS base,
+      |    (weight * ((total // 4) % bigw)) % bigw AS rem
+      |  FROM tot),
+      |ranked AS (
+      |  SELECT *, CAST(b - sum(base) OVER () AS BIGINT) AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+      |  FROM based)
+      |SELECT source, avail AS avail_tokens, n_docs, CAST(weight AS BIGINT) AS weight,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+      |  CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000
+      |    // greatest(avail, 1) AS BIGINT) AS epochs_ppm
+      |FROM ranked
+      |ORDER BY source ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_mixture_sample" -> (q113MixtureSample _),
     "q115_sequence_pack"  -> (q115SequencePack _),
-    "q159_priority_sample" -> (q159PrioritySample _))
+    "q159_priority_sample" -> (q159PrioritySample _),
+    "q175_temperature_mix" -> (q175TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "q113_mixture_sample" -> q113Oracle,
     "q115_sequence_pack"  -> q115Oracle,
-    "q159_priority_sample" -> q159Oracle)
+    "q159_priority_sample" -> q159Oracle,
+    "q175_temperature_mix" -> q175Oracle)
 }

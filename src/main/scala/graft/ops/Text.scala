@@ -992,7 +992,69 @@ object Text {
       |FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q174: empirical-Bayes SOURCE quality prior — the domain-level score a
+    * pipeline samples by when per-document signals are too noisy (small
+    * domains) to trust raw means. Per-document quality is an EXACT integer
+    * ppm composite (stopword ratio 50%, non-punctuation 30%, length cap
+    * 20% — q41's gates re-derived in pure integer division so the decision
+    * boundary never touches a float); each source's mean is then shrunk
+    * toward the corpus mean with prior strength K=20 documents:
+    * `shrunk = (Σscore + K·gmean) div (n + K)` (the standard Beta-Binomial
+    * posterior-mean shape, all BIGINT).
+    *
+    * Scale: one corpus-wide map (per-doc score is column algebra) + one
+    * per-source hash aggregate; the corpus-mean "scalar" is a full-frame
+    * window over the REDUCED |sources|-row frame (PlanSpec-safe, no
+    * scalar cross-join), derived from the same sums so it needs no second
+    * corpus pass. At any sf the post-aggregate frame is |sources| rows. */
+  def q174SourceQualityPrior(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
+      .withColumn("n_stop", countIn(toks, stopEn))
+      // ppm composite in pure integer division; greatest(…,1) guards the
+      // empty-document rows EmptyDataSpec/RobustnessSpec plant
+      .withColumn("score_ppm",
+        expr("500000 * n_stop div greatest(n_tokens, 1) + " +
+          "300000 * (n_chars - n_punct) div greatest(n_chars, 1) + " +
+          "2000 * least(n_tokens, 100)"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_ppm")).as("sum_ppm"))
+      .withColumn("tot_docs", sum(col("n_docs")).over(wAll))
+      .withColumn("tot_ppm", sum(col("sum_ppm")).over(wAll))
+      .withColumn("gmean_ppm", expr("tot_ppm div tot_docs"))
+      .withColumn("raw_mean_ppm", expr("sum_ppm div n_docs"))
+      .withColumn("shrunk_ppm", expr("(sum_ppm + 20 * gmean_ppm) div (n_docs + 20)"))
+      .select(col("source"), col("n_docs"), col("raw_mean_ppm"), col("shrunk_ppm"),
+        (col("shrunk_ppm") - col("raw_mean_ppm")).as("shift_ppm"))
+      .orderBy(col("shrunk_ppm").desc, col("source").asc)
+  }
+
+  val q174Oracle: String =
+    s"""WITH t AS (SELECT source, $tokensSql AS toks, text FROM documents),
+      |d AS (SELECT source,
+      |  500000 * ${countInSql("toks", stopEn)} // greatest(len(toks), 1)
+      |  + 300000 * length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) // greatest(length(text), 1)
+      |  + 2000 * least(len(toks), 100) AS score_ppm
+      |FROM t),
+      |src AS (SELECT source, count(*) AS n_docs,
+      |  CAST(sum(score_ppm) AS BIGINT) AS sum_ppm FROM d GROUP BY 1),
+      |g AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+      |  CAST(sum(sum_ppm) OVER () AS BIGINT) AS tot_ppm FROM src)
+      |SELECT source, n_docs,
+      |  CAST(sum_ppm // n_docs AS BIGINT) AS raw_mean_ppm,
+      |  CAST((sum_ppm + 20 * (tot_ppm // tot_docs)) // (n_docs + 20) AS BIGINT) AS shrunk_ppm,
+      |  CAST((sum_ppm + 20 * (tot_ppm // tot_docs)) // (n_docs + 20)
+      |    - sum_ppm // n_docs AS BIGINT) AS shift_ppm
+      |FROM g
+      |ORDER BY shrunk_ppm DESC, source ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_source_quality_prior" -> (q174SourceQualityPrior _),
     "q169_lm_quality" -> (q169LmQuality _),
     "q170_dsir_select" -> (q170DsirSelect _),
     "q172_oov_rate" -> (q172OovRate _),
@@ -1015,6 +1077,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_source_quality_prior" -> q174Oracle,
     "q169_lm_quality" -> q169Oracle,
     "q170_dsir_select" -> q170Oracle,
     "q172_oov_rate" -> q172Oracle,

@@ -146,6 +146,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("temperature-mix invariants hold on arbitrary inventories") {
+    import spark.implicits._
+    val invGen = for {
+      n <- Gen.chooseNum(1, 12)
+      avails <- Gen.listOfN(n, Gen.chooseNum(0L, 2000000L))
+    } yield avails
+    forAllSampled(invGen, 12) { avails =>
+      val inv = avails.zipWithIndex
+        .map { case (a, i) => (f"s$i%02d", a, 1L) }
+        .toDF("source", "avail", "n_docs")
+      val t = ops.Mixture.temperatureTargets(inv).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("avail"),
+          r.getAs[Long]("weight"), r.getAs[Long]("alloc_tokens")))
+      // (1) weight is the EXACT integer sqrt of the inventory
+      t.foreach { case (s, avail, w, _) =>
+        assert(w * w <= avail && (w + 1) * (w + 1) > avail, s"$s: $w is not isqrt($avail)")
+      }
+      // (2) the α-budget (total div 4) is hit EXACTLY by the rounding
+      val total = avails.sum
+      assert(t.map(_._4).sum == total / 4,
+        s"sum alloc ${t.map(_._4).sum} != ${total / 4}")
+      // (3) largest-remainder never strays past ±1 from weight order:
+      // a strictly heavier source can trail a lighter one by at most the
+      // single +1 remainder token
+      for ((_, _, wi, ai) <- t; (_, _, wj, aj) <- t if wi <= wj)
+        assert(ai <= aj + 1, s"alloc order violates weight order: ($wi,$ai) vs ($wj,$aj)")
+      // (4) zero-weight sources get nothing (the +1 only lands on rem>0)
+      t.foreach { case (s, _, w, a) => if (w == 0) assert(a == 0, s"$s: alloc $a with weight 0") }
+    }
+  }
+
   test("q136 boundary formula: conditional-min over cum counts equals sort-position selection") {
     // boundary d = min value whose cumulative count >= ceil(d*n/10) must
     // equal the element at 1-based position ceil(d*n/10) of the fully
