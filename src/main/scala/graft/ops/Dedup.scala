@@ -678,7 +678,107 @@ object Dedup {
       |SELECT '_leaky_groups', CAST(v AS BIGINT), CAST(v AS BIGINT) FROM leaky
       |ORDER BY split""".stripMargin
 
+  /** q176: INCREMENTAL near-dup index maintenance — the daily-ingest shape
+    * of q46. A crawl appends a delta (here `doc_id % 5 == 0`, ~20%) to a
+    * corpus whose MinHash/LSH band index already exists; the only pairwise
+    * work the update needs is `delta-bands ⋈ all-bands` — the base×base
+    * quadrant, which dominates a full rebuild (at 100 TB the base is
+    * 50–500× the daily delta), is NEVER touched. Candidates verify with
+    * the exact hash-equality Jaccard join and keep ≥ 0.5, exactly as q46.
+    *
+    * The oracle is the INCREMENTAL-EQUALS-RECOMPUTE law (q131's law
+    * applied to an index): it computes the FULL q46 pair set and filters
+    * to pairs touching the delta — a hash match proves the probe-side
+    * update finds exactly the pairs a full rebuild would have, missing
+    * nothing at the band boundary. `new_side` tags delta-delta vs
+    * delta-base pairs (the latter are the reason the probe must hit the
+    * base index, not just the delta).
+    *
+    * Here the base signatures/bands are re-derived in-plan because the
+    * testdata carries no persisted index; in production they are a read
+    * of the materialized signature table (Materialize.scala's store) and
+    * the delta side alone runs the shingle→minhash pipeline. The claim
+    * this query pins is the JOIN TOPOLOGY (delta-probe, never
+    * base×base) and its exactness. */
+  def q176IncrementalLshUpdate(s: SparkSession, dir: String): DataFrame = {
+    val hx = graft.Caches.persist(hashedShingles(s, dir))
+    val h1 = conv(substring(col("hg"), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(col("hg"), 9, 8), 16, 10).cast("long")
+    val minCols = (0 until NumHashes)
+      .map(i => min((h1 * HashA(i) + h2 * HashB(i) + hashC(i)) % HashP).as(s"m$i"))
+    val sigs = hx.groupBy(col("doc_id"))
+      .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("sz")): _*)
+    val nBands = NumHashes / BandRows
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        (col(s"m${BandRows * b}") * lit(2147483648L) + col(s"m${BandRows * b + 1}")).as("band_val"))
+    }
+    val bands = sigs.select(col("doc_id"), col("sz"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("sz"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val deltaBands = bands.filter(col("doc_id") % 5 === 0)
+    // probe: delta × (base ∪ delta); canonical (least, greatest) ordering
+    // dedups the delta-delta pairs that collide from both probe directions
+    val cands = deltaBands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.sz")).otherwise(col("b.sz")).as("size_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.sz")).otherwise(col("a.sz")).as("size_b"))
+      .distinct()
+    cands
+      .join(hx.select(col("doc_id").as("doc_a"), col("hg")), Seq("doc_a"))
+      .join(hx.select(col("doc_id").as("doc_b"), col("hg")), Seq("doc_b", "hg"))
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("new_side",
+        when(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0, "delta-delta")
+          .otherwise("delta-base"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"),
+        col("jaccard"), col("new_side"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Full q46 recompute, filtered to delta-involved pairs: equality with
+    * the probe-side update IS the maintenance-correctness proof. */
+  val q176Oracle: String = {
+    val mins = minsSql
+    val bandSelects = bandSelectsSql
+    s"""WITH $hashedShinglesSql,
+      |sigs AS (
+      |  SELECT doc_id,
+      |$mins,
+      |  count(*) AS sz
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS inter
+      |  FROM cands
+      |  JOIN hx x ON doc_a = x.doc_id
+      |  JOIN hx y ON doc_b = y.doc_id AND x.hg = y.hg
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard,
+      |  CASE WHEN doc_a % 5 = 0 AND doc_b % 5 = 0 THEN 'delta-delta'
+      |       ELSE 'delta-base' END AS new_side
+      |FROM inter JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+      |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_incremental_lsh" -> (q176IncrementalLshUpdate _),
     "q158_leakage_safe_split" -> (q158LeakageSafeSplit _),
     "q147_cluster_keepbest" -> (q147ClusterKeepBest _),
     "q129_editdist_pairs" -> (q129EditDistPairs _),
@@ -692,6 +792,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_incremental_lsh" -> q176Oracle,
     "q158_leakage_safe_split" -> q158Oracle,
     "q147_cluster_keepbest" -> q147Oracle,
     "q129_editdist_pairs" -> q129Oracle,

@@ -395,13 +395,74 @@ object Mixture {
       |FROM ranked
       |ORDER BY source ASC""".stripMargin
 
+  /** q177: context-length fit audit — the report a pipeline runs BEFORE
+    * committing to a training context length L. For each candidate L it
+    * quantifies, in exact integers, what the corpus costs at that length:
+    * tokens lost to per-document truncation, padding waste if every doc
+    * rides its own padded sequence, the sequence count a perfect packer
+    * needs (⌈Σ kept / L⌉ — the bin-packing lower bound q115's greedy
+    * packer approaches), and the utilization ppm of both layouts. The
+    * unpacked-vs-packed utilization gap is the empirical justification
+    * for running q115 at all.
+    *
+    * Scale: one corpus scan; the 3-way L explode multiplies rows before
+    * the aggregate but each is a few integers (map-side combined), and
+    * the post-aggregate frame is |L| rows. No joins, no windows over
+    * unreduced frames. */
+  def q177ContextFitAudit(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("n_tokens"), explode(array(lit(128L), lit(512L), lit(2048L))).as("ctx_len"))
+      .withColumn("kept", least(col("n_tokens"), col("ctx_len")))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("kept")).as("kept_tokens"),
+        sum(col("n_tokens") - col("kept")).as("trunc_lost_tokens"),
+        sum(col("ctx_len") - col("kept")).as("pad_waste_unpacked"))
+      .withColumn("seqs_packed_lb", expr("(kept_tokens + ctx_len - 1) div ctx_len"))
+      .withColumn("util_unpacked_ppm",
+        expr("kept_tokens * 1000000 div greatest(n_docs * ctx_len, 1)"))
+      .withColumn("util_packed_ppm",
+        expr("kept_tokens * 1000000 div greatest(seqs_packed_lb * ctx_len, 1)"))
+      .select(col("ctx_len"), col("n_docs"), col("total_tokens"), col("kept_tokens"),
+        col("trunc_lost_tokens"), col("pad_waste_unpacked"), col("seqs_packed_lb"),
+        col("util_unpacked_ppm"), col("util_packed_ppm"))
+      .orderBy(col("ctx_len"))
+  }
+
+  val q177Oracle: String =
+    s"""WITH d AS (
+      |  SELECT CAST(len(${Text.tokensSql}) AS BIGINT) AS n_tokens FROM documents),
+      |x AS (
+      |  SELECT n_tokens, CAST(ctx_len AS BIGINT) AS ctx_len,
+      |    least(n_tokens, CAST(ctx_len AS BIGINT)) AS kept
+      |  FROM d, unnest([128, 512, 2048]) AS t(ctx_len)),
+      |g AS (
+      |  SELECT ctx_len, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(sum(kept) AS BIGINT) AS kept_tokens,
+      |    CAST(sum(n_tokens - kept) AS BIGINT) AS trunc_lost_tokens,
+      |    CAST(sum(ctx_len - kept) AS BIGINT) AS pad_waste_unpacked
+      |  FROM x GROUP BY 1)
+      |SELECT ctx_len, n_docs, total_tokens, kept_tokens, trunc_lost_tokens,
+      |  pad_waste_unpacked,
+      |  CAST((kept_tokens + ctx_len - 1) // ctx_len AS BIGINT) AS seqs_packed_lb,
+      |  CAST(kept_tokens * 1000000 // greatest(n_docs * ctx_len, 1) AS BIGINT) AS util_unpacked_ppm,
+      |  CAST(kept_tokens * 1000000
+      |    // greatest(((kept_tokens + ctx_len - 1) // ctx_len) * ctx_len, 1) AS BIGINT) AS util_packed_ppm
+      |FROM g
+      |ORDER BY ctx_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_context_fit_audit" -> (q177ContextFitAudit _),
     "q113_mixture_sample" -> (q113MixtureSample _),
     "q115_sequence_pack"  -> (q115SequencePack _),
     "q159_priority_sample" -> (q159PrioritySample _),
     "q175_temperature_mix" -> (q175TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "q177_context_fit_audit" -> q177Oracle,
     "q113_mixture_sample" -> q113Oracle,
     "q115_sequence_pack"  -> q115Oracle,
     "q159_priority_sample" -> q159Oracle,

@@ -1053,7 +1053,92 @@ object Text {
       |FROM g
       |ORDER BY shrunk_ppm DESC, source ASC""".stripMargin
 
+  /** q178: corpus funnel report — the per-stage survival audit every
+    * cleaning pipeline prints before training: raw → length gate →
+    * language gate → quality gate → exact dedup, each stage applied to
+    * the previous stage's survivors (ORDER MATTERS: the dedup keep-rule
+    * picks the min doc_id among docs that survived the earlier gates, so
+    * a filtered-out earlier copy cannot shadow a surviving one — the
+    * subtlety that makes "dedup then filter" ≠ "filter then dedup").
+    * Output is one row per stage with survivors, drops, and drop ppm.
+    *
+    * Scale: one corpus scan computes every gate flag as column algebra;
+    * exact dedup is a min-window over the md5 fingerprint (`hg`,
+    * corpus-scaling key); the funnel itself is a 1-row aggregate
+    * unpivoted to 5 rows with a lag window over that reduced frame. */
+  def q178CorpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val flagged = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop", countIn(toks, stopEn))
+      .withColumn("hg", md5(col("text").cast("binary")))
+      .withColumn("s1", col("n_tokens") >= 10L)
+      .withColumn("s2", col("s1") && col("lang") === "en")
+      .withColumn("s3",
+        col("s2") && expr("n_stop * 1000 div greatest(n_tokens, 1)") >= 100L)
+    val keeper = min(when(col("s3"), col("doc_id")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("hg")))
+    val agg = flagged
+      .withColumn("s4", col("s3") && keeper === col("doc_id"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("s1").cast("long")).as("n1"),
+        sum(col("s2").cast("long")).as("n2"),
+        sum(col("s3").cast("long")).as("n3"),
+        sum(col("s4").cast("long")).as("n4"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
+    agg.selectExpr(
+      """stack(5,
+        |  0L, 'raw',          coalesce(n0, 0L),
+        |  1L, 'length>=10',   coalesce(n1, 0L),
+        |  2L, 'lang=en',      coalesce(n2, 0L),
+        |  3L, 'quality',      coalesce(n3, 0L),
+        |  4L, 'exact_dedup',  coalesce(n4, 0L)) AS (stage_idx, stage, n_surviving)""".stripMargin)
+      .withColumn("n_dropped",
+        coalesce(lag(col("n_surviving"), 1).over(wOrd) - col("n_surviving"), lit(0L)))
+      .withColumn("drop_ppm",
+        expr("n_dropped * 1000000 div greatest(coalesce(lag(n_surviving, 1) over (order by stage_idx), 1), 1)"))
+      .select(col("stage_idx"), col("stage"), col("n_surviving"), col("n_dropped"), col("drop_ppm"))
+      .orderBy(col("stage_idx"))
+  }
+
+  val q178Oracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, text, $tokensSql AS toks, md5(text) AS hg
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, hg,
+      |    len(toks) >= 10 AS s1,
+      |    len(toks) >= 10 AND lang = 'en' AS s2,
+      |    len(toks) >= 10 AND lang = 'en'
+      |      AND ${countInSql("toks", stopEn)} * 1000 // greatest(len(toks), 1) >= 100 AS s3
+      |  FROM t),
+      |k AS (
+      |  SELECT *, s3 AND doc_id = min(CASE WHEN s3 THEN doc_id END) OVER (PARTITION BY hg) AS s4
+      |  FROM f),
+      |a AS (
+      |  SELECT count(*) AS n0,
+      |    CAST(coalesce(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+      |    CAST(coalesce(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+      |    CAST(coalesce(sum(CASE WHEN s3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3,
+      |    CAST(coalesce(sum(CASE WHEN s4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n4
+      |  FROM k),
+      |st AS (
+      |  SELECT * FROM (
+      |    SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_surviving FROM a
+      |    UNION ALL SELECT 1, 'length>=10', n1 FROM a
+      |    UNION ALL SELECT 2, 'lang=en', n2 FROM a
+      |    UNION ALL SELECT 3, 'quality', n3 FROM a
+      |    UNION ALL SELECT 4, 'exact_dedup', n4 FROM a) u)
+      |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+      |  CAST(n_surviving AS BIGINT) AS n_surviving,
+      |  CAST(coalesce(lag(n_surviving) OVER (ORDER BY stage_idx) - n_surviving, 0) AS BIGINT) AS n_dropped,
+      |  CAST(coalesce(lag(n_surviving) OVER (ORDER BY stage_idx) - n_surviving, 0) * 1000000
+      |    // greatest(coalesce(lag(n_surviving) OVER (ORDER BY stage_idx), 1), 1) AS BIGINT) AS drop_ppm
+      |FROM st
+      |ORDER BY stage_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_corpus_funnel" -> (q178CorpusFunnel _),
     "q174_source_quality_prior" -> (q174SourceQualityPrior _),
     "q169_lm_quality" -> (q169LmQuality _),
     "q170_dsir_select" -> (q170DsirSelect _),
@@ -1077,6 +1162,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q178_corpus_funnel" -> q178Oracle,
     "q174_source_quality_prior" -> q174Oracle,
     "q169_lm_quality" -> q169Oracle,
     "q170_dsir_select" -> q170Oracle,
