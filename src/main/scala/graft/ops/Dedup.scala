@@ -777,7 +777,74 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q179: inter-source duplication matrix — WHO copies WHOM. q46's
+    * verified near-dup pairs, attributed to the (source, source) pair of
+    * their documents (unordered, canonicalized least/greatest so the
+    * matrix is upper-triangular) with pair counts and exact mean Jaccard
+    * in ppm. This is the provenance signal a corpus curator reads before
+    * mixing dumps: a hot off-diagonal cell means two "independent" sources
+    * share content and their mixture weights double-count it; a hot
+    * diagonal means a source self-duplicates. Composes q46 as-is: the
+    * only additions are two broadcast-size dimension lookups (doc→source)
+    * and one |sources|²-bounded aggregate — nothing new touches the
+    * corpus. Mean Jaccard is summed in exact integer ppm (each pair's
+    * jaccard is a ratio of ≤2³¹ integers, ppm-scaled by `div` before the
+    * sum) so the aggregate is order-independent. */
+  def q179SourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val srcOf = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    q46MinhashLshPairs(s, dir)
+      .withColumn("jac_ppm",
+        expr("inter * 1000000 div (size_a + size_b - inter)"))
+      .join(srcOf.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(srcOf.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jac_ppm"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jac_ppm) div count(1)").as("mean_jac_ppm"))
+      .orderBy(col("n_pairs").desc, col("source_a").asc, col("source_b").asc)
+  }
+
+  val q179Oracle: String = {
+    val mins = minsSql
+    val bandSelects = bandSelectsSql
+    s"""WITH $hashedShinglesSql,
+      |sigs AS (
+      |  SELECT doc_id,
+      |$mins,
+      |  count(*) AS sz
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS inter
+      |  FROM cands
+      |  JOIN hx x ON doc_a = x.doc_id
+      |  JOIN hx y ON doc_b = y.doc_id AND x.hg = y.hg
+      |  GROUP BY doc_a, doc_b),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    inter * 1000000 // (sa.sz + sb.sz - inter) AS jac_ppm
+      |  FROM inter JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      |attr AS (
+      |  SELECT least(da.source, db.source) AS source_a,
+      |    greatest(da.source, db.source) AS source_b, jac_ppm
+      |  FROM pairs
+      |  JOIN documents da ON doc_a = da.doc_id
+      |  JOIN documents db ON doc_b = db.doc_id)
+      |SELECT source_a, source_b, count(*) AS n_pairs,
+      |  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm
+      |FROM attr GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, source_a ASC, source_b ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_source_dup_matrix" -> (q179SourceDupMatrix _),
     "q176_incremental_lsh" -> (q176IncrementalLshUpdate _),
     "q158_leakage_safe_split" -> (q158LeakageSafeSplit _),
     "q147_cluster_keepbest" -> (q147ClusterKeepBest _),
@@ -792,6 +859,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_source_dup_matrix" -> q179Oracle,
     "q176_incremental_lsh" -> q176Oracle,
     "q158_leakage_safe_split" -> q158Oracle,
     "q147_cluster_keepbest" -> q147Oracle,
