@@ -29,8 +29,13 @@ def load(path):
     if "queries" not in d and "tail" in d:
         tail = d["tail"]
         d = json.loads(tail[tail.rindex('{"metric"'):].splitlines()[0])
-    d["queries"] = {q.split("_")[0]: v for q, v in d["queries"].items()}
-    d["failed"] = [q.split("_")[0] for q in d.get("failed", [])]
+    # normalize "q48_dedup_clusters" / "q48" / bare "48" (the tightest
+    # stdout rung) to one key shape
+    def norm(q):
+        q = q.split("_")[0]
+        return q if q.startswith("q") else "q" + q
+    d["queries"] = {norm(q): v for q, v in d["queries"].items()}
+    d["failed"] = [norm(q) for q in d.get("failed", [])]
     return d
 
 

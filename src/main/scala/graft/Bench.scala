@@ -109,14 +109,14 @@ object Bench {
     // the 1-decimal map alone is ~1.85 KB. bench_local.json keeps 3dp +
     // the always-present failed array.
     def line(keyOf: String => String, dp: Int, cDp: Int = 3,
-        omitEmptyFailed: Boolean = false): String = {
+        omitEmptyFailed: Boolean = false, sfName: String = sfDir): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + rN(v, dp) }
         .mkString("{", ",", "}")
       val fj =
         if (failedNames.isEmpty && omitEmptyFailed) ""
         else "\"failed\":" + failedNames.map(n => "\"" + keyOf(n) + "\"")
           .mkString("[", ",", "]") + ","
-      s"""{"metric":"total_sec","value":${rN(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},$fj"canary_first":${rN(canaryFirst, cDp)},"canary_last":${rN(canaryLast, cDp)},"canary_shuffle_first":${rN(canaryShFirst, cDp)},"canary_shuffle_last":${rN(canaryShLast, cDp)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_sec","value":${rN(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},$fj"canary_first":${rN(canaryFirst, cDp)},"canary_last":${rN(canaryLast, cDp)},"canary_shuffle_first":${rN(canaryShFirst, cDp)},"canary_shuffle_last":${rN(canaryShLast, cDp)},"queries":$qs,"sf":"$sfName"}"""
     }
     if (only.isEmpty) // a subset run must not clobber the full-run artifact
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
@@ -133,10 +133,20 @@ object Bench {
     // every added query erodes it. Degrade per-query precision (3 → 2 → 1
     // decimals) until the line fits; the full 3-decimal detail is always in
     // bench_local.json.
-    val shortLine = Iterator(3, 2, 1)
-      .map(dp => line(_.takeWhile(_ != '_'), dp, cDp = 2, omitEmptyFailed = true))
+    // ladder extension (round 7, 165 queries): the "qNN" 1-decimal map is
+    // ~1.94 KB — past the budget — so two further rungs drop the 'q' from
+    // the keys (bare "NN", still unique; scripts/bench_compare.py
+    // normalizes both shapes) and shorten sf to its basename, first at 1
+    // then at 0 decimals. bench_local.json always keeps full names + 3dp.
+    val shortId  = (s: String) => s.takeWhile(_ != '_')
+    val bareId   = (s: String) => s.takeWhile(_ != '_').stripPrefix("q")
+    val sfBase   = new java.io.File(sfDir).getName
+    val shortLine = (Iterator(3, 2, 1)
+      .map(dp => line(shortId, dp, cDp = 2, omitEmptyFailed = true)) ++
+      Iterator(1, 0)
+        .map(dp => line(bareId, dp, cDp = 2, omitEmptyFailed = true, sfName = sfBase)))
       .find(_.length <= 1900)
-      .getOrElse(line(_.takeWhile(_ != '_'), 1, cDp = 2, omitEmptyFailed = true))
+      .getOrElse(line(bareId, 0, cDp = 2, omitEmptyFailed = true, sfName = sfBase))
     println(shortLine)
     // a bench with hard failures is a failed bench — visible in rc, not just
     // in the (already-printed) JSON line
