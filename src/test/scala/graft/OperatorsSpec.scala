@@ -37,6 +37,56 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q176 incremental LSH update equals the full q46 rebuild restricted to delta pairs") {
+    // the maintenance law IN Spark (the oracle proves it against DuckDB;
+    // this pins it engine-internally too): probing delta bands against the
+    // full band table finds exactly the delta-involved pairs of a full
+    // rebuild — nothing lost at a band boundary, nothing invented
+    import org.apache.spark.sql.functions._
+    try {
+      val full = ops.Dedup.q46MinhashLshPairs(spark, sf())
+        .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+        .collect().map(_.toSeq).toSet
+      val incr = ops.Dedup.q176IncrementalLshUpdate(spark, sf())
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+        .collect().map(_.toSeq).toSet
+      assert(incr === full)
+      assert(incr.nonEmpty, "fixture should produce at least one delta-involved pair")
+    } finally Caches.releaseAll()
+  }
+
+  test("q177 packing lower bound is a true lower bound and utilizations order correctly") {
+    import org.apache.spark.sql.functions._
+    try {
+      val rows = ops.Mixture.q177ContextFitAudit(spark, sf()).collect()
+      assert(rows.length === 3)
+      rows.foreach { r =>
+        val (l, kept, lb) = (r.getAs[Long]("ctx_len"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("seqs_packed_lb"))
+        assert(lb === (kept + l - 1) / l)
+        // packing can only help: packed utilization >= unpacked, both <= 1e6
+        assert(r.getAs[Long]("util_packed_ppm") >= r.getAs[Long]("util_unpacked_ppm"))
+        assert(r.getAs[Long]("util_packed_ppm") <= 1000000L)
+        // conservation: every token is kept or lost to truncation
+        assert(kept + r.getAs[Long]("trunc_lost_tokens") === r.getAs[Long]("total_tokens"))
+      }
+    } finally Caches.releaseAll()
+  }
+
+  test("q178 funnel is monotone and drops reconcile stage-to-stage") {
+    try {
+      val rows = ops.Text.q178CorpusFunnel(spark, sf()).collect()
+      assert(rows.map(_.getAs[String]("stage")).toSeq ===
+        Seq("raw", "length>=10", "lang=en", "quality", "exact_dedup"))
+      rows.sliding(2).foreach { case Array(prev, cur) =>
+        assert(cur.getAs[Long]("n_surviving") <= prev.getAs[Long]("n_surviving"))
+        assert(cur.getAs[Long]("n_dropped") ===
+          prev.getAs[Long]("n_surviving") - cur.getAs[Long]("n_surviving"))
+      }
+    } finally Caches.releaseAll()
+  }
+
   test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Dedup.q44LatestPerKey(spark, sf())
     val w = org.apache.spark.sql.expressions.Window
