@@ -433,15 +433,15 @@ object Graph {
   val q171Oracle: String = {
     def round(i: Int): String = {
       val prev = s"l${i - 1}"
-      s"""v$i AS (SELECT u.a, l.label, CAST(SUM(u.w) AS BIGINT) AS vote
+      s"""v$i AS MATERIALIZED (SELECT u.a, l.label, CAST(SUM(u.w) AS BIGINT) AS vote
          |  FROM und u JOIN $prev l ON u.b = l.id GROUP BY 1, 2),
-         |l$i AS (SELECT v.a AS id, MIN(v.label) AS label
+         |l$i AS MATERIALIZED (SELECT v.a AS id, MIN(v.label) AS label
          |  FROM v$i v JOIN (SELECT a, MAX(vote) AS mv FROM v$i GROUP BY 1) m
          |    ON v.a = m.a AND v.vote = m.mv
          |  GROUP BY 1)""".stripMargin
     }
     val rounds = (1 to 4).map(round).mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst,
        |         CAST(COUNT(*) AS BIGINT) w
        |  FROM lineitem
@@ -449,13 +449,13 @@ object Graph {
        |  JOIN orders   ON l_orderkey = o_orderkey
        |  JOIN customer ON o_custkey = c_custkey
        |  GROUP BY 1, 2),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM (
        |    SELECT src AS a, dst AS b, w FROM edges WHERE src <> dst
        |    UNION ALL
        |    SELECT dst AS a, src AS b, w FROM edges WHERE src <> dst) u
        |  GROUP BY 1, 2),
-       |l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM und),
        |$rounds
        |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
