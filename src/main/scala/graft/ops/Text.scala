@@ -1007,20 +1007,36 @@ object Text {
     * window over the REDUCED |sources|-row frame (PlanSpec-safe, no
     * scalar cross-join), derived from the same sums so it needs no second
     * corpus pass. At any sf the post-aggregate frame is |sources| rows. */
-  def q174SourceQualityPrior(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, source, score_ppm): the exact-integer ppm quality composite
+    * shared by q174 (source prior) and q180 (tier split) — stopword ratio
+    * 50%, non-punctuation 30%, length cap 20%, pure integer division;
+    * greatest(…,1) guards the empty-document rows EmptyDataSpec/
+    * RobustnessSpec plant. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_punct",
         (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
       .withColumn("n_stop", countIn(toks, stopEn))
-      // ppm composite in pure integer division; greatest(…,1) guards the
-      // empty-document rows EmptyDataSpec/RobustnessSpec plant
       .withColumn("score_ppm",
         expr("500000 * n_stop div greatest(n_tokens, 1) + " +
           "300000 * (n_chars - n_punct) div greatest(n_chars, 1) + " +
           "2000 * least(n_tokens, 100)"))
+      .select(col("doc_id"), col("source"), col("score_ppm"))
+  }
+
+  /** Shared DuckDB mirror of [[scoredDocs]] (a CTE body over `documents`). */
+  private val scoredDocsSql: String =
+    s"""SELECT doc_id, source,
+      |  500000 * ${countInSql("toks", stopEn)} // greatest(len(toks), 1)
+      |  + 300000 * length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) // greatest(length(text), 1)
+      |  + 2000 * least(len(toks), 100) AS score_ppm
+      |FROM (SELECT doc_id, source, $tokensSql AS toks, text FROM documents) t""".stripMargin
+
+  def q174SourceQualityPrior(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(s, dir)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("score_ppm")).as("sum_ppm"))
@@ -1035,12 +1051,7 @@ object Text {
   }
 
   val q174Oracle: String =
-    s"""WITH t AS (SELECT source, $tokensSql AS toks, text FROM documents),
-      |d AS (SELECT source,
-      |  500000 * ${countInSql("toks", stopEn)} // greatest(len(toks), 1)
-      |  + 300000 * length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) // greatest(length(text), 1)
-      |  + 2000 * least(len(toks), 100) AS score_ppm
-      |FROM t),
+    s"""WITH d AS ($scoredDocsSql),
       |src AS (SELECT source, count(*) AS n_docs,
       |  CAST(sum(score_ppm) AS BIGINT) AS sum_ppm FROM d GROUP BY 1),
       |g AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
@@ -1137,7 +1148,68 @@ object Text {
       |FROM st
       |ORDER BY stage_idx""".stripMargin
 
+  /** q180: quality-tier split (head / middle / tail) — the decision step
+    * a perplexity-filter pipeline actually takes after scoring (q169/q174
+    * produce scores; THIS assigns the tiers a sampler consumes, the
+    * CCNet-style head-middle-tail partition). Tertile boundaries are
+    * EXACT selected score cells — b_k = the ⌈k·n/3⌉-th smallest score,
+    * found by the conditional-min-over-cumulative-counts formula (q136's,
+    * pinned by PropertySpec there) over the REDUCED (score, count) frame —
+    * and assignment is VALUE-ATOMIC (equal scores always share a tier, the
+    * q162 discipline), so the split is deterministic under any
+    * partitioning even with heavy score ties. Higher score = better, so
+    * head = scores above b2.
+    *
+    * Scale: one corpus scan to score; boundary work happens on the
+    * distinct-score aggregate (bounded by the score codomain, ≤ ~10^6
+    * ppm values at any sf); the 1-row boundary frame broadcasts back; one
+    * final (source, tier) hash aggregate. */
+  def q180QualityTiers(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.Caches.persist(scoredDocs(s, dir))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("score_ppm"))
+    val bounds = scored.groupBy(col("score_ppm")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("tot", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .agg(min(when(col("cum") * 3 >= col("tot"), col("score_ppm"))).as("b1"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("score_ppm"))).as("b2"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("tier",
+        when(col("score_ppm") <= col("b1"), "tail")
+          .when(col("score_ppm") <= col("b2"), "middle")
+          .otherwise("head"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score_ppm) div count(1)").as("mean_score_ppm"))
+      .orderBy(col("source"), col("tier"))
+  }
+
+  val q180Oracle: String =
+    s"""WITH d AS ($scoredDocsSql),
+      |dist AS (
+      |  SELECT score_ppm, count(*) AS cnt FROM d GROUP BY 1),
+      |cums AS (
+      |  SELECT score_ppm,
+      |    CAST(sum(cnt) OVER (ORDER BY score_ppm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS tot
+      |  FROM dist),
+      |b AS (
+      |  SELECT min(CASE WHEN cum * 3 >= tot THEN score_ppm END) AS b1,
+      |    min(CASE WHEN cum * 3 >= tot * 2 THEN score_ppm END) AS b2
+      |  FROM cums)
+      |SELECT source,
+      |  CASE WHEN score_ppm <= b1 THEN 'tail'
+      |       WHEN score_ppm <= b2 THEN 'middle'
+      |       ELSE 'head' END AS tier,
+      |  count(*) AS n_docs,
+      |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+      |FROM d CROSS JOIN b
+      |GROUP BY 1, 2
+      |ORDER BY source, tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_quality_tiers" -> (q180QualityTiers _),
     "q178_corpus_funnel" -> (q178CorpusFunnel _),
     "q174_source_quality_prior" -> (q174SourceQualityPrior _),
     "q169_lm_quality" -> (q169LmQuality _),
@@ -1162,6 +1234,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_quality_tiers" -> q180Oracle,
     "q178_corpus_funnel" -> q178Oracle,
     "q174_source_quality_prior" -> q174Oracle,
     "q169_lm_quality" -> q169Oracle,
