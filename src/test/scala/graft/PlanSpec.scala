@@ -89,7 +89,9 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast (n, total-score) corpus frame for the is_tail flag
       "q169_lm_quality",
       // 1-row broadcast (Cr, Ct) model totals onto the 256-row bucket table
-      "q170_dsir_select")
+      "q170_dsir_select",
+      // 1-row broadcast (b1, b2) tertile-boundary frame (selected cells)
+      "q180_quality_tiers")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
