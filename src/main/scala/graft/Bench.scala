@@ -109,11 +109,12 @@ object Bench {
     // the 1-decimal map alone is ~1.85 KB. bench_local.json keeps 3dp +
     // the always-present failed array.
     def line(keyOf: String => String, dp: Int, cDp: Int = 3,
-        omitEmptyFailed: Boolean = false, sfName: String = sfDir): String = {
+        omitEmptyFailed: Boolean = false, sfName: String = sfDir,
+        dropFailed: Boolean = false): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + rN(v, dp) }
         .mkString("{", ",", "}")
       val fj =
-        if (failedNames.isEmpty && omitEmptyFailed) ""
+        if (dropFailed || (failedNames.isEmpty && omitEmptyFailed)) ""
         else "\"failed\":" + failedNames.map(n => "\"" + keyOf(n) + "\"")
           .mkString("[", ",", "]") + ","
       s"""{"metric":"total_sec","value":${rN(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},$fj"canary_first":${rN(canaryFirst, cDp)},"canary_last":${rN(canaryLast, cDp)},"canary_shuffle_first":${rN(canaryShFirst, cDp)},"canary_shuffle_last":${rN(canaryShLast, cDp)},"queries":$qs,"sf":"$sfName"}"""
@@ -141,12 +142,17 @@ object Bench {
     val shortId  = (s: String) => s.takeWhile(_ != '_')
     val bareId   = (s: String) => s.takeWhile(_ != '_').stripPrefix("q")
     val sfBase   = new java.io.File(sfDir).getName
+    // final rung drops the failed ARRAY but keeps n_failed (ADVICE r7):
+    // a many-failure run must still fit the 1900-char tail — the names are
+    // on stderr (BENCH FAIL lines) and in bench_local.json; the count plus
+    // the non-zero rc carry the signal through the truncating driver tail.
     val shortLine = (Iterator(3, 2, 1)
       .map(dp => line(shortId, dp, cDp = 2, omitEmptyFailed = true)) ++
       Iterator(1, 0)
         .map(dp => line(bareId, dp, cDp = 2, omitEmptyFailed = true, sfName = sfBase)))
       .find(_.length <= 1900)
-      .getOrElse(line(bareId, 0, cDp = 2, omitEmptyFailed = true, sfName = sfBase))
+      .getOrElse(line(bareId, 0, cDp = 2, omitEmptyFailed = true, sfName = sfBase,
+        dropFailed = true))
     println(shortLine)
     // a bench with hard failures is a failed bench — visible in rc, not just
     // in the (already-printed) JSON line

@@ -56,7 +56,19 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // Unit inference by magnitude (ADVICE r7): a raw int64 ts may be
+        // epoch-ns, -µs, -ms or -s depending on the generator; blindly
+        // assuming ns would silently land an epoch-µs regeneration in ~1970.
+        // Any epoch between 1973-03 and 5138 classifies unambiguously
+        // (1e17 ns ≈ 1e14 µs ≈ 1e11 ms ≈ 1973-03-03); a per-row CASE keeps
+        // this streaming-safe (no driver-side aggregate) and inside
+        // whole-stage codegen. TablesSpec plants one fixture per unit.
+        df.withColumn("ts", timestamp_micros(expr(
+          """CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000
+            |     WHEN abs(ts) >= 100000000000000    THEN ts
+            |     WHEN abs(ts) >= 100000000000       THEN ts * 1000
+            |     ELSE ts * 1000000 END""".stripMargin)))
       case TimestampType => df
       case _             => df.withColumn("ts", col("ts").cast(TimestampType))
     }

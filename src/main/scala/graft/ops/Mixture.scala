@@ -331,10 +331,16 @@ object Mixture {
     val wRem = Window.orderBy(col("rem").desc, col("source").asc)
     inv
       .withColumn("f", floor(sqrt(col("avail").cast("double"))).cast("long"))
-      // exact isqrt clamp: immune to either engine's sqrt rounding
+      // exact isqrt clamp: immune to either engine's sqrt rounding. The +1
+      // probe squares (f+1); 3037000499 is the largest long whose square
+      // fits, so the bump is gated on f < that bound — without it an avail
+      // near 2^63 would overflow the probe (wrap in non-ANSI, fault in
+      // ANSI; ADVICE r7). f ≥ the bound already implies avail ≥ f², so the
+      // clamp is exact there without probing.
       .withColumn("weight",
         col("f") - when(col("f") * col("f") > col("avail"), 1L).otherwise(0L)
-          + when((col("f") + 1L) * (col("f") + 1L) <= col("avail"), 1L).otherwise(0L))
+          + when(col("f") < 3037000499L &&
+              (col("f") + 1L) * (col("f") + 1L) <= col("avail"), 1L).otherwise(0L))
       .withColumn("total", sum(col("avail")).over(wAll))
       .withColumn("bigw", sum(col("weight")).over(wAll))
       .withColumn("b", expr("total div 4"))

@@ -424,7 +424,13 @@ object Multimodal {
         }
         true
       }
-      if (!walk(12, bytes.length, inMovi = false)) return bad
+      // the top-level walk is bounded by the RIFF header's DECLARED size, not
+      // the buffer: real muxers commonly append padding/metadata after the
+      // RIFF chunk, and trailing bytes must not quarantine a valid file
+      // (ADVICE r7). A declared size past the buffer is still malformed.
+      val riffEnd = 8L + u32(4)
+      if (riffEnd > bytes.length) return bad
+      if (!walk(12, riffEnd.toInt, inMovi = false)) return bad
       if (frames.isEmpty || frames.size > maxFrames) return bad
       val grids = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
       var w0 = 0
@@ -890,7 +896,7 @@ object Multimodal {
       |      ELSE 0::BIGINT END) AS first_ahash64
       |  FROM px JOIN t USING (doc_id)
       |  GROUP BY 1)
-      |SELECT doc_id, 1 AS ok, 3 AS n_frames, 8 AS width,
+      |SELECT doc_id, 1 AS ok, CAST(3 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS width,
       |  (s0 // 64 + s1 // 64 + s2 // 64) // 3 AS avg_luma_milli,
       |  (d01 // 64 + d12 // 64) // 2 AS motion_milli,
       |  first_ahash64
@@ -939,7 +945,7 @@ object Multimodal {
   }
 
   val q173Oracle: String =
-    """SELECT doc_id, 1 AS ok, 2 AS n_frames, 16 AS width,
+    """SELECT doc_id, 1 AS ok, CAST(2 AS BIGINT) AS n_frames, CAST(16 AS BIGINT) AS width,
       |  CAST((doc_id % 16) + ((doc_id * 7 + 3) % 16) AS BIGINT) AS luma_bucket,
       |  CAST(abs((doc_id % 16) - ((doc_id * 7 + 3) % 16)) AS BIGINT) AS motion_bucket,
       |  CAST(0 AS BIGINT) AS first_ahash64

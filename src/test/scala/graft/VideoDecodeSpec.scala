@@ -130,6 +130,13 @@ class VideoDecodeSpec extends SparkSpec {
     val one = Multimodal.decodeVideo(
       Multimodal.encodeMjpegAvi(Seq(Multimodal.encodeJpegGray(8, 8, 50)), 8, 8))
     assert(one.ok && one.n_frames === 1 && one.motion_milli === 0L)
+    // trailing bytes AFTER the declared RIFF size (padding / appended
+    // metadata — common from real muxers) must be ignored, not quarantined
+    // (ADVICE r7): the walk is bounded by the header's declared size.
+    val padded = avi ++ Array.fill(37)(0xAB.toByte)
+    assert(Multimodal.decodeVideo(padded) === f, "trailing bytes past RIFF size")
+    // …but a declared size larger than the buffer is truncation → quarantine
+    assert(!Multimodal.decodeVideo(avi.dropRight(5)).ok, "truncated buffer")
   }
 
   test("decodeMjpegAvi: quarantine — bombs, truncation, mixed dims, non-JPEG chunks") {
