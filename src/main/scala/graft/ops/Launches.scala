@@ -184,7 +184,11 @@ object Launches {
   def q31LaunchesLatest(s: SparkSession, dir: String): DataFrame =
     latestSnapshot(staging(ingest(s, fixturePath)))
       .select(col("launch_id"), col("name"), col("year"), col("success"),
-        col("flight_number"), col("load_ts"))
+        col("flight_number"),
+        // epoch-µs, not raw timestamp: the driver compare reads Spark
+        // parquet timestamps as TIMESTAMPTZ but oracle CTEs yield naive
+        // TIMESTAMP — integer epochs cross the typed hash cleanly
+        expr("unix_micros(load_ts)").as("load_ts_us"))
       .orderBy(col("launch_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -192,7 +196,79 @@ object Launches {
     "q31_launches_latest" -> (q31LaunchesLatest _),
   )
 
-  /** No DuckDB oracle: inputs are a bundled fixture, not sfDir tables —
-    * driver records rows-only; semantics pinned by LaunchesSpec. */
-  val oracles: Map[String, String] = Map()
+  /** The bundled fixture re-expressed as an inline VALUES CTE plus the
+    * staging/dedup transform in DuckDB SQL — gives q30/q31 REAL oracle rows
+    * even though the fixture is not an sfDir table (VERDICT r7 item 4: the
+    * driver's DuckDB accepts inline VALUES, so "fixture input" no longer
+    * implies rows-only checking). `def`, not `val`: referenced by two oracle
+    * strings below and a val would hit the object-init-order trap
+    * (round-5 gotcha). Kept in lockstep with
+    * src/main/resources/fixtures/launches_raw.jsonl by LaunchesSpec's
+    * fixture-sync golden test. */
+  private def launchesCteSql: String =
+    """WITH raw(launch_id, name, date_utc, success, flight_number, load_ts) AS (VALUES
+       |    ('5eb87cd9ffd86e000604b32a','FalconSat','2006-03-24T22:30:00.000Z',false,'1','2024-01-01T00:00:00'),
+       |    ('5eb87cdaffd86e000604b32b','DemoSat','2007-03-21T01:10:00.000Z',false,'2','2024-01-01T00:00:00'),
+       |    ('5eb87cdbffd86e000604b32c','Trailblazer','2008-08-03T03:34:00.000Z',false,'3','2024-01-01T00:00:00'),
+       |    ('5eb87cdbffd86e000604b32d','RatSat','2008-09-28T23:15:00.000Z',true,'4','2024-01-01T00:00:00'),
+       |    ('5eb87cdcffd86e000604b32e','RazakSat','2009-07-13T03:35:00.000Z',true,'5','2024-01-01T00:00:00'),
+       |    ('5eb87cddffd86e000604b32f','Falcon 9 Test Flight','2010-06-04T18:45:00.000Z',true,'6','2024-01-01T00:00:00'),
+       |    ('5eb87cdeffd86e000604b330','COTS 1','2010-12-08T15:43:00.000Z',true,'7','2024-01-01T00:00:00'),
+       |    ('5eb87cdfffd86e000604b331','COTS 2','2012-05-22T07:44:00.000Z',CAST(NULL AS BOOLEAN),'8','2024-01-01T00:00:00'),
+       |    ('5eb87ce0ffd86e000604b332','CRS-1','2012-10-08T00:35:00.000Z',CAST(NULL AS BOOLEAN),'9','2024-01-01T00:00:00'),
+       |    ('5eb87ce1ffd86e000604b333','CRS-2','not-a-date',true,'10','2024-01-01T00:00:00'),
+       |    ('5eb87ce2ffd86e000604b334','CASSIOPE','2013-09-29T16:00:00.000Z',true,NULL,'2024-01-01T00:00:00'),
+       |    ('5eb87ce3ffd86e000604b335','SES-8','2013-12-03T22:41:00.000Z',true,'12','2024-01-01T00:00:00'),
+       |    ('5eb87ce4ffd86e000604b336','Thaicom 6','2014-01-06T22:06:00.000Z',true,'13','2024-01-01T00:00:00'),
+       |    ('5eb87ce4ffd86e000604b337','CRS-3','2014-04-18T19:25:00.000Z',CAST(NULL AS BOOLEAN),'14','2024-01-01T00:00:00'),
+       |    ('5eb87ce5ffd86e000604b338','OG2 Mission 1','2014-07-14T15:15:00.000Z',true,'15','2024-01-01T00:00:00'),
+       |    ('6243ae24af52800c6e91925d','Starlink 4-17','2022-05-14T20:40:00.000Z',true,'157','2024-01-01T00:00:00'),
+       |    ('6243ae25af52800c6e91925e','Future Mission A','2030-01-15T00:00:00.000Z',CAST(NULL AS BOOLEAN),'900','2024-01-01T00:00:00'),
+       |    ('6243ae25af52800c6e91925f','Future Mission B','2030-06-01T00:00:00.000Z',CAST(NULL AS BOOLEAN),'901','2024-01-01T00:00:00'),
+       |    ('5eb87cd9ffd86e000604b32a','FalconSat','2006-03-24T22:30:00.000Z',false,'1','2024-01-02T00:00:00'),
+       |    ('5eb87cdaffd86e000604b32b','DemoSat','2007-03-21T01:10:00.000Z',false,'2','2024-01-02T00:00:00'),
+       |    ('6243ae25af52800c6e91925e','Future Mission A','2030-01-15T00:00:00.000Z',CAST(NULL AS BOOLEAN),'900','2024-01-02T00:00:00'),
+       |    ('62f3b4f1ba36170e6c2b4d2e','Edge Null Date',NULL,true,'junk','2024-01-02T00:00:00'),
+       |    ('62f3b4f1ba36170e6c2b4d2f','Solo 1977','1977-08-20T14:29:00.000Z',CAST(NULL AS BOOLEAN),NULL,'2024-01-02T00:00:00')),
+       |  stg AS (
+       |    SELECT launch_id, name,
+       |      try_strptime(date_utc, '%Y-%m-%dT%H:%M:%S.%gZ') AS date_ts,
+       |      success,
+       |      TRY_CAST(flight_number AS BIGINT) AS flight_number,
+       |      CAST(load_ts AS TIMESTAMP) AS load_ts,
+       |      CAST(year(try_strptime(date_utc, '%Y-%m-%dT%H:%M:%S.%gZ')) AS INTEGER) AS year
+       |    FROM raw),
+       |  latest AS (
+       |    SELECT * FROM (
+       |      SELECT stg.*, row_number() OVER (PARTITION BY launch_id
+       |        ORDER BY load_ts DESC, date_ts DESC NULLS LAST) AS rn FROM stg)
+       |    WHERE rn = 1)""".stripMargin
+
+  /** q30 oracle: the mart math replayed in DuckDB over the inline fixture —
+    * NULL success lands in ELSE of BOTH sums; the rate divides in DECIMAL so
+    * rounding is HALF_UP on the exact value (SURVEY.md §2.6, §7.4). */
+  def q30Oracle: String = launchesCteSql + """,
+       |  agg AS (
+       |    SELECT year, COUNT(*) AS launches,
+       |      CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS successes,
+       |      CAST(SUM(CASE WHEN success THEN 0 ELSE 1 END) AS BIGINT) AS failures
+       |    FROM latest GROUP BY year)
+       |SELECT year, launches, successes, failures,
+       |  CAST(ROUND(CAST(100 AS DECIMAL(20,1)) * successes
+       |    / CAST(NULLIF(launches, 0) AS DECIMAL(20,1)), 2) AS DECIMAL(10,2)) AS success_rate_pct
+       |FROM agg ORDER BY year ASC NULLS FIRST""".stripMargin
+
+  /** q31 oracle: latest snapshot per launch. `load_ts` crosses the compare
+    * as epoch-µs BIGINT — a raw timestamp column reads back TIMESTAMPTZ from
+    * Spark parquet vs naive TIMESTAMP from the oracle and fails the typed
+    * hash (same rule as every Events oracle). */
+  def q31Oracle: String = launchesCteSql + """
+       |SELECT launch_id, name, year, success, flight_number,
+       |  epoch_us(load_ts) AS load_ts_us
+       |FROM latest ORDER BY launch_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q30_launches_mart"   -> q30Oracle,
+    "q31_launches_latest" -> q31Oracle,
+  )
 }

@@ -76,6 +76,24 @@ class LaunchesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q30/q31 oracle VALUES CTE stays in lockstep with the jsonl fixture") {
+    // The DuckDB oracle embeds the fixture inline (VERDICT r7 item 4); an
+    // edit to launches_raw.jsonl that forgets the oracle must fail HERE,
+    // not as a driver hash-mismatch two artifacts later.
+    val fixtureLines = scala.io.Source.fromFile(Launches.fixturePath).getLines().toSeq
+    val sql = Launches.q30Oracle
+    val tuples = sql.linesIterator.count(_.trim.startsWith("('"))
+    assert(tuples === fixtureLines.size,
+      s"oracle VALUES rows $tuples != fixture rows ${fixtureLines.size}")
+    // every (id, load_ts) snapshot pair must appear verbatim in the SQL
+    fixtureLines.foreach { l =>
+      val id = l.split("\"id\":\"")(1).takeWhile(_ != '"')
+      val lts = l.split("\"load_ts\":\"")(1).takeWhile(_ != '"')
+      assert(sql.contains(s"('$id'") && sql.contains(s"'$lts')"),
+        s"fixture snapshot ($id, $lts) missing from oracle VALUES")
+    }
+  }
+
   test("nested JSON flattens via struct access (SURVEY S3, pd.json_normalize analogue)") {
     import spark.implicits._
     val lines = Seq(
