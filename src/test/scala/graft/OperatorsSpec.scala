@@ -464,6 +464,38 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q181 BPE training: hand-computed merge sequence on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // banana×4, bandana×3. Hand-derived canonical greedy merges:
+    //  1 (a,n)14  2 (an,a)7 [tie vs (b,an): 'an'<'b']  3 (b,an)7
+    //  4 (ban,ana)4  5 (ban,d)3 [tie vs (d,ana)]  6 (band,ana)3
+    //  rounds 7..8: no pairs left — 0-row argmax, dictionary must SURVIVE
+    Seq((1L, "banana banana banana bandana", "s1"),
+        (2L, "banana bandana bandana", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = Text.q181BpeTrain(spark, dir).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(merges.toSeq === Seq(
+      (1, "a", "n", "an", 14L), (2, "an", "a", "ana", 7L), (3, "b", "an", "ban", 7L),
+      (4, "ban", "ana", "banana", 4L), (5, "ban", "d", "band", 3L),
+      (6, "band", "ana", "bandana", 3L)))
+    // argmax count is non-increasing across rounds (new pairs can't exceed
+    // the count of the merge that created their symbol)
+    assert(merges.map(_._5).toSeq === merges.map(_._5).sorted.reverse.toSeq)
+    // fertility over the exhausted-merge dictionary: both words collapse to
+    // ONE symbol ⇒ fertility exactly 1.0 (2^20 fixed-point) per source
+    val fert = Text.q182BpeFertility(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_subtokens"), r.getAs[Long]("fertility_fp")))
+      .toMap
+    assert(fert("s1") === ((4L, 4L, 1048576L)))
+    assert(fert("s2") === ((3L, 3L, 1048576L)))
+    Caches.releaseAll()
+  }
+
   test("q164 bottom-k quantile: k_used = min(64, n), exact median matches brute force") {
     val out = Sketches.q164BottomkQuantile(spark, sf()).collect()
     val brute = Tables.orders(spark, sf())
