@@ -117,8 +117,7 @@ object StatefulSessions {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ss.implicits._
     val rawSchema = ss.read.parquet(s"$dir/events.parquet").schema
-    val src = ss.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = Streaming.eventsFileStream(ss, dir, rawSchema)
     val withTs = graft.Tables.canonicalTs(src)
     val ev = withTs.select(col("user_id"), col("event_id"),
         expr("unix_micros(ts) div 1000").as("ts_ms"),

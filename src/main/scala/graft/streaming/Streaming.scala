@@ -112,6 +112,21 @@ object Streaming {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Layout-aware events file-stream source — ONE choke point, the r6
+    * canonicalTs lesson applied to the SOURCE side. The driver testdata
+    * ships `events.parquet` as a single FILE, which the file-stream source
+    * can only reach by streaming the sf dir under a name glob; production
+    * (and the many-file tier) ships it as a DIRECTORY of part files, which
+    * the source consumes directly — there the glob would match zero part
+    * files and silently stream NOTHING (caught by MultiFileSpec r8). */
+  private[streaming] def eventsFileStream(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = s"$dir/events.parquet"
+    if (new java.io.File(p).isDirectory) s.readStream.schema(schema).parquet(p)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** Bounded streaming run of the hourly event aggregation (complete mode →
     * in-memory table, unique per invocation). */
   def q24StreamingHourly(outer: SparkSession, dir: String): DataFrame =
@@ -119,10 +134,7 @@ object Streaming {
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema // ts shape varies; canonicalTs normalizes
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    // The file stream source requires a directory: stream the sf dir with a
-    // glob filter selecting just the events table.
-    val src = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = eventsFileStream(s, dir, rawSchema)
     val withTs = graft.Tables.canonicalTs(src)
     val agg = withTs
       .withWatermark("ts", "1 hour")
@@ -164,8 +176,7 @@ object Streaming {
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
-    val src = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = eventsFileStream(s, dir, rawSchema)
     val cust = broadcast(graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment")))
     val agg = src
@@ -214,8 +225,7 @@ object Streaming {
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     def src: DataFrame = {
-      val raw = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = eventsFileStream(s, dir, rawSchema)
       graft.Tables.canonicalTs(raw)
     }
     val signups = src.filter(col("event_type") === "signup")
@@ -298,8 +308,7 @@ object Streaming {
     val path = s"$dir/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     def src: DataFrame = {
-      val raw = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = eventsFileStream(s, dir, rawSchema)
       graft.Tables.canonicalTs(raw)
     }
     val signups = src.filter(col("event_type") === "signup")
