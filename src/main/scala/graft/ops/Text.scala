@@ -1377,7 +1377,376 @@ object Text {
        |FROM tk JOIN dict d ON tk.w = d.w
        |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q183: exact longest duplicated token span (suffix-order LCP)
+  // ---------------------------------------------------------------------
+
+  /** Suffix cap for [[q183LongestDupSpan]] — spans longer than this report
+    * the cap (saturation, the repo's fixed-point convention). 50 tokens is
+    * ≈ the corpus's mean document, so only near-whole-document copies
+    * saturate — and those are exactly the docs q44–q48 already remove. */
+  private val LdsCap = 50
+
+  /** q183: EXACT longest duplicated token span per document — the upgrade
+    * of [[q163SpanCoverage]]'s 5-gram approximation (VERDICT r7 next-round
+    * #6). q163 scores how MUCH of a doc is duplicated; this reports the
+    * single longest contiguous token run each document shares verbatim
+    * with any other document (the Lee et al. "Deduplicating Training
+    * Data" exact-substring signal), with the witness span text.
+    *
+    * Formulation is a distributed suffix-order LCP (the suffix-array
+    * adjacency lemma, public-knowledge stringology):
+    *  - candidate suffixes start only at positions whose 5-gram occurs in
+    *    ≥2 docs (q163's shared-gram index) — any cross-doc span of length
+    *    ≥5 begins at such a position, so the filter is LOSSLESS for the
+    *    spans this query reports (`lcp >= 5`); it is also the 100 TB
+    *    design: suffix volume is bounded by DUPLICATED positions, never
+    *    the corpus;
+    *  - suffixes are capped at [[LdsCap]] tokens (span_len saturates);
+    *  - suffixes sort WITHIN their leading 5-gram partition. Suffixes
+    *    sharing any prefix of ≥5 tokens share the leading 5-gram, so they
+    *    are contiguous in this partitioned order exactly as in the global
+    *    suffix order — the adjacency lemma (LCP(s,t) = min of adjacent
+    *    LCPs between them; for any cross-doc pair there is an adjacent
+    *    cross-doc pair at least as good, because each term of a min is
+    *    ≥ the min) holds per partition, and the window parallelizes over
+    *    grams instead of one global sort;
+    *  - per-doc max over adjacent cross-doc pair LCPs is exact: walking
+    *    from the optimal pair (s,t) toward t, the first doc-change
+    *    adjacency involves s's doc and bounds LCP(s,t) from above.
+    *
+    * LCP is computed on the token arrays (first index where elements
+    * differ — `array_position(..., false)`, identical builtin semantics
+    * in DuckDB); the witness span is the lexicographically smallest among
+    * the doc's max-LCP pairs, so ties are total-ordered. Skew note: a
+    * hyper-common 5-gram concentrates its partition like a hot LSH band —
+    * same mitigation class (q67's salting) if a real corpus needs it. */
+  def q183LongestDupSpan(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val grams = toks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - lit(4))).as("p"))
+      .withColumn("g5", concat_ws(" ",
+        element_at(col("toks"), col("p")),
+        element_at(col("toks"), col("p") + lit(1)),
+        element_at(col("toks"), col("p") + lit(2)),
+        element_at(col("toks"), col("p") + lit(3)),
+        element_at(col("toks"), col("p") + lit(4))))
+    val shared = grams.select(col("doc_id"), col("g5")).distinct()
+      .groupBy(col("g5")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g5"))
+    val cand = grams.join(shared, Seq("g5"), "left_semi")
+      .withColumn("sfx", slice(col("toks"), col("p"), lit(LdsCap)))
+      .withColumn("sfx_str", concat_ws(" ", col("sfx")))
+      .select(col("doc_id"), col("p"), col("g5"), col("sfx"), col("sfx_str"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g5")).orderBy(col("sfx_str"), col("doc_id"), col("p"))
+    val adj = cand
+      .withColumn("prev_doc", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_sfx", lag(col("sfx"), 1).over(w))
+      .filter(col("prev_doc").isNotNull && col("prev_doc") =!= col("doc_id"))
+      .withColumn("mlen", least(size(col("sfx")), size(col("prev_sfx"))))
+      .withColumn("fm", expr(
+        "array_position(transform(sequence(1, mlen), i -> sfx[i-1] = prev_sfx[i-1]), false)"))
+      .withColumn("lcp",
+        when(col("fm") === 0, col("mlen")).otherwise(col("fm") - 1).cast("long"))
+      .filter(col("lcp") >= 5)
+      .withColumn("span", expr("concat_ws(' ', slice(sfx, 1, cast(lcp AS int)))"))
+    val both = adj.select(col("doc_id"), col("lcp"), col("span"))
+      .unionAll(adj.select(col("prev_doc").as("doc_id"), col("lcp"), col("span")))
+    val ranked = both.groupBy(col("doc_id"), col("lcp"))
+      .agg(min(col("span")).as("span"))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("lcp").desc)
+    ranked.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lcp").as("span_len"), col("span"))
+      .orderBy(col("span_len").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val q183Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |t5 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+      |g AS (
+      |  SELECT doc_id, p, toks,
+      |    toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] || ' ' ||
+      |    toks[p+3] || ' ' || toks[p+4] AS g5
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p FROM t5)),
+      |shared AS (
+      |  SELECT g5 FROM (SELECT DISTINCT doc_id, g5 FROM g) d
+      |  GROUP BY g5 HAVING count(*) >= 2),
+      |cand AS (
+      |  SELECT doc_id, p, g5, list_slice(toks, p, p + ${LdsCap - 1}) AS sfx,
+      |    array_to_string(list_slice(toks, p, p + ${LdsCap - 1}), ' ') AS sfx_str
+      |  FROM g WHERE g5 IN (SELECT g5 FROM shared)),
+      |adj AS (
+      |  SELECT doc_id, sfx,
+      |    lag(doc_id) OVER w AS prev_doc, lag(sfx) OVER w AS prev_sfx
+      |  FROM cand WINDOW w AS (PARTITION BY g5 ORDER BY sfx_str, doc_id, p)),
+      |lc AS (
+      |  SELECT doc_id, prev_doc, sfx,
+      |    least(len(sfx), len(prev_sfx)) AS mlen,
+      |    list_position(list_transform(range(1, least(len(sfx), len(prev_sfx)) + 1),
+      |      i -> sfx[i] = prev_sfx[i]), false) AS fm
+      |  FROM adj WHERE prev_doc IS NOT NULL AND prev_doc <> doc_id),
+      |lc2 AS (
+      |  SELECT doc_id, prev_doc,
+      |    CAST(CASE WHEN fm = 0 THEN mlen ELSE fm - 1 END AS BIGINT) AS lcp,
+      |    array_to_string(list_slice(sfx, 1,
+      |      CASE WHEN fm = 0 THEN mlen ELSE fm - 1 END), ' ') AS span
+      |  FROM lc),
+      |pairs2 AS (
+      |  SELECT doc_id, lcp, span FROM lc2 WHERE lcp >= 5
+      |  UNION ALL
+      |  SELECT prev_doc AS doc_id, lcp, span FROM lc2 WHERE lcp >= 5),
+      |ranked AS (
+      |  SELECT doc_id, lcp, min(span) AS span FROM pairs2 GROUP BY 1, 2)
+      |SELECT doc_id, lcp AS span_len, span FROM (
+      |  SELECT doc_id, lcp, span,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY lcp DESC) AS rn
+      |  FROM ranked)
+      |WHERE rn = 1
+      |ORDER BY span_len DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q184/q185: in-engine quality-classifier training + confusion audit
+  // ---------------------------------------------------------------------
+
+  /** Unrolled gradient steps — the oracle mirrors each one. */
+  private val LrRounds = 6
+
+  /** Fixed-point scale 2^20, the repo convention. */
+  private val LrScale = 1048576L
+
+  /** Shared fixed-point feature frame for the learned quality filter
+    * (q184/q185): per document, label `y` (1 iff `lang = 'en'`, the same
+    * target-domain proxy [[q170DsirSelect]] uses) and three quality
+    * signals scaled to [0, 2^20]:
+    *  - x1 length: `min(n_toks, 256)·S div 256`;
+    *  - x2 lexical diversity: `n_distinct·S div n_toks` (q105's signal);
+    *  - x3 mean token length / 8, saturated at S (total chars via
+    *    `array_join(toks, '')` — one codegen'd builtin, no UDF).
+    * All integers — the gradient arithmetic downstream stays exact. */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("source"), col("y"),
+        lit(LrScale).as("x0"),
+        expr(s"(CAST(least(size(toks), 256) AS BIGINT) * $LrScale) div 256").as("x1"),
+        expr(s"(CAST(size(array_distinct(toks)) AS BIGINT) * $LrScale) div size(toks)").as("x2"),
+        expr(s"least(CAST($LrScale AS BIGINT), (CAST(length(array_join(toks, '')) AS BIGINT) * $LrScale) div (CAST(size(toks) AS BIGINT) * 8))").as("x3"))
+
+  /** Score expression shared by training and inference: fixed-point logit
+    * `z = Σ wᵢxᵢ div S`, squashed by the HARD sigmoid (piecewise-linear
+    * `clamp((z+4S)/8, 0, S)` — Courbariaux et al. 2015's binarized-net
+    * approximation, standard in quantized inference) so the whole model
+    * stays in exact integer arithmetic. Signed `div` truncates toward
+    * zero identically in Spark and DuckDB (verified; both trunc). */
+  private val lrProbSql: String =
+    s"greatest(CAST(0 AS BIGINT), least(CAST($LrScale AS BIGINT), " +
+      s"((w0*x0 + w1*x1 + w2*x2 + w3*x3) div $LrScale + ${4 * LrScale}) div 8))"
+
+  /** k batch-gradient steps of the CCNet/GPT-3-style learned quality
+    * filter, trained IN-ENGINE (VERDICT r7 next-round #7) — the one
+    * curation stage that was still absent: a linear classifier scoring
+    * documents for the funnel, here fit by full-batch gradient descent
+    * with every quantity an exact integer (q130's OLS discipline):
+    * per-doc error `err = y·S − p_fp`, per-doc gradient contribution
+    * `(err·xᵢ) div S` (≤ 2^20, so the global sum stays within int64 even
+    * at 10^11 documents — no widening needed, unlike q169's cross-
+    * multiply), update `wᵢ += Σ div (4n)` (η = ¼, truncating division).
+    *
+    * Scale: each step is ONE map-side-combined aggregate over the feature
+    * frame plus a 1-row broadcast of the weights — the q110 Lloyd-
+    * iteration shape; the driver never holds data. `localCheckpoint`
+    * keeps the k-step lineage flat (round-7 gotcha). */
+  private def lrTrain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    val f = graft.Caches.persist(lrFeatures(s, dir))
+    var w = graft.Caches.trackCheckpoint(
+      s.range(1).select(
+        lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+        .localCheckpoint())
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to LrRounds) {
+      val g = f.crossJoin(broadcast(w))
+        .withColumn("err", expr(s"y * $LrScale - $lrProbSql"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(s"(err * x0) div $LrScale")).as("g0"),
+          sum(expr(s"(err * x1) div $LrScale")).as("g1"),
+          sum(expr(s"(err * x2) div $LrScale")).as("g2"),
+          sum(expr(s"(err * x3) div $LrScale")).as("g3"))
+      w = graft.Caches.trackCheckpoint(
+        w.crossJoin(broadcast(g))
+          .select(
+            expr("w0 + g0 div (4 * n)").as("w0"),
+            expr("w1 + g1 div (4 * n)").as("w1"),
+            expr("w2 + g2 div (4 * n)").as("w2"),
+            expr("w3 + g3 div (4 * n)").as("w3"))
+          .localCheckpoint())
+      steps += w.select(lit(r).as("step"),
+        col("w0"), col("w1"), col("w2"), col("w3"))
+    }
+    (steps.toSeq, w)
+  }
+
+  /** q184: the training trajectory — k rows of weights after each step,
+    * the artifact a learned filter ships (plus the audit trail that the
+    * optimization actually moved). */
+  def q184LrTrain(s: SparkSession, dir: String): DataFrame = {
+    val (steps, _) = lrTrain(s, dir)
+    steps.reduce(_.unionAll(_)).orderBy(col("step").asc)
+  }
+
+  /** Shared unrolled-training CTE chain (the q181 BPE pattern): features
+    * once, then k MATERIALIZED (gradient, weights) rounds. */
+  private def lrCteSql: String = {
+    val f =
+      s"""f AS MATERIALIZED (
+         |  SELECT doc_id, source, y,
+         |    CAST($LrScale AS BIGINT) AS x0,
+         |    (CAST(least(len(toks), 256) AS BIGINT) * $LrScale) // 256 AS x1,
+         |    (CAST(len(list_distinct(toks)) AS BIGINT) * $LrScale) // len(toks) AS x2,
+         |    least(CAST($LrScale AS BIGINT),
+         |      (CAST(length(array_to_string(toks, '')) AS BIGINT) * $LrScale)
+         |        // (CAST(len(toks) AS BIGINT) * 8)) AS x3
+         |  FROM (SELECT doc_id, source,
+         |          CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+         |          $tokensSql AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 1),
+         |v0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    val p = s"greatest(CAST(0 AS BIGINT), least(CAST($LrScale AS BIGINT), " +
+      s"((w0*x0 + w1*x1 + w2*x2 + w3*x3) // $LrScale + ${4 * LrScale}) // 8))"
+    val rounds = (1 to LrRounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum((err * x0) // $LrScale) AS BIGINT) AS g0,
+         |    CAST(sum((err * x1) // $LrScale) AS BIGINT) AS g1,
+         |    CAST(sum((err * x2) // $LrScale) AS BIGINT) AS g2,
+         |    CAST(sum((err * x3) // $LrScale) AS BIGINT) AS g3
+         |  FROM (SELECT y * $LrScale - $p AS err, x0, x1, x2, x3
+         |        FROM f CROSS JOIN v${r - 1})),
+         |v$r AS MATERIALIZED (
+         |  SELECT CAST(w0 + g0 // (4 * n) AS BIGINT) AS w0,
+         |    CAST(w1 + g1 // (4 * n) AS BIGINT) AS w1,
+         |    CAST(w2 + g2 // (4 * n) AS BIGINT) AS w2,
+         |    CAST(w3 + g3 // (4 * n) AS BIGINT) AS w3
+         |  FROM v${r - 1} CROSS JOIN e$r)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $f,\n$rounds"
+  }
+
+  def q184Oracle: String = {
+    val union = (1 to LrRounds).map { r =>
+      s"SELECT $r AS step, w0, w1, w2, w3 FROM v$r"
+    }.mkString("\n  UNION ALL ")
+    s"""$lrCteSql
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** q185: per-source confusion audit of the trained filter — apply the
+    * final weights, threshold at p ≥ S/2, and report tp/fp/fn/tn per
+    * source: the go/no-go table a curation run reads before trusting the
+    * learned gate (and the per-source bias check — a source whose fp rate
+    * is an outlier is exactly how boilerplate sneaks past a global
+    * threshold). One scan + one bounded agg (|sources| rows). */
+  def q185LrConfusion(s: SparkSession, dir: String): DataFrame = {
+    val (_, w) = lrTrain(s, dir)
+    lrFeatures(s, dir).crossJoin(broadcast(w))
+      .withColumn("pred",
+        (expr(lrProbSql) * lit(2) >= lit(LrScale)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END")).as("tp"),
+        sum(expr("CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END")).as("fp"),
+        sum(expr("CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END")).as("fn"),
+        sum(expr("CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END")).as("tn"))
+      .orderBy(col("source").asc)
+  }
+
+  def q185Oracle: String = {
+    val p = s"greatest(CAST(0 AS BIGINT), least(CAST($LrScale AS BIGINT), " +
+      s"((w0*x0 + w1*x1 + w2*x2 + w3*x3) // $LrScale + ${4 * LrScale}) // 8))"
+    s"""$lrCteSql,
+       |scored AS (
+       |  SELECT source, y,
+       |    CASE WHEN $p * 2 >= $LrScale THEN 1 ELSE 0 END AS pred
+       |  FROM f CROSS JOIN v$LrRounds)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
+  /** q187: operating-point sweep of the trained filter — precision/recall
+    * at 7 evenly-spaced score thresholds (k·S/8), the curve a curator
+    * reads to PICK the q185 gate instead of trusting p ≥ ½ blindly.
+    *
+    * The scale trick: per-doc scores reduce to the (p, y) count frame
+    * first, and p is fixed-point in [0, 2^20] BY CONSTRUCTION — the
+    * reduced frame is ≤ 2·(2^20+1) rows no matter the corpus size, so the
+    * 7-way threshold replication and the conditional aggregation run over
+    * a bounded frame (same reduced-domain argument as q162's boundary
+    * probe). Total positives fall out of the same aggregate (every
+    * threshold group sees every row of the replicated frame), so recall
+    * needs no second pass; ppm ratios are exact integer division with
+    * explicit zero guards. */
+  def q187ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val (_, w) = lrTrain(s, dir)
+    val scored = lrFeatures(s, dir).crossJoin(broadcast(w))
+      .select(expr(lrProbSql).as("p"), col("y"))
+      .groupBy(col("p"), col("y")).agg(count(lit(1)).as("c"))
+    val thr = s.range(1, 8).select((col("id") * lit(LrScale / 8)).as("t"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy(col("t"))
+      .agg(
+        sum(expr("CASE WHEN p >= t THEN c ELSE 0 END")).as("kept"),
+        sum(expr("CASE WHEN p >= t AND y = 1 THEN c ELSE 0 END")).as("tp"),
+        sum(expr("CASE WHEN p >= t AND y = 0 THEN c ELSE 0 END")).as("fp"),
+        sum(expr("CASE WHEN y = 1 THEN c ELSE 0 END")).as("pos"))
+      .select(col("t").as("threshold_fp"), col("kept"), col("tp"), col("fp"),
+        expr("CASE WHEN kept = 0 THEN 0 ELSE (tp * 1000000) div kept END").as("precision_ppm"),
+        expr("CASE WHEN pos = 0 THEN 0 ELSE (tp * 1000000) div pos END").as("recall_ppm"))
+      .orderBy(col("threshold_fp").asc)
+  }
+
+  def q187Oracle: String =
+    s"""$lrCteSql,
+       |scored AS (
+       |  SELECT greatest(CAST(0 AS BIGINT), least(CAST($LrScale AS BIGINT),
+       |      ((w0*x0 + w1*x1 + w2*x2 + w3*x3) // $LrScale + ${4 * LrScale}) // 8)) AS p,
+       |    y, CAST(count(*) AS BIGINT) AS c
+       |  FROM f CROSS JOIN v$LrRounds GROUP BY 1, 2),
+       |thr AS (SELECT CAST(k * ${LrScale / 8} AS BIGINT) AS t
+       |        FROM (SELECT unnest(range(1, 8)) AS k))
+       |SELECT t AS threshold_fp,
+       |  CAST(sum(CASE WHEN p >= t THEN c ELSE 0 END) AS BIGINT) AS kept,
+       |  CAST(sum(CASE WHEN p >= t AND y = 1 THEN c ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN p >= t AND y = 0 THEN c ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(CASE WHEN sum(CASE WHEN p >= t THEN c ELSE 0 END) = 0 THEN 0
+       |       ELSE (sum(CASE WHEN p >= t AND y = 1 THEN c ELSE 0 END) * 1000000)
+       |            // sum(CASE WHEN p >= t THEN c ELSE 0 END) END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN sum(CASE WHEN y = 1 THEN c ELSE 0 END) = 0 THEN 0
+       |       ELSE (sum(CASE WHEN p >= t AND y = 1 THEN c ELSE 0 END) * 1000000)
+       |            // sum(CASE WHEN y = 1 THEN c ELSE 0 END) END AS BIGINT) AS recall_ppm
+       |FROM scored CROSS JOIN thr
+       |GROUP BY t ORDER BY threshold_fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_threshold_sweep" -> (q187ThresholdSweep _),
+    "q184_lr_train" -> (q184LrTrain _),
+    "q185_lr_confusion" -> (q185LrConfusion _),
+    "q183_longest_dup_span" -> (q183LongestDupSpan _),
     "q181_bpe_train" -> (q181BpeTrain _),
     "q182_bpe_fertility" -> (q182BpeFertility _),
     "q180_quality_tiers" -> (q180QualityTiers _),
@@ -1405,6 +1774,10 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_threshold_sweep" -> q187Oracle,
+    "q184_lr_train" -> q184Oracle,
+    "q185_lr_confusion" -> q185Oracle,
+    "q183_longest_dup_span" -> q183Oracle,
     "q181_bpe_train" -> q181Oracle,
     "q182_bpe_fertility" -> q182Oracle,
     "q180_quality_tiers" -> q180Oracle,

@@ -716,7 +716,73 @@ object Streaming {
       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_suppressed
       |FROM d""".stripMargin
 
+  /** q186: checkpoint-restart continuity — the exactly-once-across-restart
+    * guarantee the whole streaming suite rests on, finally exercised
+    * end-to-end (VERDICT r7 next-round #5). The suite pins watermark and
+    * state semantics, but every prior run is a SINGLE query lifetime; a
+    * production stream is stopped and restarted from its checkpoint every
+    * deploy, and correctness there needs BOTH halves of the recovery
+    * contract at once: the source must not re-serve offsets the commit
+    * log already covers, and the state store must restore the aggregation
+    * state those offsets built.
+    *
+    * Test-shape harness (disclosed, the q168 convention): events are
+    * re-laid out into a part-file directory split in two deterministic
+    * halves (`event_id % 2`). Phase 1 streams half the files to a DURABLE
+    * checkpoint and stops — a planned shutdown standing in for the crash
+    * (the recovery path is identical: both resume from the last committed
+    * offset + state snapshot; an unplanned kill would only add torn-batch
+    * replay, which the file source's idempotent planning absorbs). The
+    * remaining files then land, and a NEW query instance — same plan,
+    * same checkpoint — drains to completion. The final complete-mode
+    * result equals the batch answer over ALL events iff phase-2 recovered
+    * phase-1's state (lost state ⇒ missing counts) and did not replay
+    * phase-1's files (replay ⇒ doubled counts) — either failure breaks
+    * the oracle hash. Output shape/oracle = q24's hourly aggregation. */
+  def q186CheckpointRestart(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft-restart-")
+    try {
+      val evDir = s"$scratch/events.parquet"
+      val all = graft.Tables.canonicalTs(s.read.parquet(s"$dir/events.parquet"))
+      all.filter(col("event_id") % 2 === 0).repartition(4).write.parquet(evDir)
+      val ckpt = s"$scratch/ckpt"
+      val schema = s.read.parquet(evDir).schema
+      def agg(): DataFrame = s.readStream.schema(schema).parquet(evDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.cents(col("value"))).as("sum_value_cents"))
+      def run(name: String): Unit = {
+        val q = agg().writeStream.format("memory").queryName(name)
+          .outputMode("complete").option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val n1 = s"graft_restart_p1_${counter.incrementAndGet()}"
+      run(n1) // phase 1: half the files, committed to the checkpoint
+      s.catalog.dropTempView(n1)
+      // the second half lands after the stream stopped
+      all.filter(col("event_id") % 2 === 1).repartition(4)
+        .write.mode("append").parquet(evDir)
+      val n2 = s"graft_restart_p2_${counter.incrementAndGet()}"
+      run(n2) // phase 2: NEW query instance, SAME checkpoint
+      drainSink(s, n2)
+        .select(
+          expr("unix_seconds(window.start)").as("hour_epoch_s"),
+          col("event_type"),
+          col("n_events"),
+          (col("sum_value_cents").cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy(col("hour_epoch_s"), col("event_type"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_checkpoint_restart" -> (q186CheckpointRestart _),
     "q168_stream_dedup_audit" -> (q168StreamDedupAudit _),
     "q166_late_data_audit" -> (q166LateDataAudit _),
     "q24_streaming_hourly" -> (q24StreamingHourly _),
@@ -726,6 +792,9 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical aggregation to q24; the restart machinery must be
+    // result-invisible, which is exactly what sharing the oracle asserts
+    "q186_checkpoint_restart" -> q24Oracle,
     "q168_stream_dedup_audit" -> q168Oracle,
     "q166_late_data_audit" -> q166Oracle,
     "q24_streaming_hourly" -> q24Oracle,

@@ -496,6 +496,74 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q183 longest dup span: hand-computed spans + cap saturation on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lds").toString
+    val cap50 = (1 to 55).map(i => f"w$i%02d").mkString(" ") // 55 identical tokens
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta one two three", "en", "s1"),
+      (2L, "zero alpha beta gamma delta epsilon zeta nine", "en", "s1"),
+      (3L, "unrelated words completely different here today", "en", "s2"),
+      (4L, cap50, "en", "s2"),
+      (5L, cap50, "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q183LongestDupSpan(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("span_len"), r.getAs[String]("span"))).toMap
+    // docs 4/5 share 55 tokens — reported length saturates at the 50 cap
+    assert(out(4L)._1 == 50L && out(5L)._1 == 50L)
+    assert(out(4L)._2 == (1 to 50).map(i => f"w$i%02d").mkString(" "))
+    // docs 1/2 share exactly the 6-token run, with the witness text
+    assert(out(1L) == ((6L, "alpha beta gamma delta epsilon zeta")))
+    assert(out(2L) == ((6L, "alpha beta gamma delta epsilon zeta")))
+    // doc 3 shares no 5-gram with anyone — absent
+    assert(!out.contains(3L))
+    Caches.releaseAll()
+  }
+
+  test("q184/q185 classifier: symmetric corpus pins zero weights; confusion partitions docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    // identical features, opposite labels — every gradient cancels exactly,
+    // so all 6 steps must leave w = 0 (any drift is an arithmetic-parity bug)
+    Seq((1L, "aa bb cc dd", "en", "s1"), (2L, "aa bb cc dd", "fr", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val steps = Text.q184LrTrain(spark, dir).collect()
+    assert(steps.length == 6)
+    steps.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getLong(i) == 0L, s"step ${r.getInt(0)} w${i - 1}"))
+    }
+    // w=0 ⇒ p = S/2, threshold p·2 ≥ S fires ⇒ everything predicted 1
+    val conf = Text.q185LrConfusion(spark, dir).collect()
+    assert(conf.length == 1)
+    val r = conf(0)
+    assert(r.getAs[Long]("tp") == 1L && r.getAs[Long]("fp") == 1L &&
+      r.getAs[Long]("fn") == 0L && r.getAs[Long]("tn") == 0L)
+    Caches.releaseAll()
+    // real corpus: the confusion cells partition every source's docs
+    Text.q185LrConfusion(spark, sf()).collect().foreach { c =>
+      assert(c.getAs[Long]("tp") + c.getAs[Long]("fp") +
+        c.getAs[Long]("fn") + c.getAs[Long]("tn") == c.getAs[Long]("n_docs"))
+    }
+    Caches.releaseAll()
+  }
+
+  test("q187 threshold sweep: 7 rows, kept partitions into tp+fp, all counts antitone in t") {
+    val rows = Text.q187ThresholdSweep(spark, sf()).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") == r.getAs[Long]("kept"))
+    }
+    // raising the gate can only shrink what passes it
+    Seq("kept", "tp", "fp", "recall_ppm").foreach { c =>
+      val v = rows.map(_.getAs[Long](c)).toSeq
+      assert(v == v.sorted.reverse, s"$c not non-increasing: $v")
+    }
+    Caches.releaseAll()
+  }
+
   test("q164 bottom-k quantile: k_used = min(64, n), exact median matches brute force") {
     val out = Sketches.q164BottomkQuantile(spark, sf()).collect()
     val brute = Tables.orders(spark, sf())

@@ -91,7 +91,14 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast (Cr, Ct) model totals onto the 256-row bucket table
       "q170_dsir_select",
       // 1-row broadcast (b1, b2) tertile-boundary frame (selected cells)
-      "q180_quality_tiers")
+      "q180_quality_tiers",
+      // 1-row broadcast weight vector (train: per-step; score: final) —
+      // the q110 Lloyd-iteration scalar-broadcast shape
+      "q184_lr_train",
+      "q185_lr_confusion",
+      // 1-row weights + 7-row broadcast threshold frame over the bounded
+      // (p, y) reduced domain (q162's boundary-probe argument)
+      "q187_threshold_sweep")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
@@ -115,6 +122,7 @@ class PlanSpec extends SparkSpec {
     val highCardKeys = Set("user_id", "doc_id", "event_id", "launch_id",
       "o_orderkey", "l_orderkey", "o_custkey", "c_custkey", "vec_id", "query_id", "k",
       "hg", // md5 shingle hash (q106 df ranking) — cardinality scales with the corpus
+      "g5", // shared 5-gram partition key (q183 suffix-order LCP) — scales with the corpus
       "pack_shard") // q115 sharded packing stream — count is the parallelism knob, sized to the cluster
     // "reduced" = an Aggregate on the window's UNARY input chain. Stopping
     // at the first multi-child node matters: an Aggregate on a JOINED side

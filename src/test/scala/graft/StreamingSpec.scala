@@ -39,6 +39,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q186: checkpoint restart recovers state and never replays committed files") {
+    // the driver oracle pins the VALUES; this pins the MECHANISM — the
+    // phase-2 query instance must process only the files that landed after
+    // the phase-1 shutdown (committed offsets honored), yet its final
+    // complete-mode result must cover phase-1 rows too (state recovered)
+    val out = streaming.Streaming.q186CheckpointRestart(spark, sf()).collect()
+    val batch = Tables.events(spark, sf())
+      .groupBy(expr("CAST(floor(unix_micros(ts) / 3600000000) * 3600 AS BIGINT)").as("hour_epoch_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Exact.cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy(col("hour_epoch_s"), col("event_type"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.toSeq === batch.toSeq,
+      "restarted stream diverges from the batch answer — lost state or replayed files")
+    Caches.releaseAll()
+  }
+
   test("q166: late-filter watermark lags one batch (wave-1 stats, pinned off hour alignment)") {
     // Non-hour-aligned fixture that DISTINGUISHES the two candidate rules:
     //   wave 1 (on-time bulk)  A=08:05 B=09:05 C=10:30  → W_wave1 = 09:30
