@@ -14,15 +14,16 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 DIR="${1:-/tmp/sf0.1-x10}"
-CAP="${2:-2048}"
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+CAP="${2:-2g}"
 
-sbt -batch compile >/dev/null
-
+# run through sbt so the fork inherits build.sbt's JDK-17 --add-opens set
+# (Spark 4 outside spark-submit needs them; a bare `java` dies in Kryo the
+# moment memory pressure forces a serialized broadcast). SPARK_DRIVER_MEM
+# is build.sbt's documented -Xmx override.
 echo "== pass 1: default heap =="
-SPARK_GRAFT_CPUS=8 java -cp "$CP" graft.tools.SpillProof "$DIR" /tmp/spill_big.json 2>/dev/null | grep '\[spill\]'
-echo "== pass 2: -Xmx${CAP}m =="
-SPARK_GRAFT_CPUS=8 java -Xmx"${CAP}m" -cp "$CP" graft.tools.SpillProof "$DIR" /tmp/spill_small.json 2>/dev/null | grep '\[spill\]'
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.tools.SpillProof $DIR /tmp/spill_big.json" 2>/tmp/spill_big_err.log | grep '\[spill\]'
+echo "== pass 2: -Xmx${CAP} =="
+SPARK_DRIVER_MEM="$CAP" SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.tools.SpillProof $DIR /tmp/spill_small.json" 2>/tmp/spill_small_err.log | grep '\[spill\]'
 
 python3 - <<'EOF'
 import json, sys

@@ -13,16 +13,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * corrupt at 100 TB, where EVERY operator spills. This main runs a query
   * subset twice from `scripts/spill_proof.sh` — once at default heap, once
   * with the JVM capped (e.g. `-Xmx2g`) so the same 10×-scale inputs MUST
-  * spill — and emits a canonical result hash per query plus the executor
-  * spill counters, so the script can assert (a) identical hashes and
-  * (b) that the constrained run actually spilled (a no-spill "proof"
-  * proves nothing).
+  * spill — and emits a canonical result checksum per query plus the
+  * executor spill counters, so the script can assert (a) identical
+  * checksums and (b) that the constrained run actually spilled (a
+  * no-spill "proof" proves nothing).
   *
   * Usage: `SpillProof <sfDir> <outJson> [query...]` (default queries = the
   * shuffle/sort/agg-heaviest batch queries from the 10× scaling probe).
-  * Hashes are md5 over the SORTED canonical row strings — row order is
-  * irrelevant, so shuffle nondeterminism between heap sizes cannot alias
-  * a real value divergence.
   */
 object SpillProof {
 
@@ -40,6 +37,19 @@ object SpillProof {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // Memory-proportional auto-broadcast threshold — what a real
+    // memory-constrained deployment sets. The default 10 MB assumes a
+    // multi-GB executor; at -Xmx2g (driver AND all executor threads in one
+    // local-mode heap) building a near-10 MB hash relation can exceed the
+    // free heap and fail the whole query ("Not enough memory to build and
+    // broadcast" — observed on q48's pair table at the 10× tier). Scaling
+    // the threshold with the heap demotes those joins to shuffle joins,
+    // which spill instead of failing; result equality across DIFFERENT
+    // physical plans is a stronger correctness statement anyway. Explicit
+    // broadcast() hints (1-row bounds frames etc.) ignore this and still
+    // broadcast — they are bounded by construction.
+    val bcast = math.max(1L << 20, Runtime.getRuntime.maxMemory() / 2048)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast.toString)
 
     val memSpill = new AtomicLong(0L)
     val diskSpill = new AtomicLong(0L)
@@ -55,16 +65,33 @@ object SpillProof {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
       val t0 = System.nanoTime()
-      val rows =
-        try fn(spark, dir).collect()
-        finally graft.Caches.releaseAll()
+      // Hash DISTRIBUTED (the repo's own no-collect rule, and the reason
+      // this harness can run under a 2 GiB driver at all: q118 returns
+      // 1.2M rows at 10× — collecting that IS the driver OOM we are not
+      // testing for). Each row renders to one string (nulls sentineled so
+      // null never aliases an empty string,  column separator so
+      // adjacent columns never re-segment), and two independent
+      // order-insensitive checksums reduce it: Σ crc32(row) and
+      // Σ crc32(reverse(row)). Cross-heap equality of (n, h1, h2) is the
+      // spill-correctness gate; row order is irrelevant by construction,
+      // so shuffle nondeterminism between heap sizes cannot alias a real
+      // value divergence.
+      val (n, h1, h2) =
+        try {
+          import org.apache.spark.sql.functions._
+          val df = fn(spark, dir)
+          val rendered = concat_ws("|#|",
+            df.columns.map(c => coalesce(col(c).cast("string"), lit("<NUL>"))): _*)
+          val r = df.select(rendered.as("r"))
+            .agg(count(lit(1)), coalesce(sum(crc32(col("r"))), lit(0L)),
+              coalesce(sum(crc32(reverse(col("r")))), lit(0L)))
+            .head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        } finally graft.Caches.releaseAll()
       val sec = (System.nanoTime() - t0) / 1e9
-      // canonical per-row rendering; sorted so row order cannot matter
-      val canon = rows.map(_.toString).sorted.mkString("\n")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hash = md.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      println(f"[spill] $name%-28s rows=${rows.length}%-6d ${sec}%6.1fs hash=$hash")
-      (name, rows.length, hash, sec)
+      val hash = f"$h1%x-$h2%x"
+      println(f"[spill] $name%-28s rows=$n%-8d ${sec}%6.1fs hash=$hash")
+      (name, n, hash, sec)
     }
 
     val json = new StringBuilder
