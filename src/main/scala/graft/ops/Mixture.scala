@@ -460,7 +460,58 @@ object Mixture {
       |FROM g
       |ORDER BY ctx_len""".stripMargin
 
+  /** q193: deterministic training-shard assignment — the "global shuffle"
+    * stage that turns a curated corpus into training shards. Each document
+    * gets a pseudorandom but fully deterministic position from a Knuth
+    * multiplicative hash (h = doc_id · 2654435761 mod 2³², the public
+    * golden-ratio constant), shard = h mod 64; the per-shard report audits
+    * the balance the hash is supposed to deliver (doc share in exact ppm,
+    * token mass, position range). Seeded-permutation-by-hash is the
+    * standard reproducible alternative to `rand()` ordering — identical
+    * output on every engine, every run, any partitioning.
+    *
+    * Scale stance (100 TB): assignment is a pure map (no shuffle at all);
+    * the audit is one 64-group agg with map-side combine, then a window
+    * over the 64-row reduced frame for the exact shares. Writing the
+    * shards themselves is `write.partitionBy(shard)` — embarrassingly
+    * parallel. Products stay < 2⁶³ for any doc_id < 2³² (bound noted,
+    * same guard discipline as the isqrt clamp at Mixture.scala:337). */
+  def q193ShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(64L)))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("h")).as("min_pos"),
+        max(col("h")).as("max_pos"))
+      .withColumn("tot_docs", sum(col("n_docs")).over(w))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"), col("min_pos"), col("max_pos"),
+        expr("(n_docs * 1000000) div tot_docs").as("doc_share_ppm"))
+      .orderBy(col("shard"))
+  }
+
+  val q193Oracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len(${Text.tokensSql}) AS BIGINT) AS n_tokens,
+      |    (doc_id * 2654435761) % 4294967296 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT h % 64 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |    CAST(min(h) AS BIGINT) AS min_pos, CAST(max(h) AS BIGINT) AS max_pos
+      |  FROM d GROUP BY 1)
+      |SELECT CAST(shard AS BIGINT) AS shard, n_docs, sum_tokens, min_pos, max_pos,
+      |  CAST((n_docs * 1000000) // CAST(sum(n_docs) OVER () AS BIGINT) AS BIGINT)
+      |    AS doc_share_ppm
+      |FROM g ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_shard_assign" -> (q193ShardAssign _),
     "q177_context_fit_audit" -> (q177ContextFitAudit _),
     "q113_mixture_sample" -> (q113MixtureSample _),
     "q115_sequence_pack"  -> (q115SequencePack _),
@@ -468,6 +519,7 @@ object Mixture {
     "q175_temperature_mix" -> (q175TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "q193_shard_assign" -> q193Oracle,
     "q177_context_fit_audit" -> q177Oracle,
     "q113_mixture_sample" -> q113Oracle,
     "q115_sequence_pack"  -> q115Oracle,

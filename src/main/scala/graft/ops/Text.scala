@@ -1742,7 +1742,187 @@ object Text {
        |FROM scored CROSS JOIN thr
        |GROUP BY t ORDER BY threshold_fp""".stripMargin
 
+  /** Segment length (tokens) for the "line"-level repetition/dedup family
+    * (q188/q189). The synthetic corpus has no newlines, so the line unit of
+    * the published filters (Rae et al. 2021 "Gopher" §A.1.1 duplicate-line
+    * fractions; Raffel et al. 2020 "C4" three-sentence span dedup) is
+    * re-expressed as non-overlapping [[SegLen]]-token segments, trailing
+    * partial kept — same role, deterministic boundaries. */
+  private val SegLen = 10
+
+  /** Non-overlapping [[SegLen]]-token segments of a token array (trailing
+    * partial segment kept; empty array for empty docs). Pure codegen'd
+    * column algebra — slice clamps at the end in both engines. */
+  private[graft] def segments(toks: Column): Column =
+    when(size(toks) > lit(0),
+      transform(
+        sequence(lit(0), floor((size(toks) - lit(1)).cast("double") / lit(SegLen)).cast("int")),
+        i => concat_ws(" ", slice(toks, i * lit(SegLen) + lit(1), lit(SegLen)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB mirror of [[segments]] over a token-list expression `t`. */
+  private def segmentsSql(t: String): String =
+    s"CASE WHEN len($t) > 0 THEN list_transform(range(0, (len($t) + ${SegLen - 1}) // $SegLen), " +
+      s"i -> array_to_string($t[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')) ELSE [] END"
+
+  /** q188: duplicated-n-gram repetition signals — the Gopher repetition
+    * filters' second family (Rae et al. 2021 §A.1.1: "fraction of
+    * characters in duplicate n-grams") over overlapping word bigrams, in
+    * two exact forms per document:
+    *
+    *  - `dup_bigram_mass_ppm`: character mass of every occurrence of a
+    *    bigram that appears ≥2× in the doc, over total bigram character
+    *    mass (occurrence-weighted — the cheap sum form);
+    *  - `dup_cover_ppm`: distinct token POSITIONS covered by at least one
+    *    duplicated bigram, over n_tokens (the union-of-spans form the
+    *    paper's character fraction actually describes — overlaps counted
+    *    once).
+    *
+    * Complements q105 (top-gram fractions): top-k misses mass spread across
+    * many moderately-repeated grams; these catch it. Exact integer ppm at
+    * every boundary — no float aggregation.
+    *
+    * Scale stance: one tokenize scan (persisted, two consumers — the q105
+    * pattern); a (doc_id, bigram) groupBy keyed by doc (map-side combined,
+    * never concentrates); a left-semi join back on the same (doc_id, bigram)
+    * key; a per-doc distinct-position count. All shuffles carry doc_id, so
+    * the layout is embarrassingly parallel at 100 TB. */
+  def q188DupNgramSignals(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("p", explode(sequence(lit(1), size(col("toks")) - lit(1))))
+      .select(col("doc_id"), col("p"), size(col("toks")).cast("long").as("n"),
+        concat_ws(" ",
+          element_at(col("toks"), col("p")),
+          element_at(col("toks"), col("p") + lit(1))).as("bg")))
+    val counts = g.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"), max(col("n")).as("n"))
+      .withColumn("l", length(col("bg")).cast("long"))
+    val mass = counts.groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        sum(col("c")).as("n_bigrams"),
+        sum(when(col("c") >= 2, col("c") * col("l")).otherwise(lit(0L))).as("dup_mass"),
+        sum(col("c") * col("l")).as("tot_mass"))
+    val cover = g
+      .join(counts.filter(col("c") >= 2).select(col("doc_id"), col("bg")),
+        Seq("doc_id", "bg"), "left_semi")
+      .select(col("doc_id"), explode(array(col("p"), col("p") + lit(1))).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("i")).as("covered_tokens"))
+    mass.join(cover, Seq("doc_id"), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        expr("CASE WHEN tot_mass = 0 THEN 0 ELSE (dup_mass * 1000000) div tot_mass END")
+          .as("dup_bigram_mass_ppm"),
+        col("covered_tokens"),
+        expr("(covered_tokens * 1000000) div n_tokens").as("dup_cover_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q188Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |g AS (SELECT doc_id, p, CAST(len(toks) AS BIGINT) AS n,
+      |        toks[p] || ' ' || toks[p+1] AS bg
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS p
+      |            FROM t WHERE len(toks) >= 2)),
+      |c AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c, max(n) AS n,
+      |        CAST(length(bg) AS BIGINT) AS l
+      |      FROM g GROUP BY doc_id, bg),
+      |mass AS (SELECT doc_id, max(n) AS n_tokens, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS BIGINT) AS dup_mass,
+      |    CAST(sum(c * l) AS BIGINT) AS tot_mass
+      |  FROM c GROUP BY doc_id),
+      |cov AS (SELECT g.doc_id, CAST(count(DISTINCT u.i) AS BIGINT) AS covered_tokens
+      |  FROM g JOIN c ON g.doc_id = c.doc_id AND g.bg = c.bg AND c.c >= 2,
+      |       unnest([g.p, g.p + 1]) AS u(i)
+      |  GROUP BY g.doc_id)
+      |SELECT mass.doc_id, n_tokens, n_bigrams,
+      |  CAST(CASE WHEN tot_mass = 0 THEN 0
+      |       ELSE (dup_mass * 1000000) // tot_mass END AS BIGINT) AS dup_bigram_mass_ppm,
+      |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |  CAST((coalesce(covered_tokens, 0) * 1000000) // n_tokens AS BIGINT) AS dup_cover_ppm
+      |FROM mass LEFT JOIN cov ON mass.doc_id = cov.doc_id
+      |ORDER BY mass.doc_id""".stripMargin
+
+  /** q189: corpus-wide exact segment dedup — the C4 span-dedup rule (Raffel
+    * et al. 2020 §2.2: any three-sentence span occurring more than once in
+    * the corpus is removed, keeping one occurrence) over [[SegLen]]-token
+    * segments. First occurrence in the total order (doc_id, seg_idx)
+    * survives; every later copy anywhere in the corpus is dropped. Per-doc
+    * survival report: segments kept/removed and token counts for each.
+    *
+    * Scale stance: ONE shuffle keyed by segment text (the row_number window
+    * — identical layout to exact dedup q44); per-doc reduce is keyed by doc.
+    * Never doc×doc, never collects. At 100 TB this is the classic
+    * hash-partitioned first-writer-wins dedup. */
+  def q189CorpusSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(segments(tokens(col("text")))).as(Seq("seg_idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("rk", row_number().over(w))
+      .withColumn("seg_toks", size(split(col("seg"), " ")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rk") > 1, lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        sum(when(col("rk") === 1, col("seg_toks")).otherwise(lit(0L))).as("tokens_kept"),
+        sum(when(col("rk") > 1, col("seg_toks")).otherwise(lit(0L))).as("tokens_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q189Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |s AS (SELECT doc_id, i AS seg_idx, segs[i + 1] AS seg
+      |      FROM (SELECT doc_id, ${segmentsSql("toks")} AS segs FROM t),
+      |           unnest(range(0, len(segs))) AS u(i)),
+      |r AS (SELECT doc_id, seg,
+      |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk,
+      |        CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks
+      |      FROM s)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN rk = 1 THEN seg_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  CAST(sum(CASE WHEN rk > 1 THEN seg_toks ELSE 0 END) AS BIGINT) AS tokens_removed
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q190: language-ID audit — confusion matrix of the declared `lang`
+    * label against q89's n-gram classifier, with an exact per-label ppm
+    * share (how the classifier distributes each labeled language). The
+    * standard curation audit before trusting either signal for mixture
+    * weighting.
+    *
+    * Scale stance: reuses q89's single-scan per-doc classification; the
+    * confusion agg is bounded by |langs|² rows and the ppm window partitions
+    * by labeled_lang (≤|langs| partitions of ≤|langs| rows — trivially
+    * broadcast-sized state, no skew possible). */
+  def q190LangIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labeled_lang"))
+    q89LangIdNgram(s, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(w))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        expr("(n * 1000000) div tot").as("label_share_ppm"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
+  val q190Oracle: String =
+    s"""WITH q89 AS ($q89Oracle),
+      |c AS (SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+      |      FROM q89 GROUP BY 1, 2)
+      |SELECT labeled_lang, predicted_lang, n,
+      |  CAST((n * 1000000) // CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+      |    AS BIGINT) AS label_share_ppm
+      |FROM c ORDER BY labeled_lang, predicted_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_dup_ngram_signals" -> (q188DupNgramSignals _),
+    "q189_corpus_segment_dedup" -> (q189CorpusSegmentDedup _),
+    "q190_langid_confusion" -> (q190LangIdConfusion _),
     "q187_threshold_sweep" -> (q187ThresholdSweep _),
     "q184_lr_train" -> (q184LrTrain _),
     "q185_lr_confusion" -> (q185LrConfusion _),
@@ -1774,6 +1954,9 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_dup_ngram_signals" -> q188Oracle,
+    "q189_corpus_segment_dedup" -> q189Oracle,
+    "q190_langid_confusion" -> q190Oracle,
     "q187_threshold_sweep" -> q187Oracle,
     "q184_lr_train" -> q184Oracle,
     "q185_lr_confusion" -> q185Oracle,

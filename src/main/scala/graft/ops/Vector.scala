@@ -818,7 +818,89 @@ object Vector {
       |FROM ks LEFT JOIN hits USING (query_id)
       |ORDER BY query_id""".stripMargin
 
+  /** q191: int8 quantization audit — symmetric per-vector max-abs scaling
+    * (the standard int8 embedding compression: q_i = round(x_i·127/max|x|),
+    * clamped to [-127,127]), then top-10 retrieval by QUANTIZED cosine and
+    * exact recall against the float top-10 (q50). Rounding is the explicit
+    * `floor(x·127/max|x| + 0.5)` form so both engines execute the identical
+    * IEEE op sequence; the quantized dot product is EXACT integer
+    * arithmetic, so ranking disagreements between engines are impossible
+    * and the only doubles are correctly-rounded sqrt/divide at the end.
+    *
+    * Scale stance (100 TB): int8 cuts vector memory 4× and turns the scan
+    * kernel into integer MACs — the standard first compression step before
+    * PQ (q53). The plan is q50's shape: broadcast query set, one corpus
+    * scan, per-query top-k window; the recall join is per-query-bounded. */
+  def q191Int8QuantRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val qz = transform(col("v"), x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("long"))))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), v(col("embedding")).as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("ma") > 0)
+      .select(col("vec_id"), qz.as("qv"))
+      .withColumn("qn", dot(col("qv").cast("array<double>"), col("qv").cast("array<double>")))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("vec_id").asc)
+    val approx = broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+      .withColumn("qdot", dot(col("qqv").cast("array<double>"), col("qv").cast("array<double>")))
+      .withColumn("qcos", col("qdot") / (sqrt(col("qqn")) * sqrt(col("qn"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = q50CosineTopk(s, dir).select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("query_id"), col("k"), col("n_hits"),
+        expr("(n_hits * 1000000) div k").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB int8-quantized embedding frame shared by [[q191Oracle]]. */
+  private val quantSql: String = {
+    val ma = "list_max(list_transform(v, x -> abs(x)))"
+    s"""SELECT vec_id,
+      |    list_transform(v, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      |      CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)))) AS qv
+      |  FROM (SELECT vec_id, v, $ma AS ma
+      |        FROM (SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings))
+      |  WHERE ma > 0""".stripMargin
+  }
+
+  val q191Oracle: String = {
+    val qdot = dotSql("CAST(qqv AS DOUBLE[])", "CAST(qv AS DOUBLE[])")
+    val qn = dotSql("CAST(qv AS DOUBLE[])", "CAST(qv AS DOUBLE[])")
+    s"""WITH qz AS ($quantSql),
+      |qn AS (SELECT vec_id, qv, $qn AS qn FROM qz),
+      |qs AS (SELECT vec_id AS query_id, qv AS qqv, qn AS qqn FROM qn WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    $qdot / (sqrt(qqn) * sqrt(qn)) AS qcos
+      |  FROM qs JOIN qn ON query_id <> vec_id),
+      |approx AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id ASC) AS rk
+      |    FROM scored) WHERE rk <= 10),
+      |exact_full AS ($q50Oracle),
+      |exact AS (SELECT query_id, vec_id FROM exact_full),
+      |hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+      |         FROM exact JOIN approx USING (query_id, vec_id) GROUP BY 1),
+      |ks AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM exact GROUP BY 1)
+      |SELECT query_id, k, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST((coalesce(n_hits, 0) * 1000000) // k AS BIGINT) AS recall_ppm
+      |FROM ks LEFT JOIN hits USING (query_id)
+      |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_int8_quant_recall" -> (q191Int8QuantRecall _),
     "q50_cosine_topk"        -> (q50CosineTopk _),
     "q51_ivf_topk"           -> (q51IvfTopk _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
@@ -831,6 +913,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_int8_quant_recall" -> q191Oracle,
     "q50_cosine_topk"        -> q50Oracle,
     "q51_ivf_topk"           -> q51Oracle,
     "q52_embedding_near_dup" -> q52Oracle,

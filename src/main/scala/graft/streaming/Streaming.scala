@@ -373,6 +373,101 @@ object Streaming {
       |  CAST(coalesce(sum(p_us - s_us), 0) AS BIGINT) AS sum_gap_us
       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** FULL-outer stream-stream interval join (§2.10 — completes the
+    * inner/left-outer/full-outer triple with q103/q128): both the
+    * abandoned-signup rows AND the orphan-purchase rows (purchases with no
+    * signup in the preceding hour — the attribution-gap side) survive as
+    * null-extended output. Eviction is watermark-driven on BOTH sides now:
+    * a signup's null row needs the global watermark past s_ts + 1 h (its
+    * last possible match time, as q128); a purchase's null row needs it
+    * past p_ts (the latest signup that could claim it has s_ts ≤ p_ts).
+    * The bounded-run tail inside the final horizon stays correctly
+    * unreported on both sides; the oracle reproduces both cutoffs at exact
+    * µs precision. Aggregation keys on coalesce(s_user, p_user) since
+    * either side may be null. */
+  def q192StreamFullOuterJoin(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4, noDataBatches = true) { s =>
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    def src: DataFrame = {
+      val raw = eventsFileStream(s, dir, rawSchema)
+      graft.Tables.canonicalTs(raw)
+    }
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    def partialAgg(rows: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      rows.withColumn("u", coalesce(col("s_user"), col("p_user")))
+        .groupBy((col("u") % 10).as("user_mod10"), col("u"))
+        .agg(
+          count(when(col("s_user").isNotNull && col("p_user").isNotNull, lit(1))).as("n_matched"),
+          count(when(col("p_user").isNull, lit(1))).as("n_left_only"),
+          count(when(col("s_user").isNull, lit(1))).as("n_right_only"),
+          coalesce(sum(expr("unix_micros(p_ts) - unix_micros(s_ts)")), lit(0L)).as("sum_gap_us"))
+    val partialSchema = partialAgg(
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), joined.schema)).schema
+    val partials = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    drainBounded(ckpt => joined.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = partialAgg(batch).collect()
+        partials.synchronized { partials.addAll(java.util.Arrays.asList(rows: _*)); () }
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt))
+    s.createDataFrame(partials, partialSchema)
+      .groupBy(col("user_mod10"))
+      .agg(
+        sum(col("n_matched")).as("n_matched"),
+        sum(col("n_left_only")).as("n_left_only"),
+        sum(col("n_right_only")).as("n_right_only"),
+        countDistinct(col("u")).as("n_users"),
+        sum(col("sum_gap_us")).as("sum_gap_us"))
+      .orderBy(col("user_mod10"))
+  }
+
+  /** Both eviction cutoffs mirror Spark's outer emission rule under the
+    * min-policy global watermark w = min(max s_ts, max p_ts) − 1 h: a
+    * signup null row iff s_ts + 1 h < w (as q128); a purchase null row iff
+    * p_ts < w (its match window closes at its own timestamp). */
+  val q192Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |s AS (SELECT user_id AS s_user, ts_us AS s_us FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id AS p_user, ts_us AS p_us, value FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(s_us) FROM s), (SELECT max(p_us) FROM p))
+      |              - 3600000000 AS w),
+      |m AS (
+      |  SELECT s.s_user, p.p_user, s.s_us, p.p_us FROM s JOIN p ON s_user = p_user
+      |    AND p_us >= s_us AND p_us <= s_us + 3600000000),
+      |lo AS (
+      |  SELECT s_user, CAST(NULL AS BIGINT) AS p_user, s_us, CAST(NULL AS BIGINT) AS p_us
+      |  FROM s WHERE NOT EXISTS (
+      |      SELECT 1 FROM p WHERE p_user = s_user
+      |        AND p_us >= s_us AND p_us <= s_us + 3600000000)
+      |    AND s_us + 3600000000 < (SELECT w FROM wm)),
+      |ro AS (
+      |  SELECT CAST(NULL AS BIGINT) AS s_user, p_user,
+      |    CAST(NULL AS BIGINT) AS s_us, p_us
+      |  FROM p WHERE NOT EXISTS (
+      |      SELECT 1 FROM s WHERE s_user = p_user
+      |        AND p_us >= s_us AND p_us <= s_us + 3600000000)
+      |    AND p_us < (SELECT w FROM wm)),
+      |k AS (SELECT * FROM m UNION ALL SELECT * FROM lo UNION ALL SELECT * FROM ro)
+      |SELECT CAST(coalesce(s_user, p_user) % 10 AS BIGINT) AS user_mod10,
+      |  count(CASE WHEN s_user IS NOT NULL AND p_user IS NOT NULL THEN 1 END) AS n_matched,
+      |  count(CASE WHEN p_user IS NULL THEN 1 END) AS n_left_only,
+      |  count(CASE WHEN s_user IS NULL THEN 1 END) AS n_right_only,
+      |  count(DISTINCT coalesce(s_user, p_user)) AS n_users,
+      |  CAST(coalesce(sum(p_us - s_us), 0) AS BIGINT) AS sum_gap_us
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming MERGE sink (§2.10 + §2.1 S6 composed): every micro-batch
     * upserts into the stored table via [[graft.Materialize.upsertInPlace]]
     * — latest row per `key` wins. Delivery is foreachBatch's
@@ -789,6 +884,7 @@ object Streaming {
     "q77_stream_static_join" -> (q77StreamStaticJoin _),
     "q103_stream_stream_join" -> (q103StreamStreamJoin _),
     "q128_stream_left_outer" -> (q128StreamLeftOuterJoin _),
+    "q192_stream_full_outer" -> (q192StreamFullOuterJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -801,5 +897,6 @@ object Streaming {
     "q77_stream_static_join" -> q77Oracle,
     "q103_stream_stream_join" -> q103Oracle,
     "q128_stream_left_outer" -> q128Oracle,
+    "q192_stream_full_outer" -> q192Oracle,
   )
 }

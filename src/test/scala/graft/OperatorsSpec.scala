@@ -584,4 +584,106 @@ class OperatorsSpec extends SparkSpec {
     }
     Caches.releaseAll()
   }
+
+  test("q188 dup-bigram signals: hand-computed mass and coverage on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupng").toString
+    // doc 1: tokens [a,b,a,b,c] → bigrams "a b","b a","a b","b c";
+    //   "a b" ×2 dup → mass 2·3=6 of 12 → 500000 ppm;
+    //   covered positions {1,2}∪{3,4} = 4 of 5 tokens → 800000 ppm
+    // doc 2: all bigrams unique → exact zeros
+    Seq((1L, "a b a b c", "en", "s1"), (2L, "x y z w", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q188DupNgramSignals(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Long]("dup_bigram_mass_ppm"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("dup_cover_ppm")))).toMap
+    assert(out(1L) == ((5L, 4L, 500000L, 4L, 800000L)))
+    assert(out(2L) == ((4L, 3L, 0L, 0L, 0L)))
+    Caches.releaseAll()
+    // real corpus: coverage can only count positions that exist
+    Text.q188DupNgramSignals(spark, sf()).collect().foreach { r =>
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("dup_cover_ppm") <= 1000000L)
+    }
+    Caches.releaseAll()
+  }
+
+  test("q189 corpus segment dedup: first writer wins in (doc_id, seg_idx) order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-segdd").toString
+    val seg1 = (1 to 10).map(i => s"t$i").mkString(" ")   // exactly one segment
+    val segX = (1 to 10).map(i => s"u$i").mkString(" ")
+    // doc 1 = seg1 ∥ segX; doc 2 = seg1 ∥ 5-token tail; doc 3 repeats seg1 twice
+    Seq((1L, s"$seg1 $segX", "en", "s1"),
+        (2L, s"$seg1 v1 v2 v3 v4 v5", "en", "s1"),
+        (3L, s"$seg1 $seg1", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q189CorpusSegmentDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("tokens_kept"), r.getAs[Long]("tokens_removed")))).toMap
+    // doc 1 owns the first copy of seg1; its segX also survives
+    assert(out(1L) == ((2L, 0L, 20L, 0L)))
+    // doc 2's seg1 copy is removed; the 5-token partial tail survives
+    assert(out(2L) == ((2L, 1L, 5L, 10L)))
+    // doc 3 loses both copies (doc 1 owns the segment)
+    assert(out(3L) == ((2L, 2L, 0L, 20L)))
+    Caches.releaseAll()
+    // real corpus: exactly one surviving copy per distinct segment
+    val agg = Text.q189CorpusSegmentDedup(spark, sf())
+      .agg(sum("n_segments").as("n"), sum("n_removed").as("r")).head
+    val distinctSegs = Tables.documents(spark, sf())
+      .select(explode(Text.segments(Text.tokens(col("text")))).as("seg"))
+      .select("seg").distinct().count()
+    assert(agg.getAs[Long]("n") - agg.getAs[Long]("r") == distinctSegs)
+    Caches.releaseAll()
+  }
+
+  test("q190 lang-id confusion: cells partition the corpus; shares floor-sum to ≤ 1e6") {
+    val rows = Text.q190LangIdConfusion(spark, sf()).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.documents(spark, sf()).count())
+    rows.groupBy(_.getAs[String]("labeled_lang")).foreach { case (_, cells) =>
+      val ppm = cells.map(_.getAs[Long]("label_share_ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - cells.length,
+        s"floor-rounded shares must sum to (1e6 - #cells, 1e6]")
+    }
+    Caches.releaseAll()
+  }
+
+  test("q191 int8 quantization: k=10 everywhere, hits bounded, near-lossless on this corpus") {
+    val rows = Vector.q191Int8QuantRecall(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == 10L)
+      assert(r.getAs[Long]("n_hits") <= 10L)
+      assert(r.getAs[Long]("recall_ppm") == r.getAs[Long]("n_hits") * 100000L)
+    }
+    // int8 keeps ~7.6 bits of mantissa — on random embeddings the top-10 by
+    // quantized cosine should rarely diverge; a mean recall collapse means
+    // the scale/round parity broke, not that the corpus got unlucky
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum.toDouble / (10.0 * rows.length)
+    assert(mean >= 0.6, s"mean int8 recall $mean collapsed")
+    Caches.releaseAll()
+  }
+
+  test("q193 shard assignment: deterministic, exhaustive, and hash-balanced") {
+    val rows = Mixture.q193ShardAssign(spark, sf()).collect()
+    val nDocs = Tables.documents(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_pos") >= 0L && r.getAs[Long]("max_pos") < 4294967296L)
+      // every position in a shard is ≡ shard (mod 64)
+      assert(r.getAs[Long]("min_pos") % 64L == r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("max_pos") % 64L == r.getAs[Long]("shard"))
+    }
+    // deterministic: a second run is bit-identical (no rand() anywhere)
+    val again = Mixture.q193ShardAssign(spark, sf()).collect()
+    assert(rows.toSeq == again.toSeq)
+    Caches.releaseAll()
+  }
 }

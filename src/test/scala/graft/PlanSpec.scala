@@ -77,6 +77,9 @@ class PlanSpec extends SparkSpec {
     val nestedLoopOk = Set("q50_cosine_topk", "q51_ivf_topk", "q49_tfidf_top_terms",
       // embeds q50's declared brute-force baseline as the recall ground truth
       "q111_ann_recall",
+      // int8-quantized brute-force scan + the embedded q50 float baseline —
+      // both the same declared query-points × corpus shape as q50/q111
+      "q191_int8_quant_recall",
       // 1-row broadcast max(dday) cap replacing a global window (ADVICE r4)
       "q142_rolling_bitmap",
       // Layout.normalized attaches a 1-row broadcast min/max bounds frame
@@ -123,6 +126,7 @@ class PlanSpec extends SparkSpec {
       "o_orderkey", "l_orderkey", "o_custkey", "c_custkey", "vec_id", "query_id", "k",
       "hg", // md5 shingle hash (q106 df ranking) — cardinality scales with the corpus
       "g5", // shared 5-gram partition key (q183 suffix-order LCP) — scales with the corpus
+      "seg", // 10-token segment text (q189 first-writer-wins dedup) — scales with the corpus
       "pack_shard") // q115 sharded packing stream — count is the parallelism knob, sized to the cluster
     // "reduced" = an Aggregate on the window's UNARY input chain. Stopping
     // at the first multi-child node matters: an Aggregate on a JOINED side

@@ -153,4 +153,30 @@ class StreamingSpec extends SparkSpec {
       ss.catalog.dropTempView(name)
     }
   }
+
+  test("q192 full-outer join: agrees with q128 on the left side and batch on matches") {
+    val fo = graft.streaming.Streaming.q192StreamFullOuterJoin(spark, sf()).collect()
+      .map(r => r.getAs[Long]("user_mod10") -> r).toMap
+    val lo = graft.streaming.Streaming.q128StreamLeftOuterJoin(spark, sf()).collect()
+      .map(r => r.getAs[Long]("user_mod10") -> r).toMap
+    // the full outer's matched and left-null sides are exactly the left
+    // outer's output, bucket by bucket (right-null rows are additive)
+    lo.foreach { case (k, l) =>
+      val f = fo(k)
+      assert(f.getAs[Long]("n_matched") == l.getAs[Long]("n_matched"), s"bucket $k matched")
+      assert(f.getAs[Long]("n_left_only") == l.getAs[Long]("n_unmatched"), s"bucket $k left-only")
+      assert(f.getAs[Long]("sum_gap_us") == l.getAs[Long]("sum_gap_us"), s"bucket $k gap")
+    }
+    // matches are watermark-independent: total equals the batch interval join
+    val e = Tables.events(spark, sf())
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("sts"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batchMatches = su.join(pu,
+      col("su") === col("pu") && col("pts") >= col("sts") &&
+        col("pts") <= col("sts") + expr("INTERVAL 1 HOUR")).count()
+    assert(fo.values.map(_.getAs[Long]("n_matched")).sum == batchMatches)
+    Caches.releaseAll()
+  }
 }
