@@ -899,7 +899,76 @@ object Vector {
       |ORDER BY query_id""".stripMargin
   }
 
+  /** q194: label-centroid similarity matrix — the domain-similarity map a
+    * mixture planner reads before setting sampling weights (domains whose
+    * centroids are near-parallel are interchangeable mass; near-orthogonal
+    * domains each deserve their own allocation — the similarity input to
+    * data-selection methods in the DoReMi / domain-reweighting family).
+    * Upper-triangle cosine between every pair of label centroids, with
+    * cluster sizes attached.
+    *
+    * Exactness: q100's fixed-point discipline — coordinates scaled by 2²⁴
+    * to exact longs, centroid = exact integer sum, pair dot and norms as
+    * DECIMAL(38,0) integer sums; the ONLY floats are the final
+    * correctly-rounded sqrt/divide, identical in both engines.
+    *
+    * Scale stance (100 TB): the centroid frame is |labels|·dim rows — a
+    * REDUCED aggregate (one groupBy of the corpus, map-side combined); the
+    * pair join runs on that reduced frame keyed by j with the right side
+    * broadcast, output bounded by |labels|²·dim long before the final
+    * |labels|² matrix. The corpus is scanned exactly once. */
+  def q194CentroidSimMatrix(s: SparkSession, dir: String): DataFrame = {
+    val xq = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("label"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq"))
+    val cent = graft.Caches.persist(
+      xq.groupBy(col("label"), col("j")).agg(sum(col("xq")).as("cj")))
+    val sizes = Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val norms = cent.groupBy(col("label"))
+      .agg(sum((col("cj") * col("cj")).cast("decimal(38,0)")).as("n2"))
+    val a = cent.select(col("label").as("label_a"), col("j"), col("cj").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("j"), col("cj").as("cb"))
+    a.join(broadcast(b), Seq("j"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ca") * col("cb")).cast("decimal(38,0)")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"), col("n2").as("n2a"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"), col("n2").as("n2b"))), Seq("label_b"))
+      .join(broadcast(sizes.select(col("label").as("label_a"), col("n_vecs").as("n_a"))), Seq("label_a"))
+      .join(broadcast(sizes.select(col("label").as("label_b"), col("n_vecs").as("n_b"))), Seq("label_b"))
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"), col("n_a"), col("n_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .as("cos_centroids"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val q194Oracle: String =
+    s"""WITH xq AS (
+      |  SELECT label, j,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $FixedPoint) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |cent AS (SELECT label, j, CAST(sum(xq) AS BIGINT) AS cj FROM xq GROUP BY 1, 2),
+      |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1),
+      |norms AS (SELECT label, sum(cj * cj) AS n2 FROM cent GROUP BY 1),
+      |dots AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, sum(a.cj * b.cj) AS dot
+      |  FROM cent a JOIN cent b ON a.j = b.j AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+      |  sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      |    AS cos_centroids
+      |FROM dots
+      |JOIN norms na ON na.label = label_a JOIN norms nb ON nb.label = label_b
+      |JOIN sizes sa ON sa.label = label_a JOIN sizes sb ON sb.label = label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_centroid_sim_matrix" -> (q194CentroidSimMatrix _),
     "q191_int8_quant_recall" -> (q191Int8QuantRecall _),
     "q50_cosine_topk"        -> (q50CosineTopk _),
     "q51_ivf_topk"           -> (q51IvfTopk _),
@@ -913,6 +982,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_centroid_sim_matrix" -> q194Oracle,
     "q191_int8_quant_recall" -> q191Oracle,
     "q50_cosine_topk"        -> q50Oracle,
     "q51_ivf_topk"           -> q51Oracle,

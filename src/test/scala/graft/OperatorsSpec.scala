@@ -671,6 +671,23 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q194 centroid similarity matrix: strict upper triangle, cosine bounded, sizes exhaustive") {
+    val rows = Vector.q194CentroidSimMatrix(spark, sf()).collect()
+    val labels = Tables.embeddings(spark, sf()).select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2, "one cell per unordered label pair")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("label_a") < r.getAs[Long]("label_b"))
+      val c = r.getAs[Double]("cos_centroids")
+      assert(c >= -1.0000001 && c <= 1.0000001, s"cosine $c out of range")
+    }
+    // pair sizes are consistent: every label's n is the same in every cell
+    val ns = rows.flatMap(r => Seq(
+      r.getAs[Long]("label_a") -> r.getAs[Long]("n_a"),
+      r.getAs[Long]("label_b") -> r.getAs[Long]("n_b"))).toMap
+    assert(ns.values.sum == Tables.embeddings(spark, sf()).count())
+    Caches.releaseAll()
+  }
+
   test("q193 shard assignment: deterministic, exhaustive, and hash-balanced") {
     val rows = Mixture.q193ShardAssign(spark, sf()).collect()
     val nDocs = Tables.documents(spark, sf()).count()

@@ -154,6 +154,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB state store: the production backend engages and matches HDFS-backed results") {
+    // local[32] keeps every state store on one JVM heap; a 1000-executor
+    // deployment holds state orders of magnitude past heap — RocksDB is the
+    // backend that makes stateful streaming survive that scale (off-heap +
+    // disk, incremental checkpoint). Same query, both providers, identical
+    // answers — and the progress metrics must PROVE RocksDB actually ran.
+    def run(rocks: Boolean): (Seq[String], Boolean) = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 4)
+      if (rocks) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val dir = sf()
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.canonicalTs(
+        ss.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(graft.Exact.cents(col("value"))).as("cents"))
+      val name = s"graft_rocks_${if (rocks) "on" else "off"}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rocks-ckpt")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val rows = ss.table(name)
+          .select(col("window.start").cast("long").as("w"), col("event_type"),
+            col("n"), col("cents"))
+          .orderBy(col("w"), col("event_type"))
+          .collect().map(_.toString).toSeq
+        val sawRocks = q.lastProgress.stateOperators.exists(
+          _.customMetrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")))
+        (rows, sawRocks)
+      } finally {
+        q.stop()
+        ss.catalog.dropTempView(name)
+      }
+    }
+    val (viaHdfs, hdfsSawRocks) = run(rocks = false)
+    val (viaRocks, rocksSawRocks) = run(rocks = true)
+    assert(!hdfsSawRocks, "default run unexpectedly used RocksDB")
+    assert(rocksSawRocks, "RocksDB provider never engaged — config did not take")
+    assert(viaHdfs.nonEmpty && viaHdfs == viaRocks,
+      "state backend changed the answer — provider-dependent semantics bug")
+  }
+
   test("q192 full-outer join: agrees with q128 on the left side and batch on matches") {
     val fo = graft.streaming.Streaming.q192StreamFullOuterJoin(spark, sf()).collect()
       .map(r => r.getAs[Long]("user_mod10") -> r).toMap
