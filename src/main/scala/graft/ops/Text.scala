@@ -1377,6 +1377,73 @@ object Text {
        |FROM tk JOIN dict d ON tk.w = d.w
        |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q195: context-length fit audit in TRAINED-tokenizer units — q177's
+    * truncation/padding/packing report re-based from whitespace tokens to
+    * the q181 BPE dictionary's subtoken counts, which is the unit a real
+    * packing run budgets in (fertility ≠ 1 shifts every document's length,
+    * so the whitespace audit systematically under-counts context demand).
+    * End-to-end composition: train (q181) → measure (q182) → budget (this).
+    *
+    * Scale stance: the dictionary is a REDUCED word-frequency frame (built
+    * once, hash-joined — no broadcast assumption, q182's layout); per-doc
+    * subtoken length is one corpus-keyed groupBy; the 3-way L explode runs
+    * over the reduced per-doc frame, map-side combined to |L| rows. */
+  def q195BpeContextFit(s: SparkSession, dir: String): DataFrame = {
+    val (_, words) = bpeTrain(s, dir)
+    val dict = words
+      .withColumn("n_syms", size(split(expr("trim(BOTH '<>' FROM syms)"), "><")).cast("long"))
+      .select(col("w"), col("n_syms"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(dict, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_syms")).as("n_bpe"))
+      .select(col("n_bpe"), explode(array(lit(128L), lit(512L), lit(2048L))).as("ctx_len"))
+      .withColumn("kept", least(col("n_bpe"), col("ctx_len")))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_subtokens"),
+        sum(col("kept")).as("kept_subtokens"),
+        sum(col("n_bpe") - col("kept")).as("trunc_lost_subtokens"),
+        sum(col("ctx_len") - col("kept")).as("pad_waste_unpacked"))
+      .withColumn("seqs_packed_lb", expr("(kept_subtokens + ctx_len - 1) div ctx_len"))
+      .withColumn("util_unpacked_ppm",
+        expr("kept_subtokens * 1000000 div greatest(n_docs * ctx_len, 1)"))
+      .withColumn("util_packed_ppm",
+        expr("kept_subtokens * 1000000 div greatest(seqs_packed_lb * ctx_len, 1)"))
+      .select(col("ctx_len"), col("n_docs"), col("total_subtokens"), col("kept_subtokens"),
+        col("trunc_lost_subtokens"), col("pad_waste_unpacked"), col("seqs_packed_lb"),
+        col("util_unpacked_ppm"), col("util_packed_ppm"))
+      .orderBy(col("ctx_len"))
+  }
+
+  def q195Oracle: String =
+    s"""$bpeCteSql,
+       |dict AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(trim(syms, '<>'), '><')) AS BIGINT) AS n_syms
+       |  FROM w$BpeRounds),
+       |tk AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+       |dl AS (SELECT tk.doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe
+       |       FROM tk JOIN dict ON tk.w = dict.w GROUP BY 1),
+       |x AS (SELECT n_bpe, CAST(ctx_len AS BIGINT) AS ctx_len,
+       |        least(n_bpe, CAST(ctx_len AS BIGINT)) AS kept
+       |      FROM dl, unnest([128, 512, 2048]) AS t(ctx_len)),
+       |g AS (SELECT ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_bpe) AS BIGINT) AS total_subtokens,
+       |    CAST(sum(kept) AS BIGINT) AS kept_subtokens,
+       |    CAST(sum(n_bpe - kept) AS BIGINT) AS trunc_lost_subtokens,
+       |    CAST(sum(ctx_len - kept) AS BIGINT) AS pad_waste_unpacked
+       |  FROM x GROUP BY 1)
+       |SELECT ctx_len, n_docs, total_subtokens, kept_subtokens, trunc_lost_subtokens,
+       |  pad_waste_unpacked,
+       |  CAST((kept_subtokens + ctx_len - 1) // ctx_len AS BIGINT) AS seqs_packed_lb,
+       |  CAST(kept_subtokens * 1000000 // greatest(n_docs * ctx_len, 1) AS BIGINT)
+       |    AS util_unpacked_ppm,
+       |  CAST(kept_subtokens * 1000000
+       |    // greatest(((kept_subtokens + ctx_len - 1) // ctx_len) * ctx_len, 1) AS BIGINT)
+       |    AS util_packed_ppm
+       |FROM g ORDER BY ctx_len""".stripMargin
+
   // ---------------------------------------------------------------------
   // q183: exact longest duplicated token span (suffix-order LCP)
   // ---------------------------------------------------------------------
@@ -1921,6 +1988,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_dup_ngram_signals" -> (q188DupNgramSignals _),
+    "q195_bpe_context_fit" -> (q195BpeContextFit _),
     "q189_corpus_segment_dedup" -> (q189CorpusSegmentDedup _),
     "q190_langid_confusion" -> (q190LangIdConfusion _),
     "q187_threshold_sweep" -> (q187ThresholdSweep _),
@@ -1955,6 +2023,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "q188_dup_ngram_signals" -> q188Oracle,
+    "q195_bpe_context_fit" -> q195Oracle,
     "q189_corpus_segment_dedup" -> q189Oracle,
     "q190_langid_confusion" -> q190Oracle,
     "q187_threshold_sweep" -> q187Oracle,

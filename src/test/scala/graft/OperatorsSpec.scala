@@ -671,6 +671,28 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q195 BPE context fit: subtoken demand dominates whitespace demand; q177 laws carry") {
+    val bpe = Text.q195BpeContextFit(spark, sf()).collect()
+      .map(r => r.getAs[Long]("ctx_len") -> r).toMap
+    val ws = Mixture.q177ContextFitAudit(spark, sf()).collect()
+      .map(r => r.getAs[Long]("ctx_len") -> r).toMap
+    assert(bpe.keySet == Set(128L, 512L, 2048L))
+    bpe.foreach { case (l, r) =>
+      // fertility ≥ 1: every word maps to ≥1 subtoken, so total demand and
+      // doc counts dominate the whitespace audit at every L
+      assert(r.getAs[Long]("n_docs") == ws(l).getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("total_subtokens") >= ws(l).getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("seqs_packed_lb") >= ws(l).getAs[Long]("seqs_packed_lb"))
+      // q177's own laws on the re-based frame
+      assert(r.getAs[Long]("kept_subtokens") + r.getAs[Long]("trunc_lost_subtokens") ==
+        r.getAs[Long]("total_subtokens"))
+      assert(r.getAs[Long]("seqs_packed_lb") * l >= r.getAs[Long]("kept_subtokens"))
+      assert(r.getAs[Long]("util_packed_ppm") >= r.getAs[Long]("util_unpacked_ppm"))
+      assert(r.getAs[Long]("util_packed_ppm") <= 1000000L)
+    }
+    Caches.releaseAll()
+  }
+
   test("q194 centroid similarity matrix: strict upper triangle, cosine bounded, sizes exhaustive") {
     val rows = Vector.q194CentroidSimMatrix(spark, sf()).collect()
     val labels = Tables.embeddings(spark, sf()).select("label").distinct().count()

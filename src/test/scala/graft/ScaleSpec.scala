@@ -87,6 +87,55 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join: the runtime split engages on the planted hot key, same answer") {
+    // The OTHER half of the skew story (Skew.scala scaladoc line 1): before
+    // reaching for salting, a 100 TB deployment leans on AQE's runtime skew
+    // split. Same 99%-single-key shape as the salting test, UNSALTED join,
+    // AQE ON with thresholds scaled to the fixture — the final adaptive plan
+    // must carry the skew=true marker (proof the split actually fired, not
+    // just that AQE was enabled) and the answer must match the AQE-off run.
+    val n = 4000000L
+    // md5 payload keeps the hot partition INCOMPRESSIBLE — with only the
+    // near-constant key, lz4 shrinks 4M rows under the skew threshold and
+    // the split never fires (observed), which at real scale corresponds to
+    // a hot partition that genuinely is small after compression
+    val large = spark.range(n).select(
+      when(col("id") % 100 =!= 0, 0L).otherwise(col("id") % 1000).as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    val small = spark.range(1000).select(col("id").as("k"), (col("id") * 7).as("v"))
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), max("payload").as("mp"))
+      val expected = agg(large.join(small, Seq("k"))).collect().toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-scale thresholds: the hot partition (~30 MB of shuffle) must
+      // exceed factor×median AND the absolute threshold; advisory size sets
+      // the split granularity
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      val agged = agg(large.join(small, Seq("k")))
+      val got = agged.collect().toSeq
+      assert(got == expected, "AQE skew split changed the join result")
+      val finalPlan = agged.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"planted hot key did not trigger OptimizeSkewedJoin — final plan:\n$finalPlan")
+    } finally restore()
+  }
+
   test("partitioned materialization prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mart").toString
     val mart = Tables.orders(spark, sf())
