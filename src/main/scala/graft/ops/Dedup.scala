@@ -843,7 +843,69 @@ object Dedup {
       |ORDER BY n_pairs DESC, source_a ASC, source_b ASC""".stripMargin
   }
 
+  /** q196: LSH dedup recall gate — the q111 recall-audit pattern applied to
+    * near-dup detection. Ground truth = EXACT Jaccard ≥ 0.5 pairs from the
+    * inverted shingle index (every pair sharing ≥1 shingle, no banding);
+    * candidate = q46's MinHash+LSH pairs. Because q46 verifies exact
+    * Jaccard on its candidates, precision is 1 by construction — what
+    * banding can lose is RECALL, and it loses it exactly along the S-curve
+    * (P[collision] = 1-(1-j^r)^b), so the report buckets recall by Jaccard
+    * decile: the empirical S-curve the b/r parameters were chosen for.
+    *
+    * Scale stance: the truth join is the inverted-index Σ df² cost — the
+    * price of EXACT ground truth, which a 100 TB deployment pays on a
+    * sampled slice to validate its banding parameters, never corpus-wide
+    * (the audit's whole point is to certify the cheap path so the exact
+    * path stays sample-only). Pair work never leaves shingle buckets;
+    * everything else is map-side-combined aggregation. */
+  def q196LshDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val hx = graft.Caches.persist(hashedShingles(s, dir))
+    val sz = hx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val truth = hx.as("x")
+      .join(hx.as("y"),
+        col("x.hg") === col("y.hg") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+    val lsh = q46MinhashLshPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("caught"))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j_decile", floor(col("jaccard") * 10).cast("long"))
+      .groupBy(col("j_decile"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall_ppm", expr("(n_caught * 1000000) div n_true"))
+      .orderBy(col("j_decile"))
+  }
+
+  val q196Oracle: String =
+    s"""WITH $hashedShinglesSql,
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM hx GROUP BY 1),
+      |truth AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |  FROM (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |    FROM hx x JOIN hx y ON x.hg = y.hg AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2) i
+      |  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      |lsh AS (SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS caught FROM ($q46Oracle)),
+      |j AS (
+      |  SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS j_decile,
+      |    coalesce(l.caught, 0) AS caught
+      |  FROM truth t LEFT JOIN lsh l USING (doc_a, doc_b))
+      |SELECT j_decile, CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(sum(caught) AS BIGINT) AS n_caught,
+      |  CAST((sum(caught) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+      |FROM j GROUP BY 1 ORDER BY j_decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_lsh_dedup_recall" -> (q196LshDedupRecall _),
     "q179_source_dup_matrix" -> (q179SourceDupMatrix _),
     "q176_incremental_lsh" -> (q176IncrementalLshUpdate _),
     "q158_leakage_safe_split" -> (q158LeakageSafeSplit _),
@@ -859,6 +921,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q196_lsh_dedup_recall" -> q196Oracle,
     "q179_source_dup_matrix" -> q179Oracle,
     "q176_incremental_lsh" -> q176Oracle,
     "q158_leakage_safe_split" -> q158Oracle,

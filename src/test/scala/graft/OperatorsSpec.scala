@@ -671,6 +671,23 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q196 LSH recall gate: precision 1 by construction, recall bounded, deciles in-range") {
+    val rows = Dedup.q196LshDedupRecall(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("j_decile")
+      assert(d >= 5L && d <= 10L, s"decile $d outside the ≥0.5 truth domain")
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    // every q46 pair IS a truth pair (q46 verifies the same exact Jaccard
+    // before keeping) — so caught must total exactly the LSH pair count
+    val lshPairs = Dedup.q46MinhashLshPairs(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n_caught")).sum == lshPairs,
+      "an LSH pair fell outside ground truth — precision broke")
+    Caches.releaseAll()
+  }
+
   test("q195 BPE context fit: subtoken demand dominates whitespace demand; q177 laws carry") {
     val bpe = Text.q195BpeContextFit(spark, sf()).collect()
       .map(r => r.getAs[Long]("ctx_len") -> r).toMap
