@@ -303,4 +303,26 @@ class SourcesSpec extends SparkSpec {
     val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == expected)
   }
+
+  test("corrupt part file: default read fails loud, ignoreCorruptFiles skips exactly it") {
+    // at 100 TB some part file IS eventually truncated mid-write or bit-rotted;
+    // the two correct behaviors are (a) fail loud by default — silent row loss
+    // must never look like success — and (b) when the operator opts in,
+    // skip precisely the corrupt file and keep every healthy row
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    Seq(1L, 2L, 3L).toDF("v").repartition(1).write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt-00000.snappy.parquet"),
+      Array.fill[Byte](512)(0x5a)) // valid-looking name, garbage bytes
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assertThrows[org.apache.spark.SparkException] {
+      strict.read.parquet(dir).count()
+    }
+    val lenient = spark.newSession()
+    lenient.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    assert(lenient.read.parquet(dir).agg(sum("v")).head.getLong(0) == 6L,
+      "lenient read must keep every row of the healthy files")
+  }
 }

@@ -154,6 +154,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow: the production backfill trigger self-terminates with the full answer") {
+    // processAllAvailable() is a TEST API (blocks a driver thread, races
+    // with live sources); the production bounded-backfill idiom is
+    // Trigger.AvailableNow — process everything present, checkpoint, STOP.
+    // Pin both halves: self-termination and batch-equal results.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 4)
+    val dir = sf()
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
+    val src = graft.Tables.canonicalTs(
+      ss.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_available_now"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-an-ckpt")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val got = ss.table(name)
+        .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+        .orderBy(col("w"), col("event_type"))
+        .collect().map(_.toString).toSeq
+      val batch = graft.Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+        .orderBy(col("w"), col("event_type"))
+        .collect().map(_.toString).toSeq
+      assert(got.nonEmpty && got == batch,
+        "AvailableNow run diverges from the batch answer")
+    } finally {
+      if (q.isActive) q.stop()
+      ss.catalog.dropTempView(name)
+    }
+  }
+
   test("RocksDB state store: the production backend engages and matches HDFS-backed results") {
     // local[32] keeps every state store on one JVM heap; a 1000-executor
     // deployment holds state orders of magnitude past heap — RocksDB is the
