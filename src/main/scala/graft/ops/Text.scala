@@ -1986,7 +1986,316 @@ object Text {
       |    AS BIGINT) AS label_share_ppm
       |FROM c ORDER BY labeled_lang, predicted_lang""".stripMargin
 
+  /** q197: PMI collocation mining — rank corpus bigrams by pointwise
+    * mutual information, the standard collocation/multi-word-expression
+    * extractor (Church & Hanks 1990) a pipeline runs to decide which
+    * word pairs deserve single-token treatment in the vocabulary (feeds
+    * q181's BPE budget decisions).
+    *
+    * PMI = log(N·c(x,y) / (c(x,·)·c(·,y))); log is monotone, so ranking
+    * by the rational N·c_xy/(c_x·c_y) is ranking by PMI with NO libm —
+    * carried as exact fixed-point ppm, numerator widened to DECIMAL(38,0)
+    * first (c_xy·N·10⁶ wraps a long beyond ~3·10⁶ bigrams of corpus).
+    * Margins follow the bigram-table convention: c_x = bigrams with first
+    * word x, c_y = bigrams with second word y, N = total bigrams — all
+    * three derive from ONE persisted bigram stream. Min support c_xy ≥ 5
+    * (the classic low-count PMI-explosion guard).
+    *
+    * Scale stance: one tokenize+explode scan persisted with three
+    * map-side-combined aggregate consumers; the scoring join is
+    * vocab-sized reduced frames joined on their own keys (w1, then w2) —
+    * never the token stream; 1-row total broadcast; final top-50 is
+    * TakeOrderedAndProject. No all-pairs step anywhere. */
+  def q197PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val bg = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("p", explode(sequence(lit(1), size(col("toks")) - lit(1))))
+      .select(
+        element_at(col("toks"), col("p")).as("w1"),
+        element_at(col("toks"), col("p") + lit(1)).as("w2")))
+    val cxy = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+    val cx = bg.groupBy(col("w1")).agg(count(lit(1)).as("cx"))
+    val cy = bg.groupBy(col("w2")).agg(count(lit(1)).as("cy"))
+    val tot = bg.agg(count(lit(1)).as("n"))
+    cxy.filter(col("c_pair") >= 5)
+      .join(cx, Seq("w1")).join(cy, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", wide(col("c_pair")) * wide(col("n")) * wide(lit(1000000L)))
+      .withColumn("den", wide(col("cx")) * wide(col("cy")))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        expr("num div den").cast("long").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
+  val q197Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |g AS (SELECT toks[p] AS w1, toks[p+1] AS w2
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS p
+      |            FROM t WHERE len(toks) >= 2)),
+      |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair FROM g GROUP BY 1, 2),
+      |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cx FROM g GROUP BY 1),
+      |cy AS (SELECT w2, CAST(count(*) AS BIGINT) AS cy FROM g GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+      |SELECT w1, w2, c_pair,
+      |  CAST((CAST(c_pair AS HUGEINT) * n * 1000000) // (CAST(cx AS HUGEINT) * cy)
+      |    AS BIGINT) AS pmi_ratio_ppm
+      |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2), tot
+      |WHERE c_pair >= 5
+      |ORDER BY pmi_ratio_ppm DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
+
+  /** q198: vocabulary-growth (Heaps'-law) audit — distinct-type count and
+    * token mass accumulated over ten equal-width slices of the ingestion
+    * order, the curve a corpus team extrapolates to decide vocabulary
+    * budget and dedup pressure before scaling 1000×: sub-linear type
+    * growth says the vocab saturates; a flat new-type rate says the tail
+    * is still open-ended (Heaps 1978).
+    *
+    * Slices are equi-width in doc_id SPAN, not row rank: bucket =
+    * ((doc_id−lo)·10) div (hi−lo+1), computed per row against a broadcast
+    * 1-row bounds frame — a pure map, where a row_number() global rank
+    * would funnel the corpus through one partition. A token's decile is
+    * the decile of its FIRST-occurrence doc (min doc_id per type — one
+    * map-side-combined aggregate), so each type counts exactly once and
+    * the cumulative curve is exact.
+    *
+    * Scale stance: one tokenize scan; one groupBy(token) for first
+    * occurrence; one groupBy(doc) → groupBy(decile) for token mass; the
+    * cumulative window runs over the TEN-row decile frame only. Exact
+    * integer ppm at the rate boundary. */
+  def q198VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val bounds = docs.agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    def dec(name: String): Column =
+      expr(s"(($name - lo) * 10) div (hi - lo + 1)").cast("long")
+    // Tagged union → ONE decile aggregate feeding the 10-row cumulative
+    // window (instead of two aggregates + a join the window would then
+    // have to re-sort): type-birth rows carry new_types=1, doc rows carry
+    // their token mass — a single shuffle keyed by decile.
+    val typeBirths = docs
+      .select(explode(col("toks")).as("tok"), col("doc_id"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(bounds))
+      .select(dec("fd").as("decile"), lit(1L).as("nt"), lit(0L).as("m"), lit(0L).as("d"))
+    val docMass = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("m"))
+      .crossJoin(broadcast(bounds))
+      .select(dec("doc_id").as("decile"), lit(0L).as("nt"), col("m"), lit(1L).as("d"))
+    val perDecile = typeBirths.unionByName(docMass)
+      .groupBy(col("decile"))
+      .agg(sum(col("d")).as("n_docs"), sum(col("m")).as("n_tokens"),
+        sum(col("nt")).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDecile
+      .withColumn("cum_vocab", sum(col("new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("decile"), col("n_docs"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_vocab"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE (new_types * 1000000) div n_tokens END")
+          .as("new_type_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val q198Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM t),
+      |nt AS (SELECT ((fd - lo) * 10) // (hi - lo + 1) AS decile,
+      |         CAST(count(*) AS BIGINT) AS new_types
+      |       FROM (SELECT tok, min(doc_id) AS fd
+      |             FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u
+      |             GROUP BY tok), b
+      |       GROUP BY 1),
+      |m AS (SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS decile,
+      |        CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      |      FROM t, b GROUP BY 1)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  coalesce(n_docs, 0) AS n_docs,
+      |  coalesce(n_tokens, 0) AS n_tokens,
+      |  coalesce(new_types, 0) AS new_types,
+      |  CAST(sum(coalesce(n_tokens, 0)) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab,
+      |  CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+      |       ELSE (coalesce(new_types, 0) * 1000000) // n_tokens END AS BIGINT)
+      |    AS new_type_ppm
+      |FROM m FULL OUTER JOIN nt USING (decile)
+      |ORDER BY decile""".stripMargin
+
+  /** q199: per-source distribution divergence — total-variation distance
+    * between each source's unigram distribution and the corpus-wide
+    * distribution, the distributional mixture diagnostic (the DoReMi /
+    * data-mixing family compares domains exactly this way; q194 gives the
+    * embedding-space view, this is the token-space view). TV is the one
+    * f-divergence computable EXACTLY in integers: TV(p_s, p) =
+    * ½·Σ_t |p_s(t) − p(t)| = Σ_t |c_st·T − c_t·T_s| / (2·T_s·T) — no
+    * logs, no smoothing constant to tune, bounded [0, 1].
+    *
+    * Tokens absent from the source contribute |0 − c_t·T_s| without being
+    * enumerated: their sum is (T − Σ_{t∈s} c_t)·T_s, computed from the
+    * present-token join analytically — the vocab×sources frame only ever
+    * holds PRESENT pairs.
+    *
+    * Scale stance: one tokenize scan persisted; (source, token) and
+    * (token) counts are map-side-combined aggregates; the scoring join is
+    * reduced-frame × reduced-frame on the token key; 1-row corpus total
+    * broadcast. Every product is widened to DECIMAL(38,0) BEFORE
+    * multiplying — c_st·T reaches 10²⁶ at the 100 TB tier. */
+  def q199SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val st = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok")))
+    val cst = st.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cst"))
+    val ct = st.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val tsrc = cst.groupBy(col("source")).agg(sum(col("cst")).as("tsrc"))
+    val tot = st.agg(count(lit(1)).as("ttot"))
+    cst.join(ct, Seq("tok")).join(tsrc, Seq("source")).crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        max(col("tsrc")).as("n_tokens"),
+        max(col("ttot")).as("ttot"),
+        sum(abs(wide(col("cst")) * wide(col("ttot"))
+          - wide(col("ct")) * wide(col("tsrc")))).as("p_sum"),
+        sum(col("ct")).as("ct_present"))
+      .withColumn("num",
+        (col("p_sum") + wide(col("ttot") - col("ct_present")) * wide(col("n_tokens")))
+          * wide(lit(1000000L)))
+      .withColumn("den", wide(lit(2L)) * wide(col("n_tokens")) * wide(col("ttot")))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("num div den").cast("long").as("tv_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q199Oracle: String =
+    s"""WITH t AS (SELECT source, $tokensSql AS toks FROM documents),
+      |st AS (SELECT source, unnest(toks) AS tok FROM t),
+      |cst AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cst FROM st GROUP BY 1, 2),
+      |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM st GROUP BY 1),
+      |ts AS (SELECT source, CAST(sum(cst) AS BIGINT) AS tsrc FROM cst GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS ttot FROM st),
+      |agg AS (
+      |  SELECT cst.source,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    max(tsrc) AS n_tokens,
+      |    max(ttot) AS ttot,
+      |    sum(abs(CAST(cst AS HUGEINT) * ttot - CAST(ct AS HUGEINT) * tsrc)) AS p_sum,
+      |    CAST(sum(ct) AS BIGINT) AS ct_present
+      |  FROM cst JOIN ct USING (tok) JOIN ts ON cst.source = ts.source, tot
+      |  GROUP BY cst.source)
+      |SELECT source, n_tokens, vocab,
+      |  CAST(((p_sum + CAST(ttot - ct_present AS HUGEINT) * n_tokens) * 1000000)
+      |    // (CAST(2 AS HUGEINT) * n_tokens * ttot) AS BIGINT) AS tv_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
+  /** q200: BM25 retrieval audit — for a deterministic probe slice of the
+    * corpus (doc_id ≡ 0 mod 50, the eval-candidate shape q109's
+    * decontamination uses), retrieve the top-5 OTHER documents by a
+    * BM25-family lexical score (Robertson & Walker 1994; k₁ = 6/5,
+    * b = 3/4). This is the retrieval stage of contamination review:
+    * n-gram overlap (q109/q138) says WHETHER eval text leaks; BM25 says
+    * WHICH training documents are responsible.
+    *
+    * Exact-arithmetic form (the q170 ratio-proxy precedent): with integer
+    * corpus totals T (tokens) and N (docs), avgdl = T/N stays a rational —
+    * multiplying the saturation term through by 20T gives
+    * tfsat_fp = (44·tf·T·2²⁰) div (20·tf·T + 6·T + 18·dl·N), exactly
+    * BM25's tf·(k₁+1)/(tf + k₁(1−b+b·dl/avgdl)) in 2²⁰ fixed point with
+    * zero float ops; idf is the monotone ratio proxy
+    * ((N−df+1)·2²⁰) div (df+1) — same head/tail ordering as the log idf,
+    * no cross-libm log. Products widen to DECIMAL(38,0) before
+    * multiplying (tf·T·2²⁰ wraps a long past ~4·10⁸ corpus tokens).
+    *
+    * Scale stance: postings (doc, term, tf, dl) are one tokenize scan +
+    * one map-side-combined aggregate; df is a second reduced aggregate of
+    * postings; probe terms join postings on the TERM key (an equi-join
+    * that hash-partitions by term — the classic distributed inverted
+    * index); corpus totals are a 1-row broadcast; per-(probe, cand)
+    * scores reduce on their own key and the top-5 window partitions by
+    * probe. Never doc×doc — only term-matched pairs exist. */
+  def q200Bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val toks = graft.Caches.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val postings = graft.Caches.persist(toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+    val df = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("nd"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("tt"))
+    val probeTerms = toks.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("probe_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+    val scored = probeTerms
+      .join(postings, Seq("tok"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfsat_fp", expr(
+        "(CAST(44 AS DECIMAL(38,0)) * tf * tt * 1048576) div " +
+          "(CAST(20 AS DECIMAL(38,0)) * tf * tt + CAST(6 AS DECIMAL(38,0)) * tt " +
+          "+ CAST(18 AS DECIMAL(38,0)) * dl * nd)"))
+      .withColumn("idf_fp", expr("((nd - df + 1) * 1048576) div (df + 1)"))
+      .withColumn("contrib",
+        expr("(CAST(idf_fp AS DECIMAL(38,0)) * tfsat_fp) div 1048576"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("contrib")).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_hit_terms"), col("score_fp"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val q200Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM t),
+      |post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+      |         FROM p GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+      |            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS tt FROM t),
+      |qt AS (SELECT doc_id AS probe_id, unnest(list_distinct(toks)) AS tok
+      |       FROM t WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT qt.probe_id, post.doc_id,
+      |    (CAST(44 AS HUGEINT) * tf * tt * 1048576)
+      |      // (CAST(20 AS HUGEINT) * tf * tt + CAST(6 AS HUGEINT) * tt
+      |         + CAST(18 AS HUGEINT) * dl * nd) AS tfsat_fp,
+      |    ((nd - df + 1) * 1048576) // (df + 1) AS idf_fp
+      |  FROM qt JOIN post USING (tok) JOIN df USING (tok), stats
+      |  WHERE post.doc_id <> qt.probe_id),
+      |sc AS (
+      |  SELECT probe_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+      |    CAST(sum((CAST(idf_fp AS HUGEINT) * tfsat_fp) // 1048576) AS BIGINT) AS score_fp
+      |  FROM hits GROUP BY 1, 2),
+      |rk AS (SELECT probe_id, doc_id, n_hit_terms, score_fp,
+      |         row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY score_fp DESC, doc_id ASC) AS rank
+      |       FROM sc)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, n_hit_terms, score_fp
+      |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_bm25_retrieval" -> (q200Bm25Retrieval _),
+    "q198_vocab_growth" -> (q198VocabGrowth _),
+    "q199_source_divergence" -> (q199SourceDivergence _),
+    "q197_pmi_collocations" -> (q197PmiCollocations _),
     "q188_dup_ngram_signals" -> (q188DupNgramSignals _),
     "q195_bpe_context_fit" -> (q195BpeContextFit _),
     "q189_corpus_segment_dedup" -> (q189CorpusSegmentDedup _),
@@ -2022,6 +2331,10 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_pmi_collocations" -> q197Oracle,
+    "q198_vocab_growth" -> q198Oracle,
+    "q199_source_divergence" -> q199Oracle,
+    "q200_bm25_retrieval" -> q200Oracle,
     "q188_dup_ngram_signals" -> q188Oracle,
     "q195_bpe_context_fit" -> q195Oracle,
     "q189_corpus_segment_dedup" -> q189Oracle,

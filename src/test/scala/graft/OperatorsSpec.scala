@@ -742,4 +742,125 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
     Caches.releaseAll()
   }
+
+  test("q197 PMI collocations: hand-computed ratio on a planted corpus, support filter holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // "aa bb" ×5 → tokens [aa,bb,aa,bb,aa,bb,aa,bb,aa,bb]: bigrams
+    // "aa bb"×5, "bb aa"×4, N=9; c(aa,·)=5, c(·,bb)=5 →
+    // ppm = (5·9·10⁶) div (5·5) = 1,800,000; "bb aa" has c=4 < 5 → filtered
+    Seq((1L, "aa bb aa bb aa bb aa bb aa bb", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q197PmiCollocations(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("w1") == "aa" && out.head.getAs[String]("w2") == "bb")
+    assert(out.head.getAs[Long]("c_pair") == 5L)
+    assert(out.head.getAs[Long]("pmi_ratio_ppm") == 1800000L)
+    Caches.releaseAll()
+    // real corpus: support filter + descending order + positive scores
+    val rows = Text.q197PmiCollocations(spark, sf()).collect()
+    assert(rows.length <= 50)
+    assert(rows.forall(_.getAs[Long]("c_pair") >= 5L))
+    assert(rows.forall(_.getAs[Long]("pmi_ratio_ppm") > 0L))
+    val ppm = rows.map(_.getAs[Long]("pmi_ratio_ppm")).toSeq
+    assert(ppm == ppm.sorted.reverse)
+    Caches.releaseAll()
+  }
+
+  test("q198 vocab growth: per-decile births on a planted corpus; totals close on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    // ids 0..9 span 10 ids → one doc per decile; doc i = "w<i> common":
+    // decile 0 births {w0, common} = 2, every later decile births 1
+    (0 to 9).map(i => (i.toLong, s"w$i common", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q198VocabGrowth(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("n_docs") == 1L && r.getAs[Long]("n_tokens") == 2L)
+      assert(r.getAs[Long]("new_types") == (if (d == 0L) 2L else 1L))
+      assert(r.getAs[Long]("cum_vocab") == d + 2L)
+      assert(r.getAs[Long]("cum_tokens") == 2L * (d + 1L))
+      assert(r.getAs[Long]("new_type_ppm") == (if (d == 0L) 1000000L else 500000L))
+    }
+    Caches.releaseAll()
+    // real corpus: the cumulative curve closes on the corpus totals
+    val rows = Text.q198VocabGrowth(spark, sf()).collect().sortBy(_.getAs[Long]("decile"))
+    val toks = Tables.documents(spark, sf())
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+    assert(rows.last.getAs[Long]("cum_tokens") == toks.count())
+    assert(rows.last.getAs[Long]("cum_vocab") == toks.distinct().count())
+    assert(rows.map(_.getAs[Long]("new_types")).sum == rows.last.getAs[Long]("cum_vocab"))
+    assert(rows.forall(r => r.getAs[Long]("decile") >= 0L && r.getAs[Long]("decile") <= 9L))
+    Caches.releaseAll()
+  }
+
+  test("q199 TV divergence: 0 for identical sources, ½ for disjoint; bounded on sf") {
+    import spark.implicits._
+    // disjoint unigram supports: TV(p_src, p_corpus) = ½ exactly
+    val d1 = java.nio.file.Files.createTempDirectory("graft-tv1").toString
+    Seq((1L, "a b", "en", "srcA"), (2L, "c d", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val disjoint = Text.q199SourceDivergence(spark, d1).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tv_ppm")).toMap
+    assert(disjoint == Map("srcA" -> 500000L, "srcB" -> 500000L))
+    Caches.releaseAll()
+    // identical distributions: TV = 0
+    val d2 = java.nio.file.Files.createTempDirectory("graft-tv2").toString
+    Seq((1L, "a b", "en", "srcA"), (2L, "a b", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val same = Text.q199SourceDivergence(spark, d2).collect()
+    assert(same.forall(_.getAs[Long]("tv_ppm") == 0L))
+    Caches.releaseAll()
+    // real corpus: TV ∈ [0, 1] in ppm, one row per source
+    val rows = Text.q199SourceDivergence(spark, sf()).collect()
+    val nSrc = Tables.documents(spark, sf()).select(col("source")).distinct().count()
+    assert(rows.length == nSrc)
+    assert(rows.forall(r =>
+      r.getAs[Long]("tv_ppm") >= 0L && r.getAs[Long]("tv_ppm") <= 1000000L))
+    Caches.releaseAll()
+  }
+
+  test("q200 BM25 retrieval: hand-computed score on a planted corpus; window laws on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // probe = doc 0 (0 % 50 == 0); doc 1 shares both terms, doc 2 none.
+    Seq((0L, "alpha beta", "en", "s1"), (1L, "alpha beta gamma", "en", "s1"),
+        (2L, "delta epsilon", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q200Bm25Retrieval(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("probe_id") == 0L && r.getAs[Long]("doc_id") == 1L
+      && r.getAs[Long]("rank") == 1L && r.getAs[Long]("n_hit_terms") == 2L)
+    // N=3, T=7; alpha in doc1: tf=1, dl=3, df=2 (same for beta) →
+    // tfsat = (44·1·7·2²⁰) div (20·7 + 6·7 + 18·3·3);
+    // idf = ((3−2+1)·2²⁰) div 3; score = 2·((idf·tfsat) div 2²⁰)
+    val tfsat = (BigInt(44) * 7 * 1048576) / (20 * 7 + 6 * 7 + 18 * 3 * 3)
+    val idf = (BigInt(2) * 1048576) / 3
+    assert(r.getAs[Long]("score_fp") == 2L * ((idf * tfsat) / 1048576).toLong)
+    Caches.releaseAll()
+    // real corpus: probes are the mod-50 slice; ranks contiguous from 1,
+    // scores non-increasing within a probe, never self-retrieving
+    val rows = Text.q200Bm25Retrieval(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("probe_id") % 50L == 0L)
+      assert(x.getAs[Long]("doc_id") != x.getAs[Long]("probe_id"))
+      assert(x.getAs[Long]("rank") >= 1L && x.getAs[Long]("rank") <= 5L)
+    }
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getAs[Long]("score_fp")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    Caches.releaseAll()
+  }
 }

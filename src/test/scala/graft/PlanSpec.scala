@@ -101,7 +101,15 @@ class PlanSpec extends SparkSpec {
       "q185_lr_confusion",
       // 1-row weights + 7-row broadcast threshold frame over the bounded
       // (p, y) reduced domain (q162's boundary-probe argument)
-      "q187_threshold_sweep")
+      "q187_threshold_sweep",
+      // 1-row broadcast total-bigram count onto the vocab-sized pair frame
+      "q197_pmi_collocations",
+      // 1-row broadcast (lo, hi) id-span bounds — the q152 normalized-bounds shape
+      "q198_vocab_growth",
+      // 1-row broadcast corpus token total onto the (source, token) reduced frame
+      "q199_source_divergence",
+      // 1-row broadcast (N docs, T tokens) corpus stats onto the postings join
+      "q200_bm25_retrieval")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
