@@ -2291,7 +2291,95 @@ object Text {
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, n_hit_terms, score_fp
       |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  /** q201: memorization-span severity — for every held-out probe document
+    * (the q109 mod-8 eval slice), the LONGEST contiguous run of 5-gram
+    * positions whose gram also appears anywhere in the training slice,
+    * plus the matched-position coverage. q109 flags WHETHER an eval doc
+    * is contaminated (doc-level shared-gram count) and q200 says WHICH
+    * training docs are responsible; this measures HOW BAD — a 50-token
+    * verbatim span is a memorization risk (Lee et al. 2022; Carlini et
+    * al. 2021 extract exactly such spans), while the same gram count
+    * scattered as isolated 5-grams is benign phrase reuse. Span length
+    * in tokens = run + 4 (a run of k consecutive matched positions is a
+    * k+4-token verbatim overlap).
+    *
+    * Runs are gaps-and-islands: matched positions p, grouped by
+    * p − row_number() over (doc, order by p) — consecutive positions
+    * share a group. Exact integers end-to-end.
+    *
+    * Scale stance: one positional-gram scan persisted (two consumers);
+    * the train-side distinct and the left-semi probe join are keyed by
+    * gram (hash-partitioned, the q109 layout); the islands window
+    * partitions by doc_id — a scaling key — over only MATCHED probe
+    * positions (at a real 100 TB tier matches are the rare exception;
+    * the adversarial replicated testdata is the worst case). */
+  def q201MemorizationSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val grams = graft.Caches.persist(toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), size(col("toks")) - lit(4)),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + lit(1)),
+          element_at(col("toks"), i + lit(2)), element_at(col("toks"), i + lit(3)),
+          element_at(col("toks"), i + lit(4))))).as(Seq("p0", "gram")))
+      .withColumn("p", col("p0") + lit(1)).drop("p0"))
+    val train = grams.filter(col("doc_id") % 8 =!= 0).select(col("gram")).distinct()
+    val matched = grams.filter(col("doc_id") % 8 === 0)
+      .join(train, Seq("gram"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val perDoc = matched
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("matched_positions"))
+    toks.filter(col("doc_id") % 8 === 0)
+      .select(col("doc_id"), (size(col("toks")) - lit(4)).cast("long").as("n_positions"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("matched_positions", coalesce(col("matched_positions"), lit(0L)))
+      .withColumn("max_memorized_tokens",
+        when(col("max_run").isNotNull, col("max_run") + lit(4)).otherwise(lit(0L))
+          .cast("long"))
+      .select(col("doc_id"), col("n_positions"), col("matched_positions"),
+        col("max_memorized_tokens"),
+        expr("(matched_positions * 1000000) div n_positions").as("matched_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q201Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |t5 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+      |g AS (SELECT doc_id, p,
+      |        toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] || ' ' ||
+      |        toks[p+3] || ' ' || toks[p+4] AS gram
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p FROM t5)),
+      |train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 8 <> 0),
+      |m AS (SELECT doc_id, p FROM g
+      |      WHERE doc_id % 8 = 0 AND gram IN (SELECT gram FROM train)),
+      |runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+      |         FROM (SELECT doc_id,
+      |                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |               FROM m) i
+      |         GROUP BY 1, 2),
+      |pd AS (SELECT doc_id, max(run_len) AS max_run,
+      |         CAST(sum(run_len) AS BIGINT) AS matched_positions
+      |       FROM runs GROUP BY 1)
+      |SELECT t5.doc_id AS doc_id,
+      |  CAST(len(toks) - 4 AS BIGINT) AS n_positions,
+      |  coalesce(matched_positions, 0) AS matched_positions,
+      |  CAST(CASE WHEN max_run IS NULL THEN 0 ELSE max_run + 4 END AS BIGINT)
+      |    AS max_memorized_tokens,
+      |  CAST((coalesce(matched_positions, 0) * 1000000) // (len(toks) - 4) AS BIGINT)
+      |    AS matched_ppm
+      |FROM t5 LEFT JOIN pd ON t5.doc_id = pd.doc_id
+      |WHERE t5.doc_id % 8 = 0
+      |ORDER BY t5.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_memorization_spans" -> (q201MemorizationSpans _),
     "q200_bm25_retrieval" -> (q200Bm25Retrieval _),
     "q198_vocab_growth" -> (q198VocabGrowth _),
     "q199_source_divergence" -> (q199SourceDivergence _),
@@ -2331,6 +2419,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q201_memorization_spans" -> q201Oracle,
     "q197_pmi_collocations" -> q197Oracle,
     "q198_vocab_growth" -> q198Oracle,
     "q199_source_divergence" -> q199Oracle,

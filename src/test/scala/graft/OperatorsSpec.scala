@@ -826,6 +826,41 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q201 memorization spans: planted verbatim span measured exactly; laws on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-memspan").toString
+    // probe doc 0 embeds train doc 1's 8 tokens verbatim: probe 5-gram
+    // positions 3..6 match (4 consecutive) → span = 4+4 = 8 tokens;
+    // probe doc 8 shares nothing → all-zero row
+    Seq(
+      (0L, "x1 x2 s1 s2 s3 s4 s5 s6 s7 s8 y1 y2", "en", "s1"),
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8", "en", "s1"),
+      (8L, "n1 n2 n3 n4 n5 n6", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q201MemorizationSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_positions"), r.getAs[Long]("matched_positions"),
+          r.getAs[Long]("max_memorized_tokens"), r.getAs[Long]("matched_ppm")))).toMap
+    assert(out(0L) == ((8L, 4L, 8L, 500000L)))
+    assert(out(8L) == ((2L, 0L, 0L, 0L)))
+    Caches.releaseAll()
+    // real corpus: zero-iff-zero, bounded coverage, exactly the probe slice
+    val rows = Text.q201MemorizationSpans(spark, sf()).collect()
+    val probes = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 8 === 0)
+      .filter(size(Text.tokens(col("text"))) >= 5).count()
+    assert(rows.length == probes)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 8 == 0L)
+      assert((r.getAs[Long]("max_memorized_tokens") == 0L)
+        == (r.getAs[Long]("matched_positions") == 0L))
+      assert(r.getAs[Long]("matched_ppm") <= 1000000L)
+      assert(r.getAs[Long]("matched_positions") <= r.getAs[Long]("n_positions"))
+    }
+    Caches.releaseAll()
+  }
+
   test("q200 BM25 retrieval: hand-computed score on a planted corpus; window laws on sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString

@@ -194,6 +194,58 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning: a dimension filter prunes fact partitions at runtime") {
+    // The 100 TB star-join story: the fact table is partitioned on a key
+    // the QUERY never filters directly — the selective predicate lives on
+    // a dimension attribute. Static pruning can't help; Catalyst's DPP
+    // turns the filtered dim side into a runtime IN-subquery on the fact
+    // scan's partition column, so only matching partition directories are
+    // read. Without it, every dim-filtered fact join is a full scan.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables.orders(spark, sf())
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val years = fact.select(col("order_year")).distinct()
+      .as[Int].collect().sorted
+    assert(years.length >= 3, s"need several partitions, got ${years.toSeq}")
+    val target = years.head
+    // dim: (year, tag) — the filter is on tag, NOT on the partition column.
+    // The dim must be a real datasource: a local Seq relation gets folded
+    // by ConvertToLocalRelation, the Filter node disappears, and DPP's
+    // "has selective predicate" precondition never sees it.
+    years.map(y => (y, if (y == target) "target" else "other"))
+      .toSeq.toDF("y", "tag")
+      .write.mode("overwrite").parquet(s"$dir-dim")
+    val dim = spark.read.parquet(s"$dir-dim")
+    val j = fact.join(dim.filter(col("tag") === "target"),
+      col("order_year") === col("y"))
+    val expected = fact.filter(col("order_year") === target).count()
+    assert(j.count() == expected)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    // and the pruned scan must NOT enumerate a non-matching partition
+    val scanSection = plan.split("PartitionFilters")(1).takeWhile(_ != '\n')
+    assert(scanSection.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
+  test("identical aggregate subplans shuffle once (exchange reuse on a self-join)") {
+    // Self-joining a shuffled aggregate (week-over-week, cohort-vs-cohort,
+    // share-of-total patterns) must not pay the shuffle twice: Spark plans
+    // one Exchange and wires a ReusedExchange into the second branch. At
+    // 100 TB the reused exchange halves the dominant cost of every
+    // same-frame comparison query.
+    val agg = Tables.orders(spark, sf())
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("spend"))
+    val j = agg.as("a").join(agg.as("b"),
+        col("a.o_custkey") === col("b.o_custkey"))
+      .select(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The 100 TB story for selective fact-dim joins that are too big to
     // broadcast: Catalyst's runtime row-level filtering builds a bloom
