@@ -2197,13 +2197,21 @@ object Text {
       |    // (CAST(2 AS HUGEINT) * n_tokens * ttot) AS BIGINT) AS tv_ppm
       |FROM agg ORDER BY source""".stripMargin
 
-  /** q200: BM25 retrieval audit — for a deterministic probe slice of the
-    * corpus (doc_id ≡ 0 mod 50, the eval-candidate shape q109's
-    * decontamination uses), retrieve the top-5 OTHER documents by a
+  /** q200: BM25 retrieval audit — for a FIXED benchmark probe set (the
+    * 20 lowest doc_ids), retrieve the top-5 OTHER documents by a
     * BM25-family lexical score (Robertson & Walker 1994; k₁ = 6/5,
     * b = 3/4). This is the retrieval stage of contamination review:
     * n-gram overlap (q109/q138) says WHETHER eval text leaks; BM25 says
     * WHICH training documents are responsible.
+    *
+    * The probe set is deliberately CONSTANT-SIZED, not a corpus share: an
+    * eval benchmark does not grow with the training corpus, and the
+    * retrieval cost is Σ over query terms of their posting-list length —
+    * O(probes · df). A mod-N probe slice (the first cut of this operator)
+    * made the query workload itself scale linearly with the corpus and
+    * measured 307 s at the 10× tier on this testdata's 31-token
+    * stopword-dense vocabulary; the fixed set restores the real
+    * deployment shape where only the CORPUS side scales.
     *
     * Exact-arithmetic form (the q170 ratio-proxy precedent): with integer
     * corpus totals T (tokens) and N (docs), avgdl = T/N stays a rational —
@@ -2221,26 +2229,30 @@ object Text {
     * that hash-partitions by term — the classic distributed inverted
     * index); corpus totals are a 1-row broadcast; per-(probe, cand)
     * scores reduce on their own key and the top-5 window partitions by
-    * probe. Never doc×doc — only term-matched pairs exist. */
+    * probe. Never doc×doc — only term-matched pairs exist.
+    *
+    * Hot-path discipline: ALL DECIMAL(38,0) arithmetic happens on the
+    * postings/df frames (one pass over corpus-sized data), never on the
+    * probe-term fan-out — the first cut scored per HIT row in decimal and
+    * BigDecimal's ~µs-per-op took 66 s at the 10× tier; pre-scoring the
+    * posting (tfsat·idf product per posting, a long by the documented
+    * bound idf_fp·tfsat_fp ≤ 2.2·2²⁰·2²⁰·N < 2⁶³ for N < 4·10¹²) leaves
+    * the fan-out a pure long-sum codegen aggregate — 3.6 s, same hashes. */
   def q200Bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
     val toks = graft.Caches.persist(Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks")))
-    val postings = graft.Caches.persist(toks
+    val postings = toks
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val df = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = toks.agg(count(lit(1)).as("nd"),
       coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("tt"))
-    val probeTerms = toks.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("probe_id"),
-        explode(array_distinct(col("toks"))).as("tok"))
-    val scored = probeTerms
-      .join(postings, Seq("tok"))
-      .filter(col("doc_id") =!= col("probe_id"))
+    // Pre-score each posting: decimal widening runs ONCE per posting row
+    // (map-side, corpus-sized), and contrib is already a long before the
+    // probe fan-out ever multiplies the row count.
+    val scoredPostings = graft.Caches.persist(postings
       .join(df, Seq("tok"))
       .crossJoin(broadcast(stats))
       .withColumn("tfsat_fp", expr(
@@ -2250,6 +2262,13 @@ object Text {
       .withColumn("idf_fp", expr("((nd - df + 1) * 1048576) div (df + 1)"))
       .withColumn("contrib",
         expr("(CAST(idf_fp AS DECIMAL(38,0)) * tfsat_fp) div 1048576"))
+      .select(col("tok"), col("doc_id"), col("contrib")))
+    val probeTerms = toks.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+    val scored = probeTerms
+      .join(scoredPostings, Seq("tok"))
+      .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("contrib")).as("score_fp"))
     val w = org.apache.spark.sql.expressions.Window
@@ -2271,7 +2290,7 @@ object Text {
       |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
       |            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS tt FROM t),
       |qt AS (SELECT doc_id AS probe_id, unnest(list_distinct(toks)) AS tok
-      |       FROM t WHERE doc_id % 50 = 0),
+      |       FROM t WHERE doc_id < 20),
       |hits AS (
       |  SELECT qt.probe_id, post.doc_id,
       |    (CAST(44 AS HUGEINT) * tf * tt * 1048576)

@@ -864,15 +864,16 @@ class OperatorsSpec extends SparkSpec {
   test("q200 BM25 retrieval: hand-computed score on a planted corpus; window laws on sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
-    // probe = doc 0 (0 % 50 == 0); doc 1 shares both terms, doc 2 none.
-    Seq((0L, "alpha beta", "en", "s1"), (1L, "alpha beta gamma", "en", "s1"),
-        (2L, "delta epsilon", "en", "s1"))
+    // probe = doc 0 (< 20; 21/22 stay corpus-side); doc 21 shares both
+    // terms, doc 22 none.
+    Seq((0L, "alpha beta", "en", "s1"), (21L, "alpha beta gamma", "en", "s1"),
+        (22L, "delta epsilon", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Text.q200Bm25Retrieval(spark, dir).collect()
     assert(out.length == 1)
     val r = out.head
-    assert(r.getAs[Long]("probe_id") == 0L && r.getAs[Long]("doc_id") == 1L
+    assert(r.getAs[Long]("probe_id") == 0L && r.getAs[Long]("doc_id") == 21L
       && r.getAs[Long]("rank") == 1L && r.getAs[Long]("n_hit_terms") == 2L)
     // N=3, T=7; alpha in doc1: tf=1, dl=3, df=2 (same for beta) →
     // tfsat = (44·1·7·2²⁰) div (20·7 + 6·7 + 18·3·3);
@@ -881,12 +882,12 @@ class OperatorsSpec extends SparkSpec {
     val idf = (BigInt(2) * 1048576) / 3
     assert(r.getAs[Long]("score_fp") == 2L * ((idf * tfsat) / 1048576).toLong)
     Caches.releaseAll()
-    // real corpus: probes are the mod-50 slice; ranks contiguous from 1,
-    // scores non-increasing within a probe, never self-retrieving
+    // real corpus: probes are the fixed benchmark set; ranks contiguous
+    // from 1, scores non-increasing within a probe, never self-retrieving
     val rows = Text.q200Bm25Retrieval(spark, sf()).collect()
     assert(rows.nonEmpty)
     rows.foreach { x =>
-      assert(x.getAs[Long]("probe_id") % 50L == 0L)
+      assert(x.getAs[Long]("probe_id") < 20L)
       assert(x.getAs[Long]("doc_id") != x.getAs[Long]("probe_id"))
       assert(x.getAs[Long]("rank") >= 1L && x.getAs[Long]("rank") <= 5L)
     }
