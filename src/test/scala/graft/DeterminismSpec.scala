@@ -51,4 +51,8 @@ class DeterminismSpec extends SparkSpec {
   pinned("q159_priority_sample")  // division-only priority keys + micros audit sum
   pinned("q162_equidepth_histogram") // two-level integer boundary refinement
   pinned("q164_bottomk_quantile") // merge-truncated bottom-k sample, selected medians
+  pinned("q181_bpe_train")       // k merge rounds, total-order argmax per round
+  pinned("q184_lr_train")        // k gradient steps, fixed-point hard-sigmoid
+  pinned("q199_source_divergence") // DECIMAL(38) abs-difference sums
+  pinned("q200_bm25_retrieval")  // pre-scored postings, long-sum fan-out
 }
