@@ -416,12 +416,106 @@ object Sketches {
     "q132_bitmap_rollup" -> (q132BitmapRollup _),
     "q142_rolling_bitmap" -> (q142RollingBitmap _),
     "q157_bloom_semijoin" -> (q157BloomSemijoin _),
-    "q164_bottomk_quantile" -> (q164BottomkQuantile _))
+    "q164_bottomk_quantile" -> (q164BottomkQuantile _),
+    "q202_hll_merge" -> (q202HllMerge _))
 
   val oracles: Map[String, String] = Map(
     "q127_hll_distinct" -> q127Oracle,
     "q132_bitmap_rollup" -> q132Oracle,
     "q142_rolling_bitmap" -> q142Oracle,
     "q157_bloom_semijoin" -> q157Oracle,
-    "q164_bottomk_quantile" -> q164Oracle)
+    "q164_bottomk_quantile" -> q164Oracle,
+    "q202_hll_merge" -> q202Oracle)
+
+  /** q202: HLL dump-merge law — the reason a 100 TB pipeline can keep
+    * per-source/per-month distinct-user sketches and NEVER rescan old
+    * dumps: registers are max-mergeable, so estimate(merge(sketch(dump₁),
+    * …, sketch(dumpₖ))) ≡ estimate(sketch(∪ dumps)) exactly, not
+    * approximately. This query PROVES the law on data: the user space is
+    * split into 4 disjoint "dumps" (user_id mod 4), a register table is
+    * built independently per (event_type, dump), the four sketches merge
+    * by per-bucket max, and the merged estimate is emitted next to the
+    * direct whole-set estimate with an equality flag — 1 for every row,
+    * by the associativity of max, in any engine.
+    *
+    * Complements q132 (EXACT bitmap merge) with the approximate half of
+    * the mergeable-summary story, and q127 (accuracy vs exact) with the
+    * maintenance law. Same deterministic md5 integer registers as q127 —
+    * no floats, driver-hash stable.
+    *
+    * Scale stance: one distinct (event_type, user_id) shuffle; the
+    * per-dump register agg and the merge agg both run over register-table
+    * frames bounded by |groups|·m — at any corpus size the merge input is
+    * sketches, not data. */
+  def q202HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persist(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct())
+    val h = md5(col("user_id").cast("string").cast("binary"))
+    val slice = conv(substring(h, 3, 10), 16, 10).cast("long")
+    val perDump = ev
+      .select(col("event_type"), (col("user_id") % 4).as("dump"),
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("bucket"),
+        when(slice === 0, lit(ValueBits + 1))
+          .otherwise(lit(ValueBits + 1) - length(conv(substring(h, 3, 10), 16, 2)))
+          .as("rho"))
+      .groupBy(col("event_type"), col("dump"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val merged = hllEstimate(perDump
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+        .select(col("event_type").as("g"), col("bucket"), col("m")))
+      .select(col("g"), col("hll_estimate").as("merged_estimate"))
+    val direct = hllEstimate(hllRegisters(ev, col("event_type"), col("user_id")))
+      .select(col("g"), col("hll_estimate").as("direct_estimate"))
+    val nDumps = perDump.groupBy(col("event_type"))
+      .agg(countDistinct(col("dump")).as("n_dumps"))
+    merged.join(direct, Seq("g"))
+      .join(nDumps, merged("g") === nDumps("event_type"))
+      .select(col("g").as("event_type"), col("n_dumps"),
+        col("merged_estimate"), col("direct_estimate"),
+        (col("merged_estimate") === col("direct_estimate")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  // def, not val: this is referenced by the `oracles` map declared ABOVE
+  // it — a val would still be null at map construction (the round-5
+  // object-initialization-order trap q154 hit).
+  def q202Oracle: String = {
+    val scale = 1L << (ValueBits + 1)
+    s"""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type, user_id % 4 AS dump,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) bucket,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 10) AS BIGINT) = 0
+       |         THEN ${ValueBits + 1}
+       |         ELSE ${ValueBits + 1} - length(bin(
+       |           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 10) AS BIGINT)))
+       |    END rho
+       |  FROM ev),
+       |per_dump AS (SELECT event_type, dump, bucket, max(rho) m FROM h GROUP BY 1, 2, 3),
+       |merged_regs AS (SELECT event_type, bucket, max(m) m FROM per_dump GROUP BY 1, 2),
+       |direct_regs AS (SELECT event_type, bucket, max(rho) m FROM h GROUP BY 1, 2),
+       |mt AS (SELECT event_type,
+       |         CAST(sum(1::BIGINT << (${ValueBits + 1} - m)) AS BIGINT) s, count(*) nb
+       |       FROM merged_regs GROUP BY 1),
+       |dt AS (SELECT event_type,
+       |         CAST(sum(1::BIGINT << (${ValueBits + 1} - m)) AS BIGINT) s, count(*) nb
+       |       FROM direct_regs GROUP BY 1),
+       |me AS (SELECT event_type,
+       |         CAST(${AlphaM2 * scale} // (s + ($Buckets - nb) * $scale) AS BIGINT)
+       |           AS merged_estimate
+       |       FROM mt),
+       |de AS (SELECT event_type,
+       |         CAST(${AlphaM2 * scale} // (s + ($Buckets - nb) * $scale) AS BIGINT)
+       |           AS direct_estimate
+       |       FROM dt),
+       |nd AS (SELECT event_type, CAST(count(DISTINCT dump) AS BIGINT) AS n_dumps
+       |       FROM per_dump GROUP BY 1)
+       |SELECT me.event_type, n_dumps, merged_estimate, direct_estimate,
+       |  CAST(CASE WHEN merged_estimate = direct_estimate THEN 1 ELSE 0 END AS BIGINT)
+       |    AS merge_exact
+       |FROM me JOIN de USING (event_type) JOIN nd USING (event_type)
+       |ORDER BY me.event_type""".stripMargin
+  }
 }

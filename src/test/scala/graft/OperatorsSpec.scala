@@ -743,6 +743,33 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q202 HLL merge law: merged == direct on every row, sf and planted") {
+    import spark.implicits._
+    // planted: users deliberately OVERLAP dumps-wise irrelevantly (dump =
+    // user_id % 4 partitions them), duplicates across event rows collapse
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllm").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (1L to 40L).flatMap(u => Seq((u, ts, u, "click", 1.0, "{}"), (u + 100L, ts, u, "view", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = Sketches.q202HllMerge(spark, dir).collect()
+    assert(planted.length == 2)
+    planted.foreach { r =>
+      assert(r.getAs[Long]("merge_exact") == 1L)
+      assert(r.getAs[Long]("n_dumps") == 4L)
+      assert(r.getAs[Long]("merged_estimate") == r.getAs[Long]("direct_estimate"))
+    }
+    Caches.releaseAll()
+    // real data: the law holds for every event type
+    val rows = Sketches.q202HllMerge(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("merge_exact") == 1L)
+      assert(r.getAs[Long]("n_dumps") <= 4L)
+    }
+    Caches.releaseAll()
+  }
+
   test("q197 PMI collocations: hand-computed ratio on a planted corpus, support filter holds") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
