@@ -463,17 +463,133 @@ object Graph {
        |ORDER BY n_members DESC, community ASC""".stripMargin
   }
 
+  /** q203: k-core peel curve — synchronous Matula–Beck peeling of the part
+    * co-order graph (parts are adjacent when the same order contains both,
+    * with support ≥ 2 orders), k = 3, a FIXED 10 rounds. Each round
+    * simultaneously removes every node whose degree in the surviving
+    * subgraph is < k; the output is the 11-row shedding curve (round 0 =
+    * the initial graph): nodes alive, nodes removed this round, edges
+    * alive. The curve is the graph-robustness audit a curation pipeline
+    * reads the way q178 reads the filter funnel — a graph that sheds most
+    * of itself by round 2 has no k-core worth mining for co-occurrence
+    * communities. Fixed rounds (the q117/q171 discipline) keep the
+    * operator deterministic at ANY scale: survivors-after-10 equal the
+    * true 3-core whenever peeling has converged (10 rounds at sf0.01,
+    * pinned by GraphSpec's fixpoint assertion) and are a well-defined
+    * upper bound otherwise.
+    *
+    * Scale stance: the basket self-join is order-keyed (q118's shape) and
+    * support-filtered ONCE; each round is one semi-join restriction + one
+    * degree aggregate over the SURVIVING edge set (monotonically
+    * shrinking). Only the EDGE frame checkpoints per round (distributed —
+    * NOT coalesce(1): the q171 single-partition idiom is for its 25-row
+    * label frame, and funneling a corpus-scale edge set through one task
+    * 12 times measured 8× the wall at the 10× tier); the alive set is
+    * derived lazily from the previous checkpointed edges, so each round
+    * adds exactly one eager job. Per-round stat rows are 1-row aggregates
+    * UNIONED (never cross-joined — the q133 lint lesson), re-aggregated
+    * by round so the 11-row lag window sits over a reduced frame. */
+  def q203KcorePeel(s: SparkSession, dir: String): DataFrame = {
+    val K = 3
+    val R = 10
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val e0 = graft.Caches.trackCheckpoint(
+      a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("u"), col("v"))
+        .localCheckpoint())
+    // Tagged union, ONE aggregate (the q133 lesson): joining two 1-row
+    // global aggregates — even on an equal literal — plans as a
+    // lint-banned nested-loop join.
+    def statRow(r: Int, alive: org.apache.spark.sql.DataFrame,
+                edges: org.apache.spark.sql.DataFrame) =
+      alive.select(lit(1L).as("a"), lit(0L).as("e"))
+        .unionByName(edges.select(lit(0L).as("a"), lit(1L).as("e")))
+        .agg(coalesce(sum(col("a")), lit(0L)).as("n_alive"),
+          coalesce(sum(col("e")), lit(0L)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_alive"), col("n_edges"))
+    val alive0 = e0.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    var edges = e0
+    var stats = Seq(statRow(0, alive0, edges))
+    for (r <- 1 to R) {
+      // alive_r derives LAZILY from the previous round's checkpointed
+      // edges — used once inside this round's (checkpointed) restriction
+      // and once in the final stat action, both cheap re-aggregates.
+      val alive = edges.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= K).select(col("id"))
+      // checkpoint EVERY round: a skipped round leaves the next stat
+      // branch re-deriving a semi-join over the corpus-scale frame at
+      // final-action time — measured +45% at the 10× tier against the
+      // ~0.3 s/round job latency the checkpoint costs at the judged tier
+      edges = graft.Caches.trackCheckpoint(edges
+        .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint())
+      stats = stats :+ statRow(r, alive, edges)
+    }
+    val curve = stats.reduce(_ unionByName _)
+      .groupBy(col("round"))
+      .agg(max(col("n_alive")).as("n_alive"), max(col("n_edges")).as("n_edges"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("round"))
+    curve
+      .withColumn("n_removed",
+        coalesce(lag(col("n_alive"), 1).over(w) - col("n_alive"), lit(0L)))
+      .select(col("round"), col("n_alive"), col("n_removed"), col("n_edges"))
+      .orderBy(col("round"))
+  }
+
+  def q203Oracle: String = {
+    val K = 3
+    val R = 10
+    val rounds = (1 to R).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT id, count(*) d FROM (
+         |      SELECT u AS id FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+         |    GROUP BY id)
+         |  WHERE d >= $K),
+         |e$r AS MATERIALIZED (
+         |  SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT id FROM a$r) AND v IN (SELECT id FROM a$r))""".stripMargin
+    }.mkString(",\n")
+    val statRows = (0 to R).map { r =>
+      s"SELECT CAST($r AS BIGINT) round, (SELECT count(*) FROM a$r) n_alive, " +
+        s"(SELECT count(*) FROM e$r) n_edges"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.l_partkey u, b.l_partkey v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |a0 AS MATERIALIZED (SELECT u AS id FROM e0 UNION SELECT v FROM e0),
+       |$rounds,
+       |stats AS ($statRows)
+       |SELECT round, CAST(n_alive AS BIGINT) AS n_alive,
+       |  CAST(coalesce(lag(n_alive) OVER (ORDER BY round) - n_alive, 0) AS BIGINT)
+       |    AS n_removed,
+       |  CAST(n_edges AS BIGINT) AS n_edges
+       |FROM stats ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_lpa_communities" -> (q171LpaCommunities _),
     "q117_pagerank" -> (q117Pagerank _),
     "q121_shortest_hops" -> (q121ShortestHops _),
     "q122_triangles" -> (q122Triangles _),
-    "q154_pagerank_dangling" -> (q154PagerankDangling _))
+    "q154_pagerank_dangling" -> (q154PagerankDangling _),
+    "q203_kcore_peel" -> (q203KcorePeel _))
 
   def oracles: Map[String, String] = Map(
     "q171_lpa_communities" -> q171Oracle,
     "q117_pagerank" -> q117Oracle,
     "q121_shortest_hops" -> q121Oracle,
     "q122_triangles" -> q122Oracle,
-    "q154_pagerank_dangling" -> q154Oracle)
+    "q154_pagerank_dangling" -> q154Oracle,
+    "q203_kcore_peel" -> q203Oracle)
 }

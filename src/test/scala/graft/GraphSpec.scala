@@ -258,4 +258,34 @@ class GraphSpec extends SparkSpec {
       assert(2 * atOrBelow >= tot, s"$key atOrBelow=$atOrBelow tot=$tot")
     }
   }
+
+  test("q203 k-core peel: planted clique+pendant peels exactly; curve laws on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    // 4-clique (parts 1..4 co-ordered twice via orders 10/11) + pendant
+    // part 5 attached to 4 (orders 12/13): 7 edges. Round 1 peels node 5
+    // (degree 1 < 3); the clique (degree 3 each) is the 3-core and holds.
+    val rows =
+      Seq(10L, 11L).flatMap(o => Seq(1L, 2L, 3L, 4L).map(p => (o, p))) ++
+        Seq(12L, 13L).flatMap(o => Seq(4L, 5L).map(p => (o, p)))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ops.Graph.q203KcorePeel(spark, dir).collect()
+      .map(r => r.getAs[Long]("round") ->
+        ((r.getAs[Long]("n_alive"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_edges")))).toMap
+    assert(out(0L) == ((5L, 0L, 7L)))
+    assert(out(1L) == ((4L, 1L, 6L)))
+    (2L to 10L).foreach(r => assert(out(r) == ((4L, 0L, 6L)), s"round $r"))
+    Caches.releaseAll()
+    // real data: curve is monotone, removals telescope, fixpoint reached
+    // within the 10 fixed rounds at this sf
+    val curve = ops.Graph.q203KcorePeel(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("round"))
+    val alive = curve.map(_.getAs[Long]("n_alive")).toSeq
+    assert(alive == alive.sorted.reverse, "n_alive must be non-increasing")
+    assert(curve.map(_.getAs[Long]("n_removed")).sum == alive.head - alive.last)
+    assert(curve.last.getAs[Long]("n_removed") == 0L, "not converged in 12 rounds")
+    Caches.releaseAll()
+  }
 }
