@@ -246,6 +246,41 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), plan)
   }
 
+  test("CBO + ANALYZE statistics reorder a join chain (selective dim joins first)") {
+    // The 100 TB lever the other plan proofs don't cover: with table and
+    // column statistics, the cost-based optimizer rewrites a WRITTEN
+    // fact ⋈ fact ⋈ filtered-dim chain so the selective dim reduction
+    // happens FIRST. Without stats the written (worst) order survives —
+    // asserting both directions proves it is the statistics doing it.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val sql =
+      """SELECT n_name, count(*) FROM cbodb.orders
+        |JOIN cbodb.customer ON o_custkey = c_custkey
+        |JOIN cbodb.nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 0
+        |GROUP BY n_name""".stripMargin
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbodb")
+    for (t <- Seq("nation", "customer", "orders")) {
+      Tables.load(spark, sf(), t).write.mode("overwrite").saveAsTable(s"cbodb.$t")
+      spark.sql(s"ANALYZE TABLE cbodb.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    def innermostJoin(s: org.apache.spark.sql.SparkSession): String =
+      s.sql(sql).queryExecution.optimizedPlan
+        .collect { case j: Join => j }.last.toString
+    val cbo = spark.newSession()
+    cbo.conf.set("spark.sql.cbo.enabled", "true")
+    cbo.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val reordered = innermostJoin(cbo)
+    assert(reordered.contains("nation") && !reordered.contains("orders"),
+      s"CBO should join the filtered dim first:\n$reordered")
+    val noCbo = spark.newSession() // stats present but CBO off → written order
+    val writtenOrder = innermostJoin(noCbo)
+    assert(writtenOrder.contains("orders"),
+      s"without CBO the written order should survive:\n$writtenOrder")
+    // reordering must not change the answer
+    assert(cbo.sql(sql).collect().toSet == noCbo.sql(sql).collect().toSet)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The 100 TB story for selective fact-dim joins that are too big to
     // broadcast: Catalyst's runtime row-level filtering builds a bloom
