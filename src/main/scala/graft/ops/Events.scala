@@ -740,7 +740,63 @@ object Events {
       |           - CAST(sp AS HUGEINT) * CAST(sp AS HUGEINT))
       |ORDER BY hour_epoch_s""".stripMargin
 
+  /** q204: k-anonymity release audit — before per-cell analytics about the
+    * training corpus leave the pipeline (public dashboards, partner
+    * reports), every cell of the quasi-identifier grid must cover at least
+    * k distinct individuals; smaller cells are suppressed (Sweeney 2002,
+    * the k-anonymity criterion — the standard minimum-cell-size release
+    * rule). Quasi-identifier here is (event_type, day); k = 5 distinct
+    * users. Per event_type: how many cells the release keeps vs
+    * suppresses, the row mass on each side, the smallest released cell
+    * (the audit's proof obligation: min ≥ k), and the suppressed-row share
+    * in exact ppm.
+    *
+    * Scale stance: one hash aggregation keyed by the quasi-identifier
+    * (count-distinct expands user_id into the same shuffle), then a
+    * second agg over the |types|×|days| cell frame — bounded, broadcast-
+    * sized. The decision (n_users < k) is an integer compare; the ppm is
+    * integer floor division. Never touches raw rows twice, never windows
+    * over the event stream. */
+  def q204KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = lit(5L)
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+    cells
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("n_users") < k, lit(1L)).otherwise(lit(0L))).as("n_suppressed_cells"),
+        sum(when(col("n_users") >= k, col("n_rows")).otherwise(lit(0L))).as("rows_released"),
+        sum(when(col("n_users") < k, col("n_rows")).otherwise(lit(0L))).as("rows_suppressed"),
+        coalesce(min(when(col("n_users") >= k, col("n_users"))), lit(0L))
+          .as("min_released_cell_users"))
+      .withColumn("suppressed_ppm",
+        expr("rows_suppressed * 1000000 div (rows_released + rows_suppressed)"))
+      .orderBy(col("event_type"))
+  }
+
+  val q204Oracle: String =
+    """WITH cells AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_suppressed_cells,
+      |  CAST(sum(CASE WHEN n_users >= 5 THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS rows_released,
+      |  CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS rows_suppressed,
+      |  CAST(coalesce(min(CASE WHEN n_users >= 5 THEN n_users END), 0) AS BIGINT)
+      |    AS min_released_cell_users,
+      |  CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) * 1000000
+      |    // sum(n_rows) AS BIGINT) AS suppressed_ppm
+      |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_k_anonymity"     -> (q204KAnonymity _),
     "q161_seasonal_anomaly" -> (q161SeasonalAnomaly _),
     "q148_session_stats"   -> (q148SessionStats _),
     "q144_attribution"     -> (q144Attribution _),
@@ -761,6 +817,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q204_k_anonymity"     -> q204Oracle,
     "q161_seasonal_anomaly" -> q161Oracle,
     "q148_session_stats"   -> q148Oracle,
     "q144_attribution"     -> q144Oracle,

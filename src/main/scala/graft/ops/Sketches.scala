@@ -411,7 +411,98 @@ object Sketches {
       |FROM me JOIN ms ON me.nationkey = ms.nationkey
       |ORDER BY me.nationkey""".stripMargin
 
+  private val CmWidth = 1024L
+
+  /** q206: sketch-driven join-size estimation — the Cormode–Muthukrishnan
+    * inner-product law (the second half of the count-min paper, '05 §4.2):
+    * for relations R and S keyed by k, |R ⋈ S| = Σₖ c_R(k)·c_S(k), and the
+    * row-wise dot product of their count-min grids, minimized over the d
+    * rows, upper-bounds it. This is how a 100 TB optimizer prices a join
+    * WITHOUT scanning either input twice: the 4×1024 grids are mergeable
+    * partial aggregates kept as table statistics, and the estimate is a
+    * 4096-cell dot product — the CBO cardinality probe (ScaleSpec's
+    * ANALYZE pin) rebuilt from sketches that survive appends. R = lineitem
+    * on l_partkey, S = the returned-items slice (l_returnflag = 'R') —
+    * genuinely many-to-many on both sides. Emits, per grid row r: the dot
+    * product, the min-over-rows estimate, the exact join size, and the
+    * overestimate in exact ppm (collision inflation; ≥ 0 always).
+    *
+    * Exactness: same deterministic md5-slice hashing as q116/q127; grid
+    * cells and dot products are integer sums widened to DECIMAL(38,0)/
+    * HUGEINT — at 1e12-row inputs the dot product passes 2^63, so the
+    * widening is the operating requirement.
+    *
+    * Scale stance: ONE scan of lineitem builds both per-key count frames
+    * in a single hash aggregate; each grid is a ≤4096-row reduce; the dot
+    * product joins two 4096-row frames; exact is one more reduce of the
+    * per-key frame (here for the audit — a production deployment keeps
+    * only the grids). The 1-row exact frame joins back by broadcast
+    * crossJoin (the house bounds-frame idiom). */
+  def q206CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val pk = graft.Caches.persist(
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("k"))
+        .agg(
+          count(lit(1)).as("na"),
+          sum(when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L))).as("nb")))
+    def grid(nc: String, out: String): DataFrame = pk
+      .filter(col(nc) > 0)
+      .select(col(nc).as("n"), md5(col("k").cast("string").cast("binary")).as("m"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"),
+        (conv(expr("substring(m, 1 + r * 4, 4)"), 16, 10).cast("long") % CmWidth).as("cell"),
+        col("n"))
+      .groupBy(col("r"), col("cell")).agg(sum(col("n")).as(out))
+    val exact = pk.agg(sum(wide(col("na")) * wide(col("nb"))).as("exact_wide"))
+    val dots = grid("na", "ca").join(grid("nb", "cb"), Seq("r", "cell"))
+      .groupBy(col("r")).agg(sum(wide(col("ca")) * wide(col("cb"))).as("dot_wide"))
+    dots
+      .withColumn("est_wide", min(col("dot_wide")).over(Window.partitionBy()))
+      .crossJoin(broadcast(exact))
+      .select(col("r").cast("long").as("r"),
+        col("dot_wide").cast("long").as("dot_product"),
+        col("est_wide").cast("long").as("cms_estimate"),
+        col("exact_wide").cast("long").as("exact_join_size"),
+        expr("((dot_wide - exact_wide) * 1000000) div exact_wide").cast("long")
+          .as("overestimate_ppm"))
+      .orderBy(col("r"))
+  }
+
+  val q206Oracle: String =
+    s"""WITH pk AS (
+      |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM lineitem GROUP BY 1),
+      |ex AS (SELECT sum(CAST(na AS HUGEINT) * nb) AS exact_join_size FROM pk),
+      |ga AS (
+      |  SELECT r.r,
+      |    CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + r.r * 4, 4) AS BIGINT)
+      |      % $CmWidth AS cell,
+      |    CAST(sum(na) AS BIGINT) AS ca
+      |  FROM pk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+      |  WHERE na > 0 GROUP BY 1, 2),
+      |gb AS (
+      |  SELECT r.r,
+      |    CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + r.r * 4, 4) AS BIGINT)
+      |      % $CmWidth AS cell,
+      |    CAST(sum(nb) AS BIGINT) AS cb
+      |  FROM pk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+      |  WHERE nb > 0 GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT ga.r, sum(CAST(ca AS HUGEINT) * cb) AS dot
+      |  FROM ga JOIN gb ON ga.r = gb.r AND ga.cell = gb.cell GROUP BY 1)
+      |SELECT CAST(r AS BIGINT) AS r,
+      |  CAST(dot AS BIGINT) AS dot_product,
+      |  CAST(min(dot) OVER () AS BIGINT) AS cms_estimate,
+      |  CAST(exact_join_size AS BIGINT) AS exact_join_size,
+      |  CAST((dot - exact_join_size) * 1000000 // exact_join_size AS BIGINT)
+      |    AS overestimate_ppm
+      |FROM dots CROSS JOIN ex ORDER BY r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_cms_join_size" -> (q206CmsJoinSize _),
     "q127_hll_distinct" -> (q127HllDistinct _),
     "q132_bitmap_rollup" -> (q132BitmapRollup _),
     "q142_rolling_bitmap" -> (q142RollingBitmap _),
@@ -420,6 +511,7 @@ object Sketches {
     "q202_hll_merge" -> (q202HllMerge _))
 
   val oracles: Map[String, String] = Map(
+    "q206_cms_join_size" -> q206Oracle,
     "q127_hll_distinct" -> q127Oracle,
     "q132_bitmap_rollup" -> q132Oracle,
     "q142_rolling_bitmap" -> q142Oracle,

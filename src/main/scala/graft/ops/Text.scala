@@ -2397,7 +2397,69 @@ object Text {
       |WHERE t5.doc_id % 8 = 0
       |ORDER BY t5.doc_id""".stripMargin
 
+  /** q205: dump-over-dump shingle novelty — the marginal-utility curve of
+    * adding crawl dump N to a corpus that already holds dumps 1..N−1
+    * (the FineWeb/RefinedWeb question "is another CommonCrawl snapshot
+    * still worth ingesting?"). Dumps are the q202 disjoint mod-4 slices of
+    * doc_id; the unit is the distinct 5-gram shingle ([[shingles5]], the
+    * same unit the near-dup family keys on). Per dump, in processing
+    * order: how many distinct shingles the dump contains, how many of
+    * those are NOVEL (first dump, in dump order, where the shingle
+    * appears), novelty in exact ppm, and the cumulative corpus vocabulary
+    * after the dump — novelty_ppm falling across dumps is the saturation
+    * signal that caps how many more dumps are worth the scan.
+    *
+    * Scale stance: ONE shuffle keyed by shingle — the per-gram reduce
+    * carries min(dump) plus the ≤4-entry dump set (map-side combined, so
+    * the shuffle moves one row per distinct (gram, partial) not per
+    * occurrence), then explodes to a 4-key aggregate. The cumulative
+    * window runs over the 4-row dump frame. Identical layout at 100 dumps
+    * × 100 TB: the gram-keyed reduce is the whole cost, and it is the
+    * same reduce the dedup index already pays. */
+  def q205DumpNovelty(s: SparkSession, dir: String): DataFrame = {
+    val perGram = Tables.documents(s, dir)
+      .select((col("doc_id") % 4).as("dump"),
+        explode(shingles5(tokens(col("text")))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(min(col("dump")).as("first_dump"), collect_set(col("dump")).as("dumps"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("dump"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perGram
+      .select(col("first_dump"), explode(col("dumps")).as("dump"))
+      .groupBy(col("dump"))
+      .agg(
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("first_dump") === col("dump"), lit(1L)).otherwise(lit(0L)))
+          .as("novel_grams"))
+      .withColumn("novelty_ppm", expr("novel_grams * 1000000 div distinct_grams"))
+      .withColumn("cumulative_vocab", sum(col("novel_grams")).over(w))
+      .orderBy(col("dump"))
+  }
+
+  val q205Oracle: String =
+    s"""WITH g AS (
+      |  SELECT doc_id % 4 AS dump, unnest(${shingles5Sql(tokensSql)}) AS gram
+      |  FROM documents),
+      |pg AS (
+      |  SELECT gram, min(dump) AS first_dump, list_distinct(list(dump)) AS dumps
+      |  FROM g GROUP BY gram),
+      |x AS (SELECT first_dump, unnest(dumps) AS dump FROM pg),
+      |d AS (
+      |  SELECT dump,
+      |    CAST(count(*) AS BIGINT) AS distinct_grams,
+      |    CAST(sum(CASE WHEN first_dump = dump THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS novel_grams
+      |  FROM x GROUP BY dump)
+      |SELECT dump, distinct_grams, novel_grams,
+      |  CAST(novel_grams * 1000000 // distinct_grams AS BIGINT) AS novelty_ppm,
+      |  CAST(sum(novel_grams) OVER (ORDER BY dump
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumulative_vocab
+      |FROM d ORDER BY dump""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_dump_novelty" -> (q205DumpNovelty _),
     "q201_memorization_spans" -> (q201MemorizationSpans _),
     "q200_bm25_retrieval" -> (q200Bm25Retrieval _),
     "q198_vocab_growth" -> (q198VocabGrowth _),
@@ -2438,6 +2500,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q205_dump_novelty" -> q205Oracle,
     "q201_memorization_spans" -> q201Oracle,
     "q197_pmi_collocations" -> q197Oracle,
     "q198_vocab_growth" -> q198Oracle,

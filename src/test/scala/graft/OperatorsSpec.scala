@@ -926,4 +926,115 @@ class OperatorsSpec extends SparkSpec {
     }
     Caches.releaseAll()
   }
+
+  test("q204 k-anonymity: planted cells split exactly at k; release laws on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    // A/day1: 6 distinct users over 8 rows (released); A/day2: 2 users
+    // (suppressed); B/day1: 3 users (suppressed; B has NO released cell)
+    val rows =
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 1L, 2L).map(u => (u, ts("2024-01-01"), u, "A", 1.0, "{}")) ++
+        Seq(1L, 2L, 1L).map(u => (u + 10L, ts("2024-01-02"), u, "A", 1.0, "{}")) ++
+        Seq(1L, 2L, 3L).map(u => (u + 20L, ts("2024-01-01"), u, "B", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.q204KAnonymity(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_cells"), r.getAs[Long]("n_suppressed_cells"),
+          r.getAs[Long]("rows_released"), r.getAs[Long]("rows_suppressed"),
+          r.getAs[Long]("min_released_cell_users"), r.getAs[Long]("suppressed_ppm")))).toMap
+    assert(out("A") == ((2L, 1L, 8L, 3L, 6L, 3L * 1000000L / 11L)))
+    assert(out("B") == ((1L, 1L, 0L, 3L, 0L, 1000000L)))
+    Caches.releaseAll()
+    // real corpus: the release partitions every row; every released cell
+    // actually meets k; ppm bounded
+    val sfRows = Events.q204KAnonymity(spark, sf()).collect()
+    val byType = Tables.events(spark, sf()).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sfRows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    sfRows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("rows_released") + r.getAs[Long]("rows_suppressed") == byType(t))
+      assert(r.getAs[Long]("n_suppressed_cells") <= r.getAs[Long]("n_cells"))
+      val minRel = r.getAs[Long]("min_released_cell_users")
+      assert(minRel >= 5L || (minRel == 0L && r.getAs[Long]("rows_released") == 0L))
+      val ppm = r.getAs[Long]("suppressed_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    Caches.releaseAll()
+  }
+
+  test("q205 dump novelty: planted first-dump attribution; closure laws on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    // dump = doc_id % 4. Gram g1 = "a b c d e" born in dump 0, repeated in
+    // dumps 1 and 3; g2 born in dump 2; g3 ("b c d e f") born in dump 3.
+    Seq(
+      (0L, "a b c d e", "en", "s1"),
+      (1L, "a b c d e", "en", "s1"),
+      (2L, "f g h i j", "en", "s1"),
+      (3L, "a b c d e f", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q205DumpNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("dump") ->
+        ((r.getAs[Long]("distinct_grams"), r.getAs[Long]("novel_grams"),
+          r.getAs[Long]("novelty_ppm"), r.getAs[Long]("cumulative_vocab")))).toMap
+    assert(out(0L) == ((1L, 1L, 1000000L, 1L)))
+    assert(out(1L) == ((1L, 0L, 0L, 1L)))
+    assert(out(2L) == ((1L, 1L, 1000000L, 2L)))
+    assert(out(3L) == ((2L, 1L, 500000L, 3L)))
+    Caches.releaseAll()
+    // real corpus: novel counts close on the corpus-wide distinct-shingle
+    // total, and novelty is a bounded share of each dump's vocabulary
+    val rows = Text.q205DumpNovelty(spark, sf()).collect().sortBy(_.getAs[Long]("dump"))
+    val corpusGrams = Tables.documents(spark, sf())
+      .select(explode(Text.shingles5(Text.tokens(col("text")))).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("novel_grams")).sum == corpusGrams)
+    assert(rows.last.getAs[Long]("cumulative_vocab") == corpusGrams)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("novel_grams") <= r.getAs[Long]("distinct_grams"))
+      assert(r.getAs[Long]("novelty_ppm") <= 1000000L)
+    }
+    Caches.releaseAll()
+  }
+
+  test("q206 CM join size: estimate bounds the exact size below; planted dot products") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmsjoin").toString
+    // key 1: na=3, nb=1; key 2: na=2, nb=0 → exact = 3·1 = 3. Per grid
+    // row the dot is 3 (keys land in distinct cells) or 5 (md5 slices of
+    // "1" and "2" collide mod 1024 — then ca = 3+2 shares the cell)
+    Seq((1L, "N"), (1L, "N"), (1L, "R"), (2L, "N"), (2L, "N"))
+      .toDF("l_partkey", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Sketches.q206CmsJoinSize(spark, dir).collect().sortBy(_.getAs[Long]("r"))
+    assert(out.map(_.getAs[Long]("r")).toSeq == Seq(0L, 1L, 2L, 3L))
+    val dots = out.map(_.getAs[Long]("dot_product"))
+    dots.foreach(d => assert(d == 3L || d == 5L, d))
+    out.foreach { r =>
+      assert(r.getAs[Long]("exact_join_size") == 3L)
+      assert(r.getAs[Long]("cms_estimate") == dots.min)
+      assert(r.getAs[Long]("overestimate_ppm")
+        == (r.getAs[Long]("dot_product") - 3L) * 1000000L / 3L)
+    }
+    Caches.releaseAll()
+    // real corpus: the estimate never undershoots, and the exact side
+    // matches a brute-force join count
+    val li = Tables.lineitem(spark, sf()).select(col("l_partkey"), col("l_returnflag"))
+    val trueSize = li.join(
+      li.filter(col("l_returnflag") === "R").select(col("l_partkey")), "l_partkey").count()
+    val rows = Sketches.q206CmsJoinSize(spark, sf()).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_join_size") == trueSize)
+      assert(r.getAs[Long]("dot_product") >= trueSize)
+      assert(r.getAs[Long]("cms_estimate") >= trueSize)
+      assert(r.getAs[Long]("cms_estimate") <= r.getAs[Long]("dot_product"))
+      assert(r.getAs[Long]("overestimate_ppm") >= 0L)
+    }
+    Caches.releaseAll()
+  }
 }

@@ -109,7 +109,9 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast corpus token total onto the (source, token) reduced frame
       "q199_source_divergence",
       // 1-row broadcast (N docs, T tokens) corpus stats onto the postings join
-      "q200_bm25_retrieval")
+      "q200_bm25_retrieval",
+      // 1-row broadcast exact-join-size frame onto the 4-row dot-product frame
+      "q206_cms_join_size")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
