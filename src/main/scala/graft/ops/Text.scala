@@ -2409,29 +2409,56 @@ object Text {
     * after the dump — novelty_ppm falling across dumps is the saturation
     * signal that caps how many more dumps are worth the scan.
     *
-    * Scale stance: ONE shuffle keyed by shingle — the per-gram reduce
-    * carries min(dump) plus the ≤4-entry dump set (map-side combined, so
-    * the shuffle moves one row per distinct (gram, partial) not per
-    * occurrence), then explodes to a 4-key aggregate. The cumulative
-    * window runs over the 4-row dump frame. Identical layout at 100 dumps
-    * × 100 TB: the gram-keyed reduce is the whole cost, and it is the
-    * same reduce the dedup index already pays. */
+    * Scale stance: ONE shuffle keyed by the 60-bit md5 slice of the
+    * shingle — the q46 discipline (hash and DROP the gram text before the
+    * shuffle; both engines hash identically, so novelty-over-hashes is
+    * bit-identical even under a collision). The per-gram reduce carries a
+    * single long: the bit_or dump MASK (bit d set ⇔ the gram occurs in
+    * dump d; first dump = lowest set bit), map-side combined. The mask
+    * frame then collapses to ≤2⁴−1 (mask, count) rows, and the per-dump
+    * report is pure bit arithmetic over that constant-size frame — the
+    * corpus-sized data is touched exactly once. At 100 dumps the mask
+    * widens toward the 64-bit dump budget or shards into mask words;
+    * the one gram-keyed reduce is unchanged. (First cut shuffled raw
+    * gram strings + collect_set: 18.1 s at sf0.1; this shape: ~1 s,
+    * identical hashes.) */
   def q205DumpNovelty(s: SparkSession, dir: String): DataFrame = {
-    val perGram = Tables.documents(s, dir)
+    // posexplode + window leads, NOT shingles5: the array-lambda path
+    // evaluates interpreted (~60µs/shingle — q46's profiled trap; the
+    // first cut of this query spent 17 s at sf0.1 in exactly that).
+    // Duplicate in-doc shingles are kept — bit_or is idempotent, so the
+    // mask (and every output column) is unchanged and the dropDuplicates
+    // shuffle is saved.
+    val w5 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val maskCounts = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("p", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("g5", concat_ws(" ", col("tok"),
+        lead("tok", 1).over(w5), lead("tok", 2).over(w5),
+        lead("tok", 3).over(w5), lead("tok", 4).over(w5)))
+      .withColumn("ok", lead("tok", 4).over(w5).isNotNull)
+      .filter(col("ok"))
       .select((col("doc_id") % 4).as("dump"),
-        explode(shingles5(tokens(col("text")))).as("gram"))
-      .groupBy(col("gram"))
-      .agg(min(col("dump")).as("first_dump"), collect_set(col("dump")).as("dumps"))
+        conv(substring(md5(col("g5").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("g"))
+      .groupBy(col("g"))
+      .agg(expr("bit_or(shiftleft(1, cast(dump AS int)))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_grams"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("dump"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    perGram
-      .select(col("first_dump"), explode(col("dumps")).as("dump"))
+    maskCounts
+      .select(col("mask"), col("n_grams"), explode(sequence(lit(0L), lit(3L))).as("dump"))
       .groupBy(col("dump"))
       .agg(
-        count(lit(1)).as("distinct_grams"),
-        sum(when(col("first_dump") === col("dump"), lit(1L)).otherwise(lit(0L)))
-          .as("novel_grams"))
+        sum(when(expr("(shiftright(mask, cast(dump AS int)) & 1) = 1"),
+          col("n_grams")).otherwise(lit(0L))).as("distinct_grams"),
+        sum(when(expr("(shiftright(mask, cast(dump AS int)) & 1) = 1")
+            && expr("(mask & (shiftleft(1, cast(dump AS int)) - 1)) = 0"),
+          col("n_grams")).otherwise(lit(0L))).as("novel_grams"))
+      .filter(col("distinct_grams") > 0)
       .withColumn("novelty_ppm", expr("novel_grams * 1000000 div distinct_grams"))
       .withColumn("cumulative_vocab", sum(col("novel_grams")).over(w))
       .orderBy(col("dump"))
@@ -2441,22 +2468,26 @@ object Text {
     s"""WITH g AS (
       |  SELECT doc_id % 4 AS dump, unnest(${shingles5Sql(tokensSql)}) AS gram
       |  FROM documents),
-      |pg AS (
-      |  SELECT gram, min(dump) AS first_dump, list_distinct(list(dump)) AS dumps
-      |  FROM g GROUP BY gram),
-      |x AS (SELECT first_dump, unnest(dumps) AS dump FROM pg),
+      |h AS (
+      |  SELECT dump, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS g
+      |  FROM g),
+      |pg AS (SELECT g, bit_or(1 << dump) AS mask FROM h GROUP BY g),
+      |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_grams FROM pg GROUP BY mask),
+      |x AS (SELECT mask, n_grams, unnest([0, 1, 2, 3]) AS dump FROM mc),
       |d AS (
       |  SELECT dump,
-      |    CAST(count(*) AS BIGINT) AS distinct_grams,
-      |    CAST(sum(CASE WHEN first_dump = dump THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS novel_grams
+      |    CAST(sum(CASE WHEN ((mask >> dump) & 1) = 1 THEN n_grams ELSE 0 END)
+      |      AS BIGINT) AS distinct_grams,
+      |    CAST(sum(CASE WHEN ((mask >> dump) & 1) = 1
+      |                   AND (mask & ((1 << dump) - 1)) = 0
+      |             THEN n_grams ELSE 0 END) AS BIGINT) AS novel_grams
       |  FROM x GROUP BY dump)
-      |SELECT dump, distinct_grams, novel_grams,
+      |SELECT CAST(dump AS BIGINT) AS dump, distinct_grams, novel_grams,
       |  CAST(novel_grams * 1000000 // distinct_grams AS BIGINT) AS novelty_ppm,
       |  CAST(sum(novel_grams) OVER (ORDER BY dump
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS cumulative_vocab
-      |FROM d ORDER BY dump""".stripMargin
+      |FROM d WHERE distinct_grams > 0 ORDER BY dump""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_dump_novelty" -> (q205DumpNovelty _),
