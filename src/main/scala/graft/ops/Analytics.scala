@@ -1610,7 +1610,74 @@ object Analytics {
       |FROM g WHERE gap_days IS NOT NULL
       |GROUP BY 1 ORDER BY gap_week_bucket""".stripMargin
 
+  /** q207: recursive-CTE stateful fold — an exponential moving average of
+    * quarterly revenue with integer truncation, `ema(q) = (3·ema(q−1) +
+    * rev(q)) div 4`. The truncating division makes the fold NON-ASSOCIATIVE:
+    * no window frame, no scan-with-combine, no partial aggregation can
+    * express it — the value at month m depends on the exact left-to-right
+    * application order. This is the query class `WITH RECURSIVE` exists for
+    * (SQL:1999; Spark 4 ships it, and this pins that surface working in
+    * this engine with DuckDB-identical semantics — both engines' integer
+    * division truncates toward zero, ADVICE r4).
+    *
+    * Scale stance: the recursion runs over the REDUCED quarter frame —
+    * ONE corpus-sized hash aggregate (orders → ~27 quarter rows),
+    * MATERIALIZED via localCheckpoint BEFORE the recursive SQL sees it:
+    * each recursion step re-reads its anchor frame, and feeding the raw
+    * aggregate in re-ran the orders scan+agg per step (monthly grain:
+    * 25 s at sf0.1; materialized: 7.3 s). The residual ~90 ms/step is
+    * driver-side recursion machinery (one job submission per step,
+    * join-strategy-independent — a BROADCAST hint changed nothing), so
+    * the series GRAIN is the cost knob: quarterly (27 steps, ~2.5 s)
+    * keeps the fold law intact at suite-normal cost. Then the recursion
+    * is |quarters| sequential 1-row-frontier joins against checkpointed
+    * rows. Linear recursion over a bounded series is the correct shape; a
+    * PER-KEY stateful fold at corpus scale belongs in
+    * flatMapGroupsWithState (q25) — not in a recursive CTE, whose depth
+    * limit (spark.sql.cteRecursionLevelLimit, default 100) budgets exactly
+    * this bounded-series use. Money is exact cents (Exact.cents law). */
+  def q207RecursiveEma(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.orders(s, dir)
+      .groupBy(expr("CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT)")
+        .as("qi"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("revenue_cents"))
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("qi"))))
+    val mat = graft.Caches.trackCheckpoint(idx.localCheckpoint())
+    val mv = s"graft_quarters_v${viewSeq.incrementAndGet()}"
+    mat.createOrReplaceTempView(mv)
+    try s.sql(
+      s"""WITH RECURSIVE r(i, qi, revenue_cents, ema_cents) AS (
+        |  SELECT i, qi, revenue_cents, revenue_cents FROM $mv WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.qi, x.revenue_cents,
+        |    (rr.ema_cents * 3 + x.revenue_cents) div 4
+        |  FROM r rr JOIN $mv x ON x.i = rr.i + 1)
+        |SELECT qi AS quarter_index, revenue_cents, ema_cents
+        |FROM r ORDER BY quarter_index""".stripMargin)
+    finally s.catalog.dropTempView(mv)
+  }
+
+  val q207Oracle: String =
+    """WITH RECURSIVE quarters AS (
+      |  SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS qi,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT qi, revenue_cents, row_number() OVER (ORDER BY qi) AS i
+      |  FROM quarters),
+      |r(i, qi, revenue_cents, ema_cents) AS (
+      |  SELECT i, qi, revenue_cents, revenue_cents FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.i, x.qi, x.revenue_cents,
+      |    (rr.ema_cents * 3 + x.revenue_cents) // 4
+      |  FROM r rr JOIN idx x ON x.i = rr.i + 1)
+      |SELECT qi AS quarter_index, revenue_cents, ema_cents
+      |FROM r ORDER BY quarter_index""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_recursive_ema" -> (q207RecursiveEma _),
     "q149_revenue_engagement" -> (q149RevenueEngagement _),
     "q150_interarrival_gaps"  -> (q150InterarrivalGaps _),
     "q140_mom_growth"     -> (q140MomGrowth _),
@@ -1651,6 +1718,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q207_recursive_ema" -> q207Oracle,
     "q149_revenue_engagement" -> q149Oracle,
     "q150_interarrival_gaps"  -> q150Oracle,
     "q140_mom_growth"     -> q140Oracle,

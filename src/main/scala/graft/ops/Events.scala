@@ -795,7 +795,46 @@ object Events {
       |    // sum(n_rows) AS BIGINT) AS suppressed_ppm
       |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q208: VARIANT-typed semi-structured extraction — the Spark 4 VARIANT
+    * path (parse once into the binary variant encoding, then typed
+    * `variant_get` / null-safe `try_variant_get` / `schema_of_variant`
+    * introspection) over the events props JSON, complementing q22's
+    * per-path `get_json_object` strings. At 100 TB the difference is real:
+    * VARIANT parses each document ONCE into a shreddable binary form that
+    * all downstream paths read, where get_json_object re-parses the text
+    * per extraction. Report per event_type: row count, the typed-long sum
+    * of `$.k`, the null-safe miss count for an absent path (try_variant_get
+    * returns NULL, never throws), and the count of distinct observed
+    * schemas (drift detector; compared against DuckDB's json_structure by
+    * COUNT — the schema-string spellings differ across engines, their
+    * cardinality cannot).
+    *
+    * Scale stance: one scan, one hash aggregate keyed by event_type;
+    * parse_json + variant_get stay inside whole-stage codegen. */
+  def q208VariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("variant_get(v, '$.k', 'long')")).as("sum_k"),
+        sum(when(expr("try_variant_get(v, '$.missing', 'long')").isNull, lit(1L))
+          .otherwise(lit(0L))).as("n_missing_null"),
+        countDistinct(expr("schema_of_variant(v)")).as("n_schemas"))
+      .orderBy(col("event_type"))
+
+  val q208Oracle: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
+      |  CAST(count(DISTINCT json_structure(props)) AS BIGINT) AS n_schemas
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_variant_extract" -> (q208VariantExtract _),
     "q204_k_anonymity"     -> (q204KAnonymity _),
     "q161_seasonal_anomaly" -> (q161SeasonalAnomaly _),
     "q148_session_stats"   -> (q148SessionStats _),
@@ -817,6 +856,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q208_variant_extract" -> q208Oracle,
     "q204_k_anonymity"     -> q204Oracle,
     "q161_seasonal_anomaly" -> q161Oracle,
     "q148_session_stats"   -> q148Oracle,

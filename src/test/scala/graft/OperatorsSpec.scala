@@ -1037,4 +1037,72 @@ class OperatorsSpec extends SparkSpec {
     }
     Caches.releaseAll()
   }
+
+  test("q207 recursive EMA: hand-computed fold on planted quarters; exact refold on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rema").toString
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // Q1 100.00, Q2 200.00, Q3 60.00 → ema 10000, (30000+20000)/4=12500,
+    // (37500+6000)/4=10875 cents
+    Seq((1L, 100.0, d("2020-01-05")), (2L, 200.0, d("2020-04-05")),
+        (3L, 60.0, d("2020-07-05")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Analytics.q207RecursiveEma(spark, dir).collect()
+      .map(r => r.getAs[Long]("quarter_index") ->
+        ((r.getAs[Long]("revenue_cents"), r.getAs[Long]("ema_cents")))).toMap
+    assert(out == Map(
+      (2020L * 4 + 1) -> ((10000L, 10000L)),
+      (2020L * 4 + 2) -> ((20000L, 12500L)),
+      (2020L * 4 + 3) -> ((6000L, 10875L))))
+    Caches.releaseAll()
+    // real corpus: the engine's recursion equals a literal left fold over
+    // the ordered quarter series (the strongest possible law for a
+    // non-associative operator), and every quarter appears exactly once
+    val rows = Analytics.q207RecursiveEma(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("quarter_index"))
+    assert(rows.nonEmpty && rows.map(_.getAs[Long]("quarter_index")).distinct.length == rows.length)
+    var ema = rows.head.getAs[Long]("revenue_cents")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) ema = (ema * 3 + r.getAs[Long]("revenue_cents")) / 4
+      assert(r.getAs[Long]("ema_cents") == ema, s"quarter ${r.getAs[Long]("quarter_index")}")
+    }
+    Caches.releaseAll()
+  }
+
+  test("q208 variant extract: typed get, null-safe miss, schema-drift count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-variant").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // type A: two DIFFERENT json shapes (schema drift → n_schemas = 2);
+    // type B: one shape
+    Seq((1L, ts, 1L, "A", 1.0, """{"k": 3}"""),
+        (2L, ts, 2L, "A", 1.0, """{"k": 4, "x": "y"}"""),
+        (3L, ts, 3L, "B", 1.0, """{"k": 10}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.q208VariantExtract(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("sum_k"),
+          r.getAs[Long]("n_missing_null"), r.getAs[Long]("n_schemas")))).toMap
+    assert(out == Map("A" -> ((2L, 7L, 2L, 2L)), "B" -> ((1L, 10L, 1L, 1L))))
+    Caches.releaseAll()
+    // real corpus: the variant path agrees with the string-extraction path
+    // (q22's idiom) and the absent path is null on EVERY row
+    val rows = Events.q208VariantExtract(spark, sf()).collect()
+    val expected = Tables.events(spark, sf())
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("n")))).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("sum_k") == expected(t)._1)
+      assert(r.getAs[Long]("n_events") == expected(t)._2)
+      assert(r.getAs[Long]("n_missing_null") == expected(t)._2)
+      assert(r.getAs[Long]("n_schemas") >= 1L)
+    }
+    Caches.releaseAll()
+  }
 }
