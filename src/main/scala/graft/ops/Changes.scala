@@ -235,13 +235,103 @@ object Changes {
       |         1, 10) AS BIGINT) AS HUGEINT)) % 1099511627776 AS BIGINT) AS digest
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** q209: incremental maintenance of a JOIN view — the delta-join law
+    * (Blakeley et al. 1986, the classic IVM identity): for insert-only
+    * deltas on both sides,
+    *   V(A∪ΔA, B∪ΔB) = V(A,B) ⊎ ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB,
+    * the property that turns a 100 TB joined-mart refresh from O(table)
+    * into O(changes): the stored view state absorbs three delta-sized
+    * joins instead of re-joining both full inputs. q131 proves aggregates
+    * merge; this proves the JOIN layer above them does too. The maintained
+    * view here is per-nation order count + revenue over orders ⋈ customer;
+    * deltas are the mod-slices ΔA = orders with o_orderkey % 10 = 0, ΔB =
+    * customers with c_custkey % 7 = 0 (a "new dump" of each side — and
+    * because base orders may reference delta customers, the cross terms
+    * genuinely carry mass). Emits, per nation: the incremental-route
+    * aggregate, the full-recompute aggregate (the audit — a production
+    * deployment never runs it), and a match flag that is 1 on every row in
+    * any engine.
+    *
+    * Scale stance: the three delta terms are delta-sized hash joins (the
+    * whole point); each term aggregates to |nations| rows before the
+    * additive merge (q131's mergeAggStates shape — count and sum are the
+    * mergeable state). The full-outer stitch of inc vs full is on the
+    * |nations|-row reduced frames. No term ever re-joins base×base. */
+  def q209JoinViewIvm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val oBase = o.filter(col("o_orderkey") % 10 =!= 0)
+    val oDelta = o.filter(col("o_orderkey") % 10 === 0)
+    val cBase = c.filter(col("c_custkey") % 7 =!= 0)
+    val cDelta = c.filter(col("c_custkey") % 7 === 0)
+    def term(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val inc = term(oBase, cBase).unionByName(term(oDelta, cBase))
+      .unionByName(term(oBase, cDelta)).unionByName(term(oDelta, cDelta))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n")).as("inc_n_orders"), sum(col("s")).as("inc_sum_cents"))
+    val full = term(o, c)
+      .select(col("c_nationkey"), col("n").as("full_n_orders"),
+        col("s").as("full_sum_cents"))
+    inc.join(full, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey").as("nationkey"),
+        coalesce(col("inc_n_orders"), lit(0L)).as("inc_n_orders"),
+        coalesce(col("inc_sum_cents"), lit(0L)).as("inc_sum_cents"),
+        coalesce(col("full_n_orders"), lit(0L)).as("full_n_orders"),
+        coalesce(col("full_sum_cents"), lit(0L)).as("full_sum_cents"))
+      .withColumn("ivm_match",
+        when(col("inc_n_orders") === col("full_n_orders")
+          && col("inc_sum_cents") === col("full_sum_cents"), lit(1L)).otherwise(lit(0L)))
+      .orderBy(col("nationkey"))
+  }
+
+  val q209Oracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |c AS (SELECT c_custkey, c_nationkey FROM customer),
+      |term AS (
+      |  SELECT c.c_nationkey,
+      |    (o.o_orderkey % 10 = 0) AS od, (c.c_custkey % 7 = 0) AS cd,
+      |    count(*) AS n, sum(cents) AS s
+      |  FROM o JOIN c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2, 3),
+      |inc AS (
+      |  SELECT c_nationkey,
+      |    CAST(sum(n) AS BIGINT) AS inc_n_orders,
+      |    CAST(sum(s) AS BIGINT) AS inc_sum_cents
+      |  FROM term GROUP BY 1),
+      |full_v AS (
+      |  SELECT c.c_nationkey,
+      |    CAST(count(*) AS BIGINT) AS full_n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS full_sum_cents
+      |  FROM o JOIN c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1)
+      |SELECT coalesce(i.c_nationkey, f.c_nationkey) AS nationkey,
+      |  coalesce(inc_n_orders, 0) AS inc_n_orders,
+      |  coalesce(inc_sum_cents, 0) AS inc_sum_cents,
+      |  coalesce(full_n_orders, 0) AS full_n_orders,
+      |  coalesce(full_sum_cents, 0) AS full_sum_cents,
+      |  CAST(CASE WHEN coalesce(inc_n_orders, 0) = coalesce(full_n_orders, 0)
+      |         AND coalesce(inc_sum_cents, 0) = coalesce(full_sum_cents, 0)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS ivm_match
+      |FROM inc i FULL OUTER JOIN full_v f ON i.c_nationkey = f.c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_join_view_ivm" -> (q209JoinViewIvm _),
     "q126_cdc_apply" -> (q126CdcApply _),
     "q131_incremental_agg" -> (q131IncrementalAgg _),
     "q135_snapshot_diff" -> (q135SnapshotDiff _),
     "q146_table_digest" -> (q146TableDigest _))
 
   val oracles: Map[String, String] = Map(
+    "q209_join_view_ivm" -> q209Oracle,
     "q126_cdc_apply" -> q126Oracle,
     "q131_incremental_agg" -> q131Oracle,
     "q135_snapshot_diff" -> q135Oracle,

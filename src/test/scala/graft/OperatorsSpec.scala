@@ -1038,6 +1038,41 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q209 join-view IVM: all four delta terms carry planted mass; law holds on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+    // customers: 1 → base (1 % 7 ≠ 0), 7 → delta; orders hit all four
+    // (base/delta × base/delta) quadrants incl. base order → delta customer
+    Seq((1L, 1L), (7L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 10.0), (10L, 1L, 20.0), (3L, 7L, 40.0), (20L, 7L, 80.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Changes.q209JoinViewIvm(spark, dir).collect()
+      .map(r => r.getAs[Long]("nationkey") ->
+        ((r.getAs[Long]("inc_n_orders"), r.getAs[Long]("inc_sum_cents"),
+          r.getAs[Long]("full_n_orders"), r.getAs[Long]("ivm_match")))).toMap
+    assert(out == Map(1L -> ((2L, 3000L, 2L, 1L)), 2L -> ((2L, 12000L, 2L, 1L))))
+    Caches.releaseAll()
+    // real corpus: the law holds on every nation, and the full side equals
+    // an independent DataFrame recompute
+    val rows = Changes.q209JoinViewIvm(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("ivm_match") == 1L,
+      s"nation ${r.getAs[Number]("nationkey")}"))
+    val expect = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf()),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).count()
+      .collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue()).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("full_n_orders")
+        == expect.getOrElse(r.getAs[Number]("nationkey").longValue(), 0L))
+    }
+    Caches.releaseAll()
+  }
+
   test("q207 recursive EMA: hand-computed fold on planted quarters; exact refold on sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rema").toString
