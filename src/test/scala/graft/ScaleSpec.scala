@@ -348,4 +348,31 @@ class ScaleSpec extends SparkSpec {
     val st = streaming.StatefulSessions.q25StatefulSessions(spark, sf())
     assert(w.exceptAll(st).isEmpty && st.exceptAll(w).isEmpty)
   }
+
+  test("concurrent multi-query execution matches serial results exactly") {
+    // A 1000-executor deployment never runs one query at a time: a shared
+    // session serves many submitters concurrently (thread-per-query is
+    // Spark's documented multi-tenancy model; FAIR vs FIFO changes only
+    // latency, not semantics). Untested dimension until now: concurrent
+    // plans racing through the same SparkSession, catalog (q207/q27-style
+    // temp views — unique-name discipline), and the thread-local Caches
+    // registry. Mixed shapes on purpose: scan-agg, join, shingle+window,
+    // pair-join, recursive CTE (temp view + localCheckpoint), sketch.
+    val names = Seq("q01_pricing_summary", "q03_revenue_by_nation",
+      "q46_minhash_lsh_pairs", "q118_basket_pairs", "q207_recursive_ema",
+      "q127_hll_distinct")
+    def run(n: String): Seq[String] = Caches.scoped {
+      SparkEntry.queries(n)(spark, sf()).collect().map(_.toString).toSeq.sorted
+    }
+    val serial = names.map(n => n -> run(n)).toMap
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(java.util.concurrent.Executors.newFixedThreadPool(6))
+    val concurrent = Await.result(
+      Future.sequence(names.map(n => Future(n -> run(n)))), 5.minutes).toMap
+    names.foreach(n => assert(concurrent(n) == serial(n), n))
+    // the thread-local Caches registries were all drained by their owners
+    assert(Caches.liveCountHere == 0)
+  }
 }
