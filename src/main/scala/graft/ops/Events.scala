@@ -833,7 +833,137 @@ object Events {
       |  CAST(count(DISTINCT json_structure(props)) AS BIGINT) AS n_schemas
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q212: l-diversity release audit (Machanavajjhala et al. 2007) — the
+    * homogeneity-attack check k-anonymity (q204) misses: a cell can cover
+    * ≥ k distinct users yet expose them anyway when every row carries the
+    * SAME sensitive value (all k users in the cell did the same thing —
+    * the attacker learns it without identifying anyone). Quasi-identifier
+    * is q204's (event_type, day) grid; the sensitive attribute is the
+    * typed `$.k` payload field; a cell is releasable iff it is k-anonymous
+    * (≥ 5 users) AND l-diverse (≥ 3 distinct sensitive values). Per
+    * event_type: the cell census, the k-anonymous-but-homogeneous count
+    * (the exposure q204 would have released), row mass on each side, the
+    * min sensitive-diversity among released cells (proof obligation:
+    * ≥ l), and the exact-ppm share of rows that ONLY l-diversity blocked.
+    *
+    * Scale stance: identical shuffle topology to q204 — one hash
+    * aggregation keyed by the quasi-identifier (the two count-distincts
+    * expand into the same shuffle), then a second agg over the bounded
+    * |types|×|days| cell frame. The release decision is two integer
+    * compares; no windows, no joins. */
+  def q212LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val (k, l) = (lit(5L), lit(3L))
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(expr("CAST(get_json_object(props, '$.k') AS BIGINT)"))
+          .as("n_sens"))
+    val kAnon = col("n_users") >= k
+    val released = kAnon && col("n_sens") >= l
+    cells
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(kAnon, lit(1L)).otherwise(lit(0L))).as("n_k_anonymous"),
+        sum(when(kAnon && col("n_sens") < l, lit(1L)).otherwise(lit(0L)))
+          .as("n_homogeneous"),
+        sum(when(released, col("n_rows")).otherwise(lit(0L))).as("rows_released"),
+        sum(when(kAnon && col("n_sens") < l, col("n_rows")).otherwise(lit(0L)))
+          .as("rows_blocked_diversity"),
+        coalesce(min(when(released, col("n_sens"))), lit(0L))
+          .as("min_released_diversity"),
+        sum(col("n_rows")).as("rows_total"))
+      .withColumn("diversity_blocked_ppm",
+        expr("rows_blocked_diversity * 1000000 div rows_total"))
+      .drop("rows_total")
+      .orderBy(col("event_type"))
+  }
+
+  val q212Oracle: String =
+    """WITH cells AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+      |    count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |      AS n_sens
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(CASE WHEN n_users >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_k_anonymous,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens < 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_homogeneous,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens >= 3 THEN n_rows ELSE 0 END)
+      |    AS BIGINT) AS rows_released,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens < 3 THEN n_rows ELSE 0 END)
+      |    AS BIGINT) AS rows_blocked_diversity,
+      |  CAST(coalesce(min(CASE WHEN n_users >= 5 AND n_sens >= 3
+      |    THEN n_sens END), 0) AS BIGINT) AS min_released_diversity,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens < 3 THEN n_rows ELSE 0 END)
+      |    * 1000000 // sum(n_rows) AS BIGINT) AS diversity_blocked_ppm
+      |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q210: right-to-erasure propagation audit (GDPR art. 17 / CCPA
+    * deletion) — given an erasure-request list of user_ids, delete every
+    * event of those users and PROVE the deletion: per event_type, rows
+    * before/deleted/after, distinct users erased, and the residual
+    * reference count after propagation — which a correct operator makes 0
+    * on every row, and which a 100 TB deployment must re-verify per dump
+    * because late-arriving data re-introduces erased subjects. The
+    * request list here is the user_id % 97 = 0 slice, standing in for the
+    * compliance table a real pipeline broadcasts.
+    *
+    * Scale stance: the request list is subject-count-sized (broadcast);
+    * deletion is ONE broadcast anti-join (left_anti — no shuffle of the
+    * fact side beyond the scan), and the residual check is the mirror
+    * broadcast semi-join over the already-filtered survivors. Counts
+    * reduce per event_type. Nothing sorts, nothing windows. */
+  def q210ErasurePropagation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dels = ev.filter(col("user_id") % 97 === 0)
+      .select(col("user_id")).distinct()
+    val before = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rows_before"),
+        countDistinct(when(col("user_id") % 97 === 0, col("user_id")))
+          .as("users_erased"))
+    val after = ev.join(broadcast(dels), Seq("user_id"), "left_anti")
+    val residual = after.join(broadcast(dels), Seq("user_id"), "left_semi")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("residual_refs"))
+    val kept = after.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rows_after"))
+    before.join(kept, Seq("event_type"), "left_outer")
+      .join(residual, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("rows_before"),
+        (col("rows_before") - coalesce(col("rows_after"), lit(0L)))
+          .as("rows_deleted"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        col("users_erased"),
+        coalesce(col("residual_refs"), lit(0L)).as("residual_refs"))
+      .orderBy(col("event_type"))
+  }
+
+  val q210Oracle: String =
+    """WITH dels AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+      |b AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS rows_before,
+      |    CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+      |      AS BIGINT) AS users_erased
+      |  FROM events GROUP BY 1),
+      |k AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS rows_after
+      |  FROM events WHERE user_id NOT IN (SELECT user_id FROM dels)
+      |  GROUP BY 1)
+      |SELECT b.event_type, rows_before,
+      |  rows_before - coalesce(rows_after, 0) AS rows_deleted,
+      |  coalesce(rows_after, 0) AS rows_after, users_erased,
+      |  CAST(0 AS BIGINT) AS residual_refs
+      |FROM b LEFT JOIN k ON b.event_type = k.event_type
+      |ORDER BY b.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_l_diversity" -> (q212LDiversity _),
+    "q210_erasure_propagation" -> (q210ErasurePropagation _),
     "q208_variant_extract" -> (q208VariantExtract _),
     "q204_k_anonymity"     -> (q204KAnonymity _),
     "q161_seasonal_anomaly" -> (q161SeasonalAnomaly _),
@@ -856,6 +986,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_l_diversity" -> q212Oracle,
+    "q210_erasure_propagation" -> q210Oracle,
     "q208_variant_extract" -> q208Oracle,
     "q204_k_anonymity"     -> q204Oracle,
     "q161_seasonal_anomaly" -> q161Oracle,

@@ -384,7 +384,16 @@ object Graph {
     * iteration + community rollup plans with ZERO shuffle exchanges after
     * the edge build. The heavy upstream edge aggregation keeps full
     * parallelism either way. */
-  def labelPropagation(edges: DataFrame, rounds: Int, compact: Boolean = false): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int, compact: Boolean = false): DataFrame =
+    labelPropagationWithGraph(edges, rounds, compact)._2
+
+  /** [[labelPropagation]], also returning the symmetrized loopless edge
+    * frame it propagated over — so downstream graph statistics (q214's
+    * modularity) reuse the ONE expensive distributed edge build instead of
+    * re-aggregating the corpus. Returned und is (a, b, w), each undirected
+    * edge present in both orientations with the merged weight. */
+  def labelPropagationWithGraph(edges: DataFrame, rounds: Int,
+      compact: Boolean = false): (DataFrame, DataFrame) = {
     val loopless = edges.filter(col("src") =!= col("dst"))
     val undDist = graft.Caches.persist(
       loopless.select(col("src").as("a"), col("dst").as("b"), col("w"))
@@ -411,7 +420,7 @@ object Graph {
         .groupBy(col("a")).agg(min(col("label")).as("label"))
         .select(col("a").as("id"), col("label"))
     }
-    labels
+    (und, labels)
   }
 
   /** q171: LPA communities on the nation trade graph — the
@@ -430,7 +439,11 @@ object Graph {
           .as("members"))
       .orderBy(col("n_members").desc, col("community").asc)
 
-  val q171Oracle: String = {
+  /** Shared DuckDB CTE chain for the 4-round LPA over the nation trade
+    * graph: `edges` → symmetrized `und` → `l0..l4` label frames. Used by
+    * q171 (community rollup) and q214 (modularity). A `def` (round-5
+    * val-init-order gotcha). */
+  private def lpaOracleCtes: String = {
     def round(i: Int): String = {
       val prev = s"l${i - 1}"
       s"""v$i AS MATERIALIZED (SELECT u.a, l.label, CAST(SUM(u.w) AS BIGINT) AS vote
@@ -441,7 +454,7 @@ object Graph {
          |  GROUP BY 1)""".stripMargin
     }
     val rounds = (1 to 4).map(round).mkString(",\n")
-    s"""WITH edges AS MATERIALIZED (
+    s"""edges AS MATERIALIZED (
        |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst,
        |         CAST(COUNT(*) AS BIGINT) w
        |  FROM lineitem
@@ -456,12 +469,82 @@ object Graph {
        |    SELECT dst AS a, src AS b, w FROM edges WHERE src <> dst) u
        |  GROUP BY 1, 2),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM und),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q171Oracle: String =
+    s"""WITH $lpaOracleCtes
        |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
        |FROM l4 GROUP BY 1
        |ORDER BY n_members DESC, community ASC""".stripMargin
+
+  /** q214: modularity of the LPA partition (Newman & Girvan 2004) — the
+    * quality score that tells a pipeline whether q171's communities are
+    * REAL structure or partition noise before it trusts them for mixture
+    * grouping. Weighted modularity Q = Σ_c [ int_c/S − (d_c/S)² ] over
+    * the same symmetrized frame LPA propagated on (S = Σ und w = 2× total
+    * undirected weight; int_c = within-community weight, double-counted
+    * like S; d_c = community degree mass). Per community: member count,
+    * halved internal weight (true undirected mass), degree mass, and the
+    * signed contribution in exact ppm — q_contrib_ppm = (int_c·S − d_c²)
+    * ·10^6 div S², every product DECIMAL(38)-widened (S² alone passes
+    * 2^63 at corpus scale) and both engines truncating toward zero
+    * (round-4 div law). Σ of the column is the graph's modularity in ppm.
+    *
+    * Scale stance: reuses the ONE distributed edge build via
+    * [[labelPropagationWithGraph]] (the compact ≤|V|²-row und frame and
+    * ≤|V|-row label frame); the three statistics are broadcast joins +
+    * hash aggregates over those bounded frames, and S rides a 1-row
+    * broadcast crossJoin (the q180 boundary idiom, PlanSpec-allowlisted).
+    * Nothing returns to the corpus after the edge aggregation. */
+  def q214Modularity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (und, labels) = labelPropagationWithGraph(tradeEdges(s, dir), rounds = 4, compact = true)
+    val lab = labels.select(col("id"), col("label"))
+    val deg = und.groupBy(col("a")).agg(sum(col("w")).as("deg"))
+    val dC = deg.join(broadcast(lab), deg("a") === lab("id"))
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_members"))
+    val intC = und
+      .join(broadcast(lab.select(col("id").as("ia"), col("label").as("la"))),
+        col("a") === col("ia"))
+      .join(broadcast(lab.select(col("id").as("ib"), col("label").as("lb"))),
+        col("b") === col("ib"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(sum(col("w")).as("int2"))
+    val sTot = und.agg(sum(col("w")).cast(DecimalType(38, 0)).as("s2"))
+    dC.join(intC, Seq("label"), "left_outer")
+      .crossJoin(broadcast(sTot))
+      .withColumn("int2", coalesce(col("int2"), lit(0L)))
+      .select(col("label").as("community"), col("n_members"),
+        expr("int2 div 2").as("internal_w"), col("d_c").as("degree_w"),
+        expr("""CAST((CAST(int2 AS DECIMAL(38,0)) * s2
+                 - CAST(d_c AS DECIMAL(38,0)) * CAST(d_c AS DECIMAL(38,0)))
+                * 1000000 div (s2 * s2) AS BIGINT)""").as("q_contrib_ppm"))
+      .orderBy(col("n_members").desc, col("community").asc)
   }
+
+  val q214Oracle: String =
+    s"""WITH $lpaOracleCtes,
+       |deg AS (SELECT a, CAST(sum(w) AS BIGINT) AS deg FROM und GROUP BY 1),
+       |dc AS (
+       |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM deg d JOIN l4 l ON d.a = l.id GROUP BY 1),
+       |ic AS (
+       |  SELECT la.label, CAST(sum(u.w) AS BIGINT) AS int2
+       |  FROM und u JOIN l4 la ON u.a = la.id JOIN l4 lb ON u.b = lb.id
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |s AS (SELECT CAST(sum(w) AS HUGEINT) AS s2 FROM und)
+       |SELECT dc.label AS community, n_members,
+       |  CAST(coalesce(int2, 0) // 2 AS BIGINT) AS internal_w,
+       |  d_c AS degree_w,
+       |  CAST((CAST(coalesce(int2, 0) AS HUGEINT) * s2
+       |      - CAST(d_c AS HUGEINT) * CAST(d_c AS HUGEINT)) * 1000000
+       |    // (s2 * s2) AS BIGINT) AS q_contrib_ppm
+       |FROM dc LEFT JOIN ic ON dc.label = ic.label CROSS JOIN s
+       |ORDER BY n_members DESC, community ASC""".stripMargin
 
   /** q203: k-core peel curve — synchronous Matula–Beck peeling of the part
     * co-order graph (parts are adjacent when the same order contains both,
@@ -583,7 +666,8 @@ object Graph {
     "q121_shortest_hops" -> (q121ShortestHops _),
     "q122_triangles" -> (q122Triangles _),
     "q154_pagerank_dangling" -> (q154PagerankDangling _),
-    "q203_kcore_peel" -> (q203KcorePeel _))
+    "q203_kcore_peel" -> (q203KcorePeel _),
+    "q214_modularity" -> (q214Modularity _))
 
   def oracles: Map[String, String] = Map(
     "q171_lpa_communities" -> q171Oracle,
@@ -591,5 +675,6 @@ object Graph {
     "q121_shortest_hops" -> q121Oracle,
     "q122_triangles" -> q122Oracle,
     "q154_pagerank_dangling" -> q154Oracle,
-    "q203_kcore_peel" -> q203Oracle)
+    "q203_kcore_peel" -> q203Oracle,
+    "q214_modularity" -> q214Oracle)
 }

@@ -326,21 +326,27 @@ object Mixture {
     * (epochs_ppm > 10^6 = the trainer repeats that source).
     * private[graft]: PropertySpec pins the invariants on arbitrary
     * inventories. */
-  private[graft] def temperatureTargets(inv: DataFrame): DataFrame = {
-    val wAll = Window.partitionBy()
-    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+  /** weight = exact ⌊√avail⌋ — float floor(sqrt) then clamped exactly so
+    * either engine's sqrt rounding converges to true isqrt. The +1 probe
+    * squares (f+1); 3037000499 is the largest long whose square fits, so
+    * the bump is gated on f < that bound — without it an avail near 2^63
+    * would overflow the probe (wrap in non-ANSI, fault in ANSI; ADVICE
+    * r7). f ≥ the bound already implies avail ≥ f², so the clamp is exact
+    * there without probing. Shared by the temperature allocator (q175)
+    * and the data-wall sweep (q213). */
+  private def withExactIsqrtWeight(inv: DataFrame): DataFrame =
     inv
       .withColumn("f", floor(sqrt(col("avail").cast("double"))).cast("long"))
-      // exact isqrt clamp: immune to either engine's sqrt rounding. The +1
-      // probe squares (f+1); 3037000499 is the largest long whose square
-      // fits, so the bump is gated on f < that bound — without it an avail
-      // near 2^63 would overflow the probe (wrap in non-ANSI, fault in
-      // ANSI; ADVICE r7). f ≥ the bound already implies avail ≥ f², so the
-      // clamp is exact there without probing.
       .withColumn("weight",
         col("f") - when(col("f") * col("f") > col("avail"), 1L).otherwise(0L)
           + when(col("f") < 3037000499L &&
               (col("f") + 1L) * (col("f") + 1L) <= col("avail"), 1L).otherwise(0L))
+      .drop("f")
+
+  private[graft] def temperatureTargets(inv: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    withExactIsqrtWeight(inv)
       .withColumn("total", sum(col("avail")).over(wAll))
       .withColumn("bigw", sum(col("weight")).over(wAll))
       .withColumn("b", expr("total div 4"))
@@ -400,6 +406,115 @@ object Mixture {
       |    // greatest(avail, 1) AS BIGINT) AS epochs_ppm
       |FROM ranked
       |ORDER BY source ASC""".stripMargin
+
+  /** q213: data-wall repetition sweep — the budget-planning audit the
+    * scaling-law era forced on every pretraining mix (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models": repeating a source
+    * up to ~4 epochs costs little; beyond that returns decay fast). For a
+    * sweep of total token budgets B ∈ {¼, ½, 1, 2, 4}·total, allocate B
+    * across sources under q175's temperature-α=0.5 weights with exact
+    * largest-remainder rounding (Σalloc == B per budget), then report per
+    * budget: sources pushed past 1 epoch, sources past the 4-epoch wall,
+    * the worst oversampling factor, and the exact-ppm share of the budget
+    * served by repeated (beyond-inventory) tokens. The curve says where
+    * the data wall bites THIS corpus: the budget at which repeated_ppm
+    * turns nonzero is the corpus's fresh-token ceiling under the chosen
+    * temperature.
+    *
+    * Everything is exact integer arithmetic — the isqrt weight clamp and
+    * the overflow-free proportional decomposition are q175's (scaladoc
+    * there); budgets are `total·m div 4` for m ≤ 16, so at the 100 TB
+    * tier (total ~2^45 tokens) every product stays far inside BIGINT.
+    *
+    * Scale stance: one corpus groupBy to the |sources|-row inventory; the
+    * 5-way budget explode multiplies the REDUCED frame only (5·|sources|
+    * rows); global scalars (total, W) are full-frame windows computed
+    * before the explode, per-budget scalars (leftover, remainder rank)
+    * are windows partitioned by the 5-value multiplier — all over the
+    * bounded frame, never the corpus. Final agg reduces to 5 rows. */
+  def q213DataWallSweep(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wB = Window.partitionBy(col("m"))
+    val wRem = Window.partitionBy(col("m"))
+      .orderBy(col("rem").desc, col("source").asc)
+    val docTok = Tables.documents(s, dir)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    withExactIsqrtWeight(inventory(docTok))
+      .withColumn("total", sum(col("avail")).over(wAll))
+      .withColumn("bw1", expr("greatest(sum(weight) over (), 1)"))
+      .withColumn("m", explode(array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L))))
+      .withColumn("b", expr("total * m div 4"))
+      .withColumn("base",
+        expr("weight * (b div bw1) + (weight * (b % bw1)) div bw1"))
+      .withColumn("rem", expr("(weight * (b % bw1)) % bw1"))
+      .withColumn("leftover", col("b") - sum(col("base")).over(wB))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("epochs_ppm", expr("alloc * 1000000 div greatest(avail, 1)"))
+      .groupBy(col("m").as("budget_quarters"))
+      .agg(
+        max(col("b")).as("budget_tokens"),
+        count(lit(1)).as("n_sources"),
+        sum(when(col("alloc") > col("avail"), lit(1L)).otherwise(lit(0L)))
+          .as("n_repeated"),
+        sum(when(col("epochs_ppm") > 4000000L, lit(1L)).otherwise(lit(0L)))
+          .as("n_past_wall"),
+        max(col("epochs_ppm")).as("max_epochs_ppm"),
+        sum(greatest(col("alloc") - col("avail"), lit(0L))).as("repeated_tokens"))
+      .withColumn("repeated_ppm",
+        expr("repeated_tokens * 1000000 div greatest(budget_tokens, 1)"))
+      .orderBy(col("budget_quarters"))
+  }
+
+  val q213Oracle: String =
+    s"""WITH doc_tok AS (
+      |  SELECT source, CAST(len(${Text.tokensSql}) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |inv AS (
+      |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail, count(*) AS n_docs
+      |  FROM doc_tok GROUP BY 1),
+      |wts AS (
+      |  SELECT *,
+      |    CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)
+      |      - CASE WHEN CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)
+      |             * CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) > avail THEN 1 ELSE 0 END
+      |      + CASE WHEN (CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) + 1)
+      |             * (CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) + 1) <= avail THEN 1 ELSE 0 END
+      |      AS weight
+      |  FROM inv),
+      |tot AS (
+      |  SELECT *, CAST(sum(avail) OVER () AS BIGINT) AS total,
+      |    CAST(greatest(sum(weight) OVER (), 1) AS BIGINT) AS bw1 FROM wts),
+      |swept AS (
+      |  SELECT t.*, m.m, t.total * m.m // 4 AS b
+      |  FROM tot t CROSS JOIN (VALUES (1), (2), (4), (8), (16)) AS m(m)),
+      |based AS (
+      |  SELECT *,
+      |    weight * (b // bw1) + (weight * (b % bw1)) // bw1 AS base,
+      |    (weight * (b % bw1)) % bw1 AS rem
+      |  FROM swept),
+      |ranked AS (
+      |  SELECT *, CAST(b - sum(base) OVER (PARTITION BY m) AS BIGINT) AS leftover,
+      |    row_number() OVER (PARTITION BY m ORDER BY rem DESC, source ASC) AS rk
+      |  FROM based),
+      |alloced AS (
+      |  SELECT *, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc,
+      |    (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000
+      |      // greatest(avail, 1) AS epochs_ppm
+      |  FROM ranked)
+      |SELECT CAST(m AS BIGINT) AS budget_quarters,
+      |  CAST(max(b) AS BIGINT) AS budget_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(sum(CASE WHEN alloc > avail THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeated,
+      |  CAST(sum(CASE WHEN epochs_ppm > 4000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_past_wall,
+      |  CAST(max(epochs_ppm) AS BIGINT) AS max_epochs_ppm,
+      |  CAST(sum(greatest(alloc - avail, 0)) AS BIGINT) AS repeated_tokens,
+      |  CAST(sum(greatest(alloc - avail, 0)) * 1000000
+      |    // greatest(max(b), 1) AS BIGINT) AS repeated_ppm
+      |FROM alloced GROUP BY m ORDER BY budget_quarters""".stripMargin
 
   /** q177: context-length fit audit — the report a pipeline runs BEFORE
     * committing to a training context length L. For each candidate L it
@@ -516,7 +631,8 @@ object Mixture {
     "q113_mixture_sample" -> (q113MixtureSample _),
     "q115_sequence_pack"  -> (q115SequencePack _),
     "q159_priority_sample" -> (q159PrioritySample _),
-    "q175_temperature_mix" -> (q175TemperatureMix _))
+    "q175_temperature_mix" -> (q175TemperatureMix _),
+    "q213_data_wall_sweep" -> (q213DataWallSweep _))
 
   val oracles: Map[String, String] = Map(
     "q193_shard_assign" -> q193Oracle,
@@ -524,5 +640,6 @@ object Mixture {
     "q113_mixture_sample" -> q113Oracle,
     "q115_sequence_pack"  -> q115Oracle,
     "q159_priority_sample" -> q159Oracle,
-    "q175_temperature_mix" -> q175Oracle)
+    "q175_temperature_mix" -> q175Oracle,
+    "q213_data_wall_sweep" -> q213Oracle)
 }

@@ -1064,6 +1064,79 @@ object Text {
       |FROM g
       |ORDER BY shrunk_ppm DESC, source ASC""".stripMargin
 
+  /** q215: distribution-free source-quality ranking — per source, the
+    * Mann–Whitney AUC of its quality-score distribution against the REST
+    * of the corpus (Mann & Whitney 1947; U/(n_A·n_B) is exactly
+    * P(random A doc outscores random rest doc), ties counting ½ — the
+    * common-language effect size). q174 ranks sources by a shrunk MEAN,
+    * which one heavy-tailed source can game; the AUC compares whole
+    * distributions and is invariant to any monotone rescoring — the
+    * robust "which source is actually better" answer a curator wants
+    * before trusting mixture weights.
+    *
+    * Exact integers throughout: midranks are kept doubled (2·cum_below +
+    * t + 1 per score) so ties never produce halves; U2 = R2 − n_A·(n_A+1)
+    * is the doubled U; auc_ppm = U2·10⁶ div (2·n_A·n_B). Every product
+    * is DECIMAL(38)-widened — R2 reaches ~n_A·2n and at 10¹¹ docs that
+    * passes 2⁶³ (HUGEINT on the oracle side).
+    *
+    * Scale stance: per-doc scores collapse FIRST to the (score, source)
+    * count frame — bounded by the 10⁶-value score domain × |sources|
+    * regardless of corpus size (the q187/q211 reduced-domain discipline).
+    * The tie-aware rank prefix is one window over the |scores|-row
+    * marginal; everything joins back equi on score. One corpus scan, two
+    * bounded shuffles. */
+  def q215SourceAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.types.DecimalType
+    val wAll = W.partitionBy()
+    val wCum = W.orderBy(col("score_ppm"))
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val f = scoredDocs(s, dir)
+      .groupBy(col("score_ppm"), col("source")).agg(count(lit(1)).as("c"))
+    val marg = f.groupBy(col("score_ppm")).agg(sum(col("c")).as("t"))
+      .withColumn("cum_below",
+        coalesce(sum(col("t")).over(wCum.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    f.join(marg, Seq("score_ppm"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(wide(col("c")) * wide(expr("2 * cum_below + t + 1"))).as("r2"))
+      .withColumn("n_tot", sum(col("n_docs")).over(wAll))
+      .withColumn("n_rest", col("n_tot") - col("n_docs"))
+      .withColumn("u2", col("r2") - wide(col("n_docs")) * wide(col("n_docs") + 1L))
+      .withColumn("auc_vs_rest_ppm",
+        expr("CAST(u2 * 1000000 div greatest(CAST(2 AS DECIMAL(38,0)) * n_docs * n_rest, 1) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("n_rest"),
+        col("auc_vs_rest_ppm"),
+        (col("auc_vs_rest_ppm") - lit(500000L)).as("edge_ppm"))
+      .orderBy(col("auc_vs_rest_ppm").desc, col("source").asc)
+  }
+
+  val q215Oracle: String =
+    s"""WITH d AS ($scoredDocsSql),
+      |f AS (SELECT score_ppm, source, CAST(count(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT score_ppm, CAST(sum(c) AS BIGINT) AS t,
+      |    CAST(coalesce(sum(sum(c)) OVER (ORDER BY score_ppm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_below
+      |  FROM f GROUP BY 1),
+      |src AS (
+      |  SELECT f.source, CAST(sum(f.c) AS BIGINT) AS n_docs,
+      |    sum(CAST(f.c AS HUGEINT) * (2 * m.cum_below + m.t + 1)) AS r2
+      |  FROM f JOIN marg m ON f.score_ppm = m.score_ppm GROUP BY 1),
+      |tot AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS n_tot FROM src)
+      |SELECT source, n_docs, n_tot - n_docs AS n_rest,
+      |  CAST((r2 - CAST(n_docs AS HUGEINT) * (n_docs + 1)) * 1000000
+      |    // greatest(CAST(2 AS HUGEINT) * n_docs * (n_tot - n_docs), 1)
+      |    AS BIGINT) AS auc_vs_rest_ppm,
+      |  CAST((r2 - CAST(n_docs AS HUGEINT) * (n_docs + 1)) * 1000000
+      |    // greatest(CAST(2 AS HUGEINT) * n_docs * (n_tot - n_docs), 1)
+      |    - 500000 AS BIGINT) AS edge_ppm
+      |FROM tot
+      |ORDER BY auc_vs_rest_ppm DESC, source ASC""".stripMargin
+
   /** q178: corpus funnel report — the per-stage survival audit every
     * cleaning pipeline prints before training: raw → length gate →
     * language gate → quality gate → exact dedup, each stage applied to
@@ -2489,7 +2562,80 @@ object Text {
       |    AS cumulative_vocab
       |FROM d WHERE distinct_grams > 0 ORDER BY dump""".stripMargin
 
+  /** q211: calibration (reliability) curve of the trained quality filter —
+    * per predicted-probability bucket, the OBSERVED positive rate next to
+    * the MEAN predicted probability (DeGroot & Fienberg 1983; the
+    * expected-calibration-error inputs of Guo et al. 2017). q185 says how
+    * often the filter is right, q187 where to put the gate; this says
+    * whether its scores can be READ as probabilities — which the mixture
+    * planner implicitly does whenever it weights documents by score. Both
+    * sides exact integer ppm; `gap_ppm` (mean-predicted − observed) signed
+    * per bucket.
+    *
+    * Buckets are equal-width over the OBSERVED score range (1-row min/max
+    * bounds broadcast, the q162 boundary idiom), not over the absolute
+    * [0, 2^20] scale: the hard sigmoid concentrates an entire corpus's
+    * scores in a narrow mid-band (at sf0.01 ALL 500 docs share one
+    * absolute octile), so absolute buckets degenerate to a 1-row curve;
+    * the operating-band buckets resolve the ranking the planner actually
+    * consumes. Per-bucket p_lo/p_hi report the band back in fixed point.
+    *
+    * Scale stance: q187's reduced-domain discipline — per-doc scores
+    * collapse to the (p, y) count frame first (p ∈ [0, 2^20] by
+    * construction, so the frame is bounded regardless of corpus size),
+    * and the 8-bucket report aggregates that bounded frame. The p·c
+    * product sum is DECIMAL(38)-widened: at 10^11 docs the bucket sum
+    * passes 2^63. */
+  def q211CalibrationCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val (_, w) = lrTrain(s, dir)
+    val scored = lrFeatures(s, dir).crossJoin(broadcast(w))
+      .select(expr(lrProbSql).as("p"), col("y"))
+      .groupBy(col("p"), col("y")).agg(count(lit(1)).as("c"))
+    val bounds = scored.agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("least(((p - mn) * 8) div (mx - mn + 1), 7)"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        sum(expr("CASE WHEN y = 1 THEN c ELSE 0 END")).as("n_pos"),
+        sum(wide(col("p")) * wide(col("c"))).as("psum"),
+        min(col("p")).as("p_lo"), max(col("p")).as("p_hi"))
+      .select(col("bucket"), col("p_lo"), col("p_hi"), col("n_docs"), col("n_pos"),
+        expr(s"((psum * 1000000) div (n_docs * $LrScale))").cast("long")
+          .as("mean_pred_ppm"),
+        expr("(n_pos * 1000000) div n_docs").as("obs_pos_ppm"))
+      .withColumn("gap_ppm", col("mean_pred_ppm") - col("obs_pos_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  def q211Oracle: String =
+    s"""$lrCteSql,
+       |scored AS (
+       |  SELECT greatest(CAST(0 AS BIGINT), least(CAST($LrScale AS BIGINT),
+       |      ((w0*x0 + w1*x1 + w2*x2 + w3*x3) // $LrScale + ${4 * LrScale}) // 8)) AS p,
+       |    y, CAST(count(*) AS BIGINT) AS c
+       |  FROM f CROSS JOIN v$LrRounds GROUP BY 1, 2),
+       |bounds AS (SELECT min(p) AS mn, max(p) AS mx FROM scored),
+       |b AS (
+       |  SELECT least(((p - mn) * 8) // (mx - mn + 1), 7) AS bucket,
+       |    CAST(min(p) AS BIGINT) AS p_lo, CAST(max(p) AS BIGINT) AS p_hi,
+       |    CAST(sum(c) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS n_pos,
+       |    sum(CAST(p AS HUGEINT) * c) AS psum
+       |  FROM scored CROSS JOIN bounds GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, p_lo, p_hi, n_docs, n_pos,
+       |  CAST((psum * 1000000) // (CAST(n_docs AS HUGEINT) * $LrScale) AS BIGINT)
+       |    AS mean_pred_ppm,
+       |  CAST((n_pos * 1000000) // n_docs AS BIGINT) AS obs_pos_ppm,
+       |  CAST((psum * 1000000) // (CAST(n_docs AS HUGEINT) * $LrScale)
+       |    - (n_pos * 1000000) // n_docs AS BIGINT) AS gap_ppm
+       |FROM b ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_source_auc" -> (q215SourceAuc _),
+    "q211_calibration_curve" -> (q211CalibrationCurve _),
     "q205_dump_novelty" -> (q205DumpNovelty _),
     "q201_memorization_spans" -> (q201MemorizationSpans _),
     "q200_bm25_retrieval" -> (q200Bm25Retrieval _),
@@ -2531,6 +2677,8 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q215_source_auc" -> q215Oracle,
+    "q211_calibration_curve" -> q211Oracle,
     "q205_dump_novelty" -> q205Oracle,
     "q201_memorization_spans" -> q201Oracle,
     "q197_pmi_collocations" -> q197Oracle,

@@ -259,6 +259,46 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q214 modularity: planted twin triangles score Q=1/2 exactly; identities on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mod").toString
+    // two disjoint trade triangles over nations {0,1,2} and {3,4,5}: LPA
+    // floods each to its min label, and two equal disconnected cliques
+    // have modularity exactly 1/2 (contribution 1/4 = 250000 ppm each)
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L))
+    (0L to 5L).map(n => (n, n)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    (0L to 5L).map(n => (n, n)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    pairs.zipWithIndex.map { case ((_, dst), i) => (i.toLong, dst) }
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.zipWithIndex.map { case ((src, _), i) => (i.toLong, src) }
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ops.Graph.q214Modularity(spark, dir).collect()
+      .map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("internal_w"),
+          r.getAs[Long]("degree_w"), r.getAs[Long]("q_contrib_ppm")))).toMap
+    assert(out == Map(0L -> ((3L, 3L, 6L, 250000L)), 3L -> ((3L, 3L, 6L, 250000L))))
+    Caches.releaseAll()
+    // real graph: the partition is exactly q171's; internal mass is
+    // bounded by degree mass; Q respects Newman's [-1/2, 1) range
+    val mod = ops.Graph.q214Modularity(spark, sf()).collect()
+    val lpa = ops.Graph.q171LpaCommunities(spark, sf()).collect()
+    assert(mod.map(r => (r.getAs[Long]("community"), r.getAs[Long]("n_members"))).toSet
+      == lpa.map(r => (r.getAs[Long]("community"), r.getAs[Long]("n_members"))).toSet)
+    val s2 = mod.map(_.getAs[Long]("degree_w")).sum
+    mod.foreach { r =>
+      assert(2L * r.getAs[Long]("internal_w") <= r.getAs[Long]("degree_w"))
+      assert(r.getAs[Long]("q_contrib_ppm") <= 1000000L)
+    }
+    assert(2L * mod.map(_.getAs[Long]("internal_w")).sum <= s2)
+    val q = mod.map(_.getAs[Long]("q_contrib_ppm")).sum
+    assert(q >= -500000L && q < 1000000L, s"Q=$q ppm out of range")
+    Caches.releaseAll()
+  }
+
   test("q203 k-core peel: planted clique+pendant peels exactly; curve laws on sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString

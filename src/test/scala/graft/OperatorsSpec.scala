@@ -1038,6 +1038,177 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q215 source AUC: planted tie-aware Mann-Whitney exact; bounds on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-auc").toString
+    // A = {hi, hi, zero}, B = {zero, zero}: hi beats zero 4 pair-wins,
+    // the zero-score docs tie 2 pairs at 1/2 -> U_A = 5 of 6, U_B = 1 of 6
+    val hi = "the cat sat on the mat and the dog ran to the park"
+    val zero = "!!!"
+    Seq((1L, hi, "en", "A", 10L), (2L, hi, "en", "A", 10L), (3L, zero, "en", "A", 3L),
+        (4L, zero, "en", "B", 3L), (5L, zero, "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.q215SourceAuc(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_rest"),
+          r.getAs[Long]("auc_vs_rest_ppm"), r.getAs[Long]("edge_ppm")))).toMap
+    assert(out == Map("A" -> ((3L, 2L, 833333L, 333333L)),
+                      "B" -> ((2L, 3L, 166666L, -333334L))))
+    Caches.releaseAll()
+    // real corpus: AUC is a probability (bounded), complements partition
+    // the doc count, and a 2-source corpus would mirror around 1/2
+    val rows = Text.q215SourceAuc(spark, sf()).collect()
+    val nTot = Tables.documents(spark, sf()).count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") + r.getAs[Long]("n_rest") == nTot)
+      val auc = r.getAs[Long]("auc_vs_rest_ppm")
+      assert(auc >= 0L && auc <= 1000000L)
+      assert(r.getAs[Long]("edge_ppm") == auc - 500000L)
+    }
+    Caches.releaseAll()
+  }
+
+  test("q212 l-diversity: planted homogeneous cell blocked exactly; laws vs q204 on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldiv").toString
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    def p(k: Long) = s"""{"k": $k}"""
+    // A/day1: 6 users, 3 distinct sensitive values -> released;
+    // A/day2: 5 users ALL k=7 -> k-anonymous but homogeneous (blocked);
+    // B/day1: 2 users -> fails k-anonymity outright
+    val rows =
+      Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L))
+        .map { case (u, k) => (u, ts("2024-01-01"), u, "A", 1.0, p(k)) } ++
+        (1L to 5L).map(u => (u + 10L, ts("2024-01-02"), u, "A", 1.0, p(7L))) ++
+        (1L to 2L).map(u => (u + 20L, ts("2024-01-01"), u, "B", 1.0, p(u)))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.q212LDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_cells"), r.getAs[Long]("n_k_anonymous"),
+          r.getAs[Long]("n_homogeneous"), r.getAs[Long]("rows_released"),
+          r.getAs[Long]("rows_blocked_diversity"),
+          r.getAs[Long]("min_released_diversity"),
+          r.getAs[Long]("diversity_blocked_ppm")))).toMap
+    assert(out("A") == ((2L, 2L, 1L, 6L, 5L, 3L, 5L * 1000000L / 11L)))
+    assert(out("B") == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    Caches.releaseAll()
+    // real corpus: l-diversity sees the same cell grid as q204 and can
+    // only release a subset of what k-anonymity alone releases
+    val ldiv = Events.q212LDiversity(spark, sf()).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val kanon = Events.q204KAnonymity(spark, sf()).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(ldiv.keySet == kanon.keySet)
+    ldiv.foreach { case (t, r) =>
+      assert(r.getAs[Long]("n_cells") == kanon(t).getAs[Long]("n_cells"), t)
+      assert(r.getAs[Long]("rows_released") <= kanon(t).getAs[Long]("rows_released"), t)
+      assert(r.getAs[Long]("n_homogeneous") <= r.getAs[Long]("n_k_anonymous"))
+      val minDiv = r.getAs[Long]("min_released_diversity")
+      assert(minDiv == 0L || minDiv >= 3L)
+    }
+    Caches.releaseAll()
+  }
+
+  test("q213 data-wall sweep: planted two-source allocation exact; curve laws on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wall").toString
+    // source X: 9 tokens (weight 3), source Y: 7+9=16 tokens (weight 4);
+    // total=25, W=7. Hand-derived Hamilton allocations per budget quarter.
+    Seq((1L, "a b c d e f g h i", "en", "X", 17L),
+        (2L, "a b c d e f g", "en", "Y", 13L),
+        (3L, "a b c d e f g h i", "en", "Y", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Mixture.q213DataWallSweep(spark, dir).collect()
+      .map(r => r.getAs[Long]("budget_quarters") ->
+        ((r.getAs[Long]("budget_tokens"), r.getAs[Long]("n_repeated"),
+          r.getAs[Long]("n_past_wall"), r.getAs[Long]("max_epochs_ppm"),
+          r.getAs[Long]("repeated_tokens"), r.getAs[Long]("repeated_ppm")))).toMap
+    assert(out(1L) == ((6L, 0L, 0L, 333333L, 0L, 0L)))
+    assert(out(2L) == ((12L, 0L, 0L, 555555L, 0L, 0L)))
+    assert(out(4L) == ((25L, 1L, 0L, 1222222L, 2L, 80000L)))
+    assert(out(8L) == ((50L, 2L, 0L, 2333333L, 25L, 500000L)))
+    assert(out(16L) == ((100L, 2L, 1L, 4777777L, 75L, 750000L)))
+    Caches.releaseAll()
+    // real corpus: 5 budget rows; repetition pressure is monotone in the
+    // budget, and at 4x total SOME source must repeat (pigeonhole:
+    // Σalloc = 4·Σavail forces alloc > avail somewhere)
+    val sfRows = ops.Mixture.q213DataWallSweep(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("budget_quarters"))
+    assert(sfRows.length == 5)
+    val reps = sfRows.map(_.getAs[Long]("repeated_tokens")).toSeq
+    assert(reps == reps.sorted)
+    val maxEp = sfRows.map(_.getAs[Long]("max_epochs_ppm")).toSeq
+    assert(maxEp == maxEp.sorted)
+    assert(sfRows.last.getAs[Long]("n_repeated") >= 1L)
+    sfRows.foreach { r =>
+      assert(r.getAs[Long]("repeated_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_past_wall") <= r.getAs[Long]("n_repeated"))
+    }
+    Caches.releaseAll()
+  }
+
+  test("q210 erasure propagation: planted subjects deleted exactly; zero residuals on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gdpr").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // user 97 (97 % 97 = 0) files erasure; users 1 and 2 remain
+    Seq((1L, ts, 97L, "A", 1.0, "{}"), (2L, ts, 97L, "A", 1.0, "{}"),
+        (3L, ts, 1L, "A", 1.0, "{}"), (4L, ts, 2L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.q210ErasurePropagation(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("rows_before"), r.getAs[Long]("rows_deleted"),
+          r.getAs[Long]("rows_after"), r.getAs[Long]("users_erased"),
+          r.getAs[Long]("residual_refs")))).toMap
+    assert(out == Map("A" -> ((3L, 2L, 1L, 1L, 0L)), "B" -> ((1L, 0L, 1L, 0L, 0L))))
+    Caches.releaseAll()
+    // real corpus: deletion is exhaustive (zero residual references), the
+    // partition is exact, and the deleted mass equals an independent count
+    val rows = Events.q210ErasurePropagation(spark, sf()).collect()
+    val delByType = Tables.events(spark, sf()).filter(col("user_id") % 97 === 0)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("residual_refs") == 0L, t)
+      assert(r.getAs[Long]("rows_before")
+        == r.getAs[Long]("rows_deleted") + r.getAs[Long]("rows_after"))
+      assert(r.getAs[Long]("rows_deleted") == delByType.getOrElse(t, 0L))
+    }
+    Caches.releaseAll()
+  }
+
+  test("q211 calibration curve: bands partition the corpus in score order") {
+    val rows = Text.q211CalibrationCurve(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty && rows.length <= 8)
+    val scoredDocs = Tables.documents(spark, sf())
+      .filter(size(Text.tokens(col("text"))) >= 1).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scoredDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0L && r.getAs[Long]("bucket") <= 7L)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("p_lo") <= r.getAs[Long]("p_hi"))
+      assert(r.getAs[Long]("obs_pos_ppm") <= 1000000L)
+      assert(r.getAs[Long]("mean_pred_ppm") <= 1000000L)
+      assert(r.getAs[Long]("gap_ppm")
+        == r.getAs[Long]("mean_pred_ppm") - r.getAs[Long]("obs_pos_ppm"))
+    }
+    // operating bands are disjoint and ordered: the curve is a partition
+    // of the score axis, not overlapping bins
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("p_hi") < b.getAs[Long]("p_lo"))
+      case _ =>
+    }
+    Caches.releaseAll()
+  }
+
   test("q209 join-view IVM: all four delta terms carry planted mass; law holds on sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivm").toString

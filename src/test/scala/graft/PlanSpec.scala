@@ -102,6 +102,12 @@ class PlanSpec extends SparkSpec {
       // 1-row weights + 7-row broadcast threshold frame over the bounded
       // (p, y) reduced domain (q162's boundary-probe argument)
       "q187_threshold_sweep",
+      // 1-row weights + 1-row broadcast (mn, mx) score-bounds frame over
+      // the bounded (p, y) reduced domain (q162/q187's argument)
+      "q211_calibration_curve",
+      // 1-row broadcast total-edge-weight S onto the ≤|V|-row community
+      // frame (the q180 boundary idiom)
+      "q214_modularity",
       // 1-row broadcast total-bigram count onto the vocab-sized pair frame
       "q197_pmi_collocations",
       // 1-row broadcast (lo, hi) id-span bounds — the q152 normalized-bounds shape
