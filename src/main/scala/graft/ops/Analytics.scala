@@ -1676,7 +1676,78 @@ object Analytics {
       |SELECT qi AS quarter_index, revenue_cents, ema_cents
       |FROM r ORDER BY quarter_index""".stripMargin
 
+  /** q217: SQL-scripting stateful fold — the SAME non-associative
+    * truncating EMA as q207, driven through Spark 4's OTHER procedural
+    * surface (SQL scripting, SPARK-48338: BEGIN…END compound statements,
+    * DECLARE/SET variables, WHILE loops) instead of WITH RECURSIVE. The
+    * two must agree: the script walks the quarter frame left-to-right
+    * holding the fold state in a script variable and returns the FINAL
+    * state (n_quarters, last quarter, final ema) — the 1-row "what does
+    * the controller see at the end" view, vs q207's full trajectory. The
+    * oracle replays the identical fold as a DuckDB recursive CTE and
+    * reads its last row, so the surface is pinned against independent
+    * semantics, not against itself.
+    *
+    * Scale stance: identical to q207 — ONE corpus hash aggregate reduces
+    * orders to the ~27-row quarter frame, localCheckpoint-materialized;
+    * the loop then runs |quarters| driver-side 1-row lookups against the
+    * checkpointed frame (scripting executes one statement per iteration —
+    * the per-step cost is job-submission machinery, same as the
+    * recursive-CTE driver loop, and the bounded series grain budgets it).
+    * A per-KEY fold at corpus scale stays in flatMapGroupsWithState
+    * (q25); scripting, like recursion, is for bounded control flow. */
+  def q217SqlScriptFold(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.orders(s, dir)
+      .groupBy(expr("CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT)")
+        .as("qi"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("revenue_cents"))
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("qi"))))
+    val mat = graft.Caches.trackCheckpoint(idx.localCheckpoint())
+    val mv = s"graft_quarters_w${viewSeq.incrementAndGet()}"
+    mat.createOrReplaceTempView(mv)
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    try s.sql(
+      s"""BEGIN
+        |  DECLARE vn BIGINT;
+        |  DECLARE vi BIGINT DEFAULT 1;
+        |  DECLARE vema BIGINT;
+        |  SET vn = (SELECT coalesce(max(i), 0) FROM $mv);
+        |  SET vema = (SELECT revenue_cents FROM $mv WHERE i = 1);
+        |  WHILE vi < vn DO
+        |    SET vi = vi + 1;
+        |    SET vema = (SELECT (vema * 3 + x.revenue_cents) div 4
+        |                FROM $mv x WHERE x.i = vi);
+        |  END WHILE;
+        |  SELECT CAST(vn AS BIGINT) AS n_quarters,
+        |    (SELECT max(qi) FROM $mv) AS last_quarter_index,
+        |    CAST(vema AS BIGINT) AS final_ema_cents;
+        |END""".stripMargin)
+    finally s.catalog.dropTempView(mv)
+  }
+
+  val q217Oracle: String =
+    """WITH RECURSIVE quarters AS (
+      |  SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS qi,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT qi, revenue_cents, row_number() OVER (ORDER BY qi) AS i
+      |  FROM quarters),
+      |r(i, qi, revenue_cents, ema_cents) AS (
+      |  SELECT i, qi, revenue_cents, revenue_cents FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.i, x.qi, x.revenue_cents,
+      |    (rr.ema_cents * 3 + x.revenue_cents) // 4
+      |  FROM r rr JOIN idx x ON x.i = rr.i + 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_quarters,
+      |  CAST(max(qi) AS BIGINT) AS last_quarter_index,
+      |  CAST(max_by(ema_cents, i) AS BIGINT) AS final_ema_cents
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_sql_script_fold" -> (q217SqlScriptFold _),
     "q207_recursive_ema" -> (q207RecursiveEma _),
     "q149_revenue_engagement" -> (q149RevenueEngagement _),
     "q150_interarrival_gaps"  -> (q150InterarrivalGaps _),
@@ -1718,6 +1789,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q217_sql_script_fold" -> q217Oracle,
     "q207_recursive_ema" -> q207Oracle,
     "q149_revenue_engagement" -> q149Oracle,
     "q150_interarrival_gaps"  -> q150Oracle,

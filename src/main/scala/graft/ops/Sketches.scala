@@ -508,7 +508,8 @@ object Sketches {
     "q142_rolling_bitmap" -> (q142RollingBitmap _),
     "q157_bloom_semijoin" -> (q157BloomSemijoin _),
     "q164_bottomk_quantile" -> (q164BottomkQuantile _),
-    "q202_hll_merge" -> (q202HllMerge _))
+    "q202_hll_merge" -> (q202HllMerge _),
+    "q216_kmv_merge" -> (q216KmvMerge _))
 
   val oracles: Map[String, String] = Map(
     "q206_cms_join_size" -> q206Oracle,
@@ -517,7 +518,8 @@ object Sketches {
     "q142_rolling_bitmap" -> q142Oracle,
     "q157_bloom_semijoin" -> q157Oracle,
     "q164_bottomk_quantile" -> q164Oracle,
-    "q202_hll_merge" -> q202Oracle)
+    "q202_hll_merge" -> q202Oracle,
+    "q216_kmv_merge" -> q216Oracle)
 
   /** q202: HLL dump-merge law — the reason a 100 TB pipeline can keep
     * per-source/per-month distinct-user sketches and NEVER rescan old
@@ -609,5 +611,100 @@ object Sketches {
        |    AS merge_exact
        |FROM me JOIN de USING (event_type) JOIN nd USING (event_type)
        |ORDER BY me.event_type""".stripMargin
+  }
+  /** q216: KMV (bottom-k) dump-merge law — the second mergeable-summary
+    * family, completing q202's HLL half with the ORDER-STATISTIC one
+    * (Agarwal et al. 2012, "Mergeable Summaries"; Bar-Yossef et al. 2002's
+    * KMV): the k smallest distinct hash values of a union are recoverable
+    * from the per-part bottom-k sketches alone — bottom-k(∪ S_i) ≡
+    * bottom-k(∪ bottom-k(S_i)) EXACTLY, so per-dump sketches merge
+    * without ever rescanning old dumps, and the kth-min (hence the
+    * estimate) is bit-identical, not approximately equal. The user space
+    * splits into 4 disjoint dumps (user_id mod 4); per event_type the
+    * 4 sketches merge and the merged kth-min rides next to the direct
+    * whole-set kth-min with an equality flag ≡ 1.
+    *
+    * Same deterministic 60-bit md5-prefix hash as q83; the sketch agg is
+    * the bounded-buffer TopKAggregator (map-side combine to ≤ k rows per
+    * group — at 100 TB the merge input is sketches, never data). The
+    * merge stage explodes only the |types|·4·k sketch rows.
+    *
+    * Guarded kth access (`when(size ≥ k)`): a small dump can hold fewer
+    * than k users and ANSI element_at would throw; both engines then
+    * yield NULL and compare on the estimate instead. */
+  def q216KmvMerge(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val pow60 = 1152921504606846976L // 2^60, exactly representable in double
+    val minK = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    def kth(mins: Column): Column =
+      when(size(mins) >= k, element_at(mins, k))
+    def est(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(pow60).cast("double")
+          / element_at(mins, k))
+    val hashed = graft.Caches.persist(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"), (col("user_id") % 4).as("dump"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+            16, 10).cast("long").as("h")))
+    val perDump = hashed.groupBy(col("event_type"), col("dump"))
+      .agg(minK(col("h"), -col("h")).as("mins"))
+    val merged = perDump
+      .select(col("event_type"), explode(col("mins")).as("h")).distinct()
+      .groupBy(col("event_type")).agg(minK(col("h"), -col("h")).as("mins"))
+      .select(col("event_type"), kth(col("mins")).as("merged_kth_min"),
+        est(col("mins")).as("merged_estimate"))
+    val direct = hashed.select(col("event_type"), col("h")).distinct()
+      .groupBy(col("event_type")).agg(minK(col("h"), -col("h")).as("mins"))
+      .select(col("event_type"), kth(col("mins")).as("direct_kth_min"),
+        est(col("mins")).as("direct_estimate"))
+    val nDumps = perDump.groupBy(col("event_type"))
+      .agg(countDistinct(col("dump")).as("n_dumps"))
+    merged.join(direct, Seq("event_type")).join(nDumps, Seq("event_type"))
+      .select(col("event_type"), col("n_dumps"),
+        col("merged_kth_min"), col("direct_kth_min"),
+        col("merged_estimate"), col("direct_estimate"),
+        (col("merged_estimate") === col("direct_estimate")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  // def (round-5 init-order discipline, same as q202Oracle)
+  def q216Oracle: String = {
+    val k = 64
+    val pow60 = 1152921504606846976L
+    s"""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT DISTINCT event_type, user_id % 4 AS dump,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM ev),
+       |pd AS (
+       |  SELECT event_type, dump, list_sort(array_agg(h))[1:$k] AS mins
+       |  FROM h GROUP BY 1, 2),
+       |mu AS (
+       |  SELECT DISTINCT event_type, u.h
+       |  FROM pd, unnest(mins) AS u(h)),
+       |mg AS (SELECT event_type, list_sort(array_agg(h)) AS hs FROM mu GROUP BY 1),
+       |dr AS (
+       |  SELECT event_type, list_sort(array_agg(DISTINCT h)) AS hs
+       |  FROM h GROUP BY 1),
+       |nd AS (SELECT event_type, CAST(count(DISTINCT dump) AS BIGINT) AS n_dumps
+       |       FROM h GROUP BY 1)
+       |SELECT mg.event_type, n_dumps,
+       |  mg.hs[$k] AS merged_kth_min, dr.hs[$k] AS direct_kth_min,
+       |  CASE WHEN len(mg.hs) < $k THEN CAST(len(mg.hs) AS DOUBLE)
+       |       ELSE ${k - 1}.0 * CAST($pow60 AS DOUBLE) / mg.hs[$k] END
+       |    AS merged_estimate,
+       |  CASE WHEN len(dr.hs) < $k THEN CAST(len(dr.hs) AS DOUBLE)
+       |       ELSE ${k - 1}.0 * CAST($pow60 AS DOUBLE) / dr.hs[$k] END
+       |    AS direct_estimate,
+       |  CAST(CASE WHEN (CASE WHEN len(mg.hs) < $k THEN CAST(len(mg.hs) AS DOUBLE)
+       |       ELSE ${k - 1}.0 * CAST($pow60 AS DOUBLE) / mg.hs[$k] END)
+       |     = (CASE WHEN len(dr.hs) < $k THEN CAST(len(dr.hs) AS DOUBLE)
+       |       ELSE ${k - 1}.0 * CAST($pow60 AS DOUBLE) / dr.hs[$k] END)
+       |     THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+       |FROM mg JOIN dr USING (event_type) JOIN nd USING (event_type)
+       |ORDER BY mg.event_type""".stripMargin
   }
 }

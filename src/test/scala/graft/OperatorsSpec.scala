@@ -1038,6 +1038,50 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q217 SQL-scripting fold: final state equals the recursive-CTE trajectory's last row") {
+    val traj = ops.Analytics.q207RecursiveEma(spark, sf()).collect()
+    val fin = ops.Analytics.q217SqlScriptFold(spark, sf()).collect()
+    assert(fin.length == 1)
+    val r = fin.head
+    assert(r.getAs[Long]("n_quarters") == traj.length.toLong)
+    val last = traj.maxBy(_.getAs[Long]("quarter_index"))
+    assert(r.getAs[Long]("last_quarter_index") == last.getAs[Long]("quarter_index"))
+    assert(r.getAs[Long]("final_ema_cents") == last.getAs[Long]("ema_cents"))
+    Caches.releaseAll()
+  }
+
+  test("q216 KMV merge law: planted dumps merge bit-identically; law holds on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // type A: 200 users (each mod-4 dump holds ~50 < k=64, so the merge
+    // genuinely reassembles the bottom-64 from partial sketches);
+    // type B: 30 users (< k -> both sides fall back to exact size)
+    val rows = (1L to 200L).map(u => (u, ts, u, "A", 1.0, "{}")) ++
+      (1L to 30L).map(u => (u + 1000L, ts, u * 7L, "B", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.Sketches.q216KmvMerge(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A").getAs[Long]("merge_exact") == 1L)
+    assert(out("A").getAs[Long]("merged_kth_min")
+      == out("A").getAs[Long]("direct_kth_min"))
+    assert(out("B").getAs[Long]("merge_exact") == 1L)
+    assert(out("B").getAs[Double]("merged_estimate") == 30.0)
+    assert(out("B").isNullAt(out("B").fieldIndex("merged_kth_min")))
+    Caches.releaseAll()
+    // real corpus: the law is exact on every row, with all 4 dumps present
+    val sfRows = ops.Sketches.q216KmvMerge(spark, sf()).collect()
+    assert(sfRows.nonEmpty)
+    sfRows.foreach { r =>
+      assert(r.getAs[Long]("merge_exact") == 1L, r.getAs[String]("event_type"))
+      assert(r.getAs[Double]("merged_estimate") == r.getAs[Double]("direct_estimate"))
+      assert(r.getAs[Long]("n_dumps") <= 4L)
+    }
+    Caches.releaseAll()
+  }
+
   test("q215 source AUC: planted tie-aware Mann-Whitney exact; bounds on sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-auc").toString
