@@ -660,6 +660,141 @@ object Graph {
        |FROM stats ORDER BY round""".stripMargin
   }
 
+  /** q218: incremental TRIANGLE maintenance — the q209 delta-join law lifted
+    * from flat joins to a graph motif. A 100 TB link graph absorbs a new
+    * dump; the triangle census (the clustering signal behind q122/q214)
+    * must update from the DELTA, not by re-enumerating the corpus. With
+    * ordered edges a<b<c the triangle pattern e1(a,b)⋈e2(b,c)⋈e3(a,c)
+    * finds each triangle exactly once, and classifying by the FIRST new
+    * position decomposes the new triangles into three disjoint delta-sized
+    * terms:
+    *   T(E∪Δ) − T(E) =  Δ⋈F⋈F  +  E⋈Δ⋈F  +  E⋈E⋈Δ     (F = E∪Δ)
+    * — every term has a Δ operand, so production work is bounded by the
+    * delta's neighborhoods; the full T(E) / T(E∪Δ) enumerations ride along
+    * here only as the audit a maintenance law owes its test (q209's
+    * discipline; a real refresh never runs them).
+    *
+    * Graph: the part co-order graph (q203's edge build — parts co-ordered
+    * in ≥ 2 orders). "New dump" = orders with l_orderkey % 10 == 0; both
+    * support counts come from ONE pair aggregate (per-pair total + old
+    * support in the same HashAggregate), so the old/full edge sets share a
+    * single build and the flag is `w_old < 2` — an edge can be BORN old-
+    * supported or cross the threshold on new support, both are Δ rows.
+    * Support is insert-only monotone, hence E_old ⊆ E_full and the law is
+    * exact set arithmetic, no retractions.
+    *
+    * Scale: one co-order pair shuffle for the shared edge frame
+    * (localCheckpoint-materialized, flags carried); each triangle term is
+    * equi-keyed (join on b, then on (a,c)) — hash/sort joins throughout, no
+    * nested loops; the six global counts combine via ONE tagged-union
+    * aggregate (the q133 lint lesson — never cross-join 1-row aggregates).
+    * Output is a single audit row: edge counts, stored-view count, the
+    * three-term delta breakdown (d1/d2/d3 = triangles with exactly that
+    * many delta edges), the recomputed total, and match ≡ 1. */
+  def q218IncrementalTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    // one pair aggregate carries BOTH support counts; is_new = old support
+    // below threshold (edge exists only thanks to the new dump)
+    val ef = graft.Caches.trackCheckpoint(
+      a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w_total"),
+          sum(when(col("ok") % 10 =!= 0, 1L).otherwise(0L)).as("w_old"))
+        .filter(col("w_total") >= 2)
+        .select(col("u"), col("v"), (col("w_old") < 2).as("is_new"))
+        .localCheckpoint())
+    val eOld = ef.filter(!col("is_new")).select(col("u"), col("v"))
+    val dl = ef.filter(col("is_new")).select(col("u"), col("v"))
+    def tri(e1: DataFrame, e2: DataFrame, e3: DataFrame): DataFrame =
+      e1.select(col("u").as("x"), col("v").as("y"))
+        .join(e2.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+        .join(e3.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"), "left_semi")
+    val fFlag = ef // keeps is_new for the n_new breakdown
+    // term 1: e1 ∈ Δ — n_new = 1 + new(e2) + new(e3)
+    val t1 = dl.select(col("u").as("x"), col("v").as("y"))
+      .join(fFlag.select(col("u").as("y"), col("v").as("z"),
+        col("is_new").as("n2")), Seq("y"))
+      .join(fFlag.select(col("u").as("x"), col("v").as("z"),
+        col("is_new").as("n3")), Seq("x", "z"))
+      .select((lit(1L) + col("n2").cast("long") + col("n3").cast("long")).as("n_new"))
+    // term 2: e1 ∈ E_old, e2 ∈ Δ — n_new = 1 + new(e3)
+    val t2 = eOld.select(col("u").as("x"), col("v").as("y"))
+      .join(dl.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+      .join(fFlag.select(col("u").as("x"), col("v").as("z"),
+        col("is_new").as("n3")), Seq("x", "z"))
+      .select((lit(1L) + col("n3").cast("long")).as("n_new"))
+    // term 3: e1, e2 ∈ E_old, e3 ∈ Δ — n_new = 1
+    val t3 = eOld.select(col("u").as("x"), col("v").as("y"))
+      .join(eOld.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+      .join(dl.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"), "left_semi")
+      .select(lit(1L).as("n_new"))
+    val deltaTris = t1.unionAll(t2).unionAll(t3)
+    val full = ef.select(col("u"), col("v"))
+    // tagged union → ONE aggregate for all global counts
+    def tag(df: DataFrame, eo: Int, dn: Int, to: Int, tf: Int) =
+      df.select(lit(eo.toLong).as("eo"), lit(dn.toLong).as("dn"),
+        lit(to.toLong).as("t_old"), lit(tf.toLong).as("t_full"),
+        lit(null).cast("long").as("n_new"))
+    tag(eOld, 1, 0, 0, 0)
+      .unionAll(tag(dl, 0, 1, 0, 0))
+      .unionAll(tag(tri(eOld, eOld, eOld), 0, 0, 1, 0))
+      .unionAll(tag(tri(full, full, full), 0, 0, 0, 1))
+      .unionAll(deltaTris.select(lit(0L).as("eo"), lit(0L).as("dn"),
+        lit(0L).as("t_old"), lit(0L).as("t_full"), col("n_new")))
+      .agg(
+        coalesce(sum(col("eo")), lit(0L)).as("n_edges_old"),
+        coalesce(sum(col("dn")), lit(0L)).as("n_edges_delta"),
+        coalesce(sum(col("t_old")), lit(0L)).as("tri_old"),
+        coalesce(sum(when(col("n_new") === 1L, 1L)), lit(0L)).as("tri_d1"),
+        coalesce(sum(when(col("n_new") === 2L, 1L)), lit(0L)).as("tri_d2"),
+        coalesce(sum(when(col("n_new") === 3L, 1L)), lit(0L)).as("tri_d3"),
+        coalesce(sum(when(col("n_new").isNotNull, 1L)), lit(0L)).as("tri_delta"),
+        coalesce(sum(col("t_full")), lit(0L)).as("tri_full"))
+      .select(col("n_edges_old"), col("n_edges_delta"), col("tri_old"),
+        col("tri_d1"), col("tri_d2"), col("tri_d3"), col("tri_delta"),
+        col("tri_full"),
+        (col("tri_old") + col("tri_delta") === col("tri_full"))
+          .cast("long").as("ivm_match"))
+  }
+
+  /** Independent decomposition on purpose: the oracle enumerates the FULL
+    * flagged triangle set once and classifies by how many delta edges each
+    * triangle carries — if the engine's three first-new-position terms
+    * miscounted or double-counted, the per-column hashes diverge. */
+  val q218Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.l_partkey u, b.l_partkey v, count(*) w_total,
+      |    sum(CASE WHEN a.l_orderkey % 10 <> 0 THEN 1 ELSE 0 END) w_old
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ef AS MATERIALIZED (
+      |  SELECT u, v, (w_old < 2) AS is_new FROM pairs),
+      |tri AS MATERIALIZED (
+      |  SELECT (CASE WHEN e1.is_new THEN 1 ELSE 0 END
+      |        + CASE WHEN e2.is_new THEN 1 ELSE 0 END
+      |        + CASE WHEN e3.is_new THEN 1 ELSE 0 END) AS n_new
+      |  FROM ef e1
+      |  JOIN ef e2 ON e2.u = e1.v
+      |  JOIN ef e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ef WHERE NOT is_new) AS n_edges_old,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ef WHERE is_new) AS n_edges_delta,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tri WHERE n_new = 0) AS tri_old,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tri WHERE n_new = 1) AS tri_d1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tri WHERE n_new = 2) AS tri_d2,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tri WHERE n_new = 3) AS tri_d3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tri WHERE n_new >= 1) AS tri_delta,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS tri_full,
+      |  CAST(CASE WHEN (SELECT count(*) FROM tri WHERE n_new = 0)
+      |              + (SELECT count(*) FROM tri WHERE n_new >= 1)
+      |              = (SELECT count(*) FROM tri) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS ivm_match""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_lpa_communities" -> (q171LpaCommunities _),
     "q117_pagerank" -> (q117Pagerank _),
@@ -667,7 +802,8 @@ object Graph {
     "q122_triangles" -> (q122Triangles _),
     "q154_pagerank_dangling" -> (q154PagerankDangling _),
     "q203_kcore_peel" -> (q203KcorePeel _),
-    "q214_modularity" -> (q214Modularity _))
+    "q214_modularity" -> (q214Modularity _),
+    "q218_incremental_triangles" -> (q218IncrementalTriangles _))
 
   def oracles: Map[String, String] = Map(
     "q171_lpa_communities" -> q171Oracle,
@@ -676,5 +812,6 @@ object Graph {
     "q122_triangles" -> q122Oracle,
     "q154_pagerank_dangling" -> q154Oracle,
     "q203_kcore_peel" -> q203Oracle,
-    "q214_modularity" -> q214Oracle)
+    "q214_modularity" -> q214Oracle,
+    "q218_incremental_triangles" -> q218Oracle)
 }

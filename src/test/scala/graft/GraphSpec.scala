@@ -328,4 +328,40 @@ class GraphSpec extends SparkSpec {
     assert(curve.last.getAs[Long]("n_removed") == 0L, "not converged in 12 rounds")
     Caches.releaseAll()
   }
+
+  test("q218 incremental triangles: planted delta census exact; IVM law on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-itri").toString
+    // Old orders (key % 10 != 0): {1,2,3}×2 → old triangle; {1,5}×2 → old
+    // edge. New orders (key % 10 == 0): {1,2,4}×2 → new edges (1,4),(2,4)
+    // (a d2 triangle with old (1,2)); {2,5}×2 → new (2,5) (d1 triangle
+    // with old (1,2),(1,5)); {6,7,8}×2 → an all-new d3 triangle.
+    val rows =
+      Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L).map(p => (o, p))) ++
+        Seq(4L, 5L).flatMap(o => Seq(1L, 5L).map(p => (o, p))) ++
+        Seq(10L, 20L).flatMap(o => Seq(1L, 2L, 4L).map(p => (o, p))) ++
+        Seq(40L, 50L).flatMap(o => Seq(2L, 5L).map(p => (o, p))) ++
+        Seq(60L, 70L).flatMap(o => Seq(6L, 7L, 8L).map(p => (o, p)))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = ops.Graph.q218IncrementalTriangles(spark, dir).collect().head
+    assert(r.getAs[Long]("n_edges_old") == 4L)
+    assert(r.getAs[Long]("n_edges_delta") == 6L)
+    assert(r.getAs[Long]("tri_old") == 1L)
+    assert(r.getAs[Long]("tri_d1") == 1L)
+    assert(r.getAs[Long]("tri_d2") == 1L)
+    assert(r.getAs[Long]("tri_d3") == 1L)
+    assert(r.getAs[Long]("tri_delta") == 3L)
+    assert(r.getAs[Long]("tri_full") == 4L)
+    assert(r.getAs[Long]("ivm_match") == 1L)
+    Caches.releaseAll()
+    // real corpus: the delta decomposition must telescope exactly
+    val c = ops.Graph.q218IncrementalTriangles(spark, sf()).collect().head
+    assert(c.getAs[Long]("ivm_match") == 1L)
+    assert(c.getAs[Long]("tri_d1") + c.getAs[Long]("tri_d2") +
+      c.getAs[Long]("tri_d3") == c.getAs[Long]("tri_delta"))
+    assert(c.getAs[Long]("tri_old") + c.getAs[Long]("tri_delta") ==
+      c.getAs[Long]("tri_full"))
+    Caches.releaseAll()
+  }
 }
