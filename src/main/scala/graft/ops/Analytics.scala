@@ -1746,7 +1746,79 @@ object Analytics {
       |  CAST(max_by(ema_cents, i) AS BIGINT) AS final_ema_cents
       |FROM r""".stripMargin
 
+  /** q219: CUSUM drift detection over the daily-revenue series — the Page
+    * (1954) sequential change-point statistic, the standard "has the level
+    * shifted" monitor a pipeline runs on every ingest metric (q161 answers
+    * "is this hour abnormal for a Tuesday 14:00"; CUSUM answers "has the
+    * MEAN drifted and since when"). The textbook recursion
+    * S_t = max(0, S_{t-1} + (x_t − k)) is a non-associative fold — but it
+    * has the exact closed form S_t = P_t − min(0, min_{j≤t} P_j) over the
+    * deviation prefix sum P_t = Σ(x_i − k), so unlike q207/q217 it needs NO
+    * recursion surface: two ordered prefix-extrema windows express it, and
+    * the same identity with max gives the downward arm. Reference level
+    * k = floor(mean daily revenue), self-calibrated via unbounded windows
+    * over the reduced frame (never a 1-row-aggregate cross join — the q133
+    * lint); alarm threshold h = 2k (two average days of accumulated
+    * excess). All integer cents end-to-end: prefix sums, extrema, and the
+    * alarm compare are exact, so the two engines cannot disagree on a
+    * marginal day.
+    *
+    * Scale: ONE partial+final hash aggregate reduces the corpus to the
+    * bounded per-day frame (~2.4k rows at any sf); the four windows run on
+    * that reduced frame in a single partition — the q145 sweep discipline.
+    * Days with no orders carry no row: CUSUM over observed points, stated
+    * and mirrored in the oracle. */
+  def q219CusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("day"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("revenue_cents"))
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("tot", sum(col("revenue_cents")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k", expr("tot div n"))
+      .withColumn("p", sum(col("revenue_cents") - col("k")).over(wCum))
+      .withColumn("cusum_up", col("p") - least(min(col("p")).over(wCum), lit(0L)))
+      .withColumn("cusum_down", -col("p") + greatest(max(col("p")).over(wCum), lit(0L)))
+      .select(col("day"), col("revenue_cents"),
+        col("cusum_up"), col("cusum_down"),
+        (col("cusum_up") > lit(2L) * col("k")).cast("long").as("alarm_up"),
+        (col("cusum_down") > lit(2L) * col("k")).cast("long").as("alarm_down"))
+      .orderBy(col("day"))
+  }
+
+  val q219Oracle: String =
+    """WITH daily AS (
+      |  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT day, revenue_cents,
+      |    sum(revenue_cents) OVER () // count(*) OVER () AS k
+      |  FROM daily),
+      |p AS (
+      |  SELECT day, revenue_cents, k,
+      |    sum(revenue_cents - k)
+      |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM w)
+      |SELECT CAST(day AS BIGINT) AS day, revenue_cents,
+      |  CAST(p - least(min(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+      |    AS BIGINT) AS cusum_up,
+      |  CAST(-p + greatest(max(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+      |    AS BIGINT) AS cusum_down,
+      |  CAST(CASE WHEN p - least(min(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+      |         > 2 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+      |  CAST(CASE WHEN -p + greatest(max(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+      |         > 2 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm_down
+      |FROM p ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_cusum_drift" -> (q219CusumDrift _),
     "q217_sql_script_fold" -> (q217SqlScriptFold _),
     "q207_recursive_ema" -> (q207RecursiveEma _),
     "q149_revenue_engagement" -> (q149RevenueEngagement _),
@@ -1789,6 +1861,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q219_cusum_drift" -> q219Oracle,
     "q217_sql_script_fold" -> q217Oracle,
     "q207_recursive_ema" -> q207Oracle,
     "q149_revenue_engagement" -> q149Oracle,

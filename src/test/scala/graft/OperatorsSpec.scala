@@ -1038,6 +1038,45 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q219 CUSUM: closed form equals the max-reset recursion; planted shift alarms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    def d(i: Int) = java.sql.Timestamp.valueOf(f"2020-01-${i}%02d 00:00:00")
+    // 5 days at 100.00 then 5 at 300.00: k = 20000 cents; upper arm climbs
+    // 10000/day after the shift (alarm when > 2k on day 10), lower arm
+    // mirrors it during the low regime (alarm on day 5)
+    (1 to 10).map(i => (i.toLong, if (i <= 5) 100.0 else 300.0, d(i)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = ops.Analytics.q219CusumDrift(spark, dir).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("cusum_up")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 0L, 10000L, 20000L, 30000L, 40000L, 50000L))
+    assert(out.map(_.getAs[Long]("cusum_down")).toSeq ==
+      Seq(10000L, 20000L, 30000L, 40000L, 50000L, 40000L, 30000L, 20000L, 10000L, 0L))
+    assert(out.map(_.getAs[Long]("alarm_up")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("alarm_down")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L))
+    Caches.releaseAll()
+    // real corpus: the closed form must equal the literal recursion replayed
+    // driver-side over the collected day frame
+    val rows = ops.Analytics.q219CusumDrift(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val xs = rows.map(_.getAs[Long]("revenue_cents"))
+    val k = xs.sum / xs.length // floorDiv on positives
+    var (su, sd) = (0L, 0L)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      su = math.max(0L, su + (xs(i) - k))
+      sd = math.max(0L, sd + (k - xs(i)))
+      assert(r.getAs[Long]("cusum_up") == su, s"day ${r.getAs[Long]("day")}")
+      assert(r.getAs[Long]("cusum_down") == sd, s"day ${r.getAs[Long]("day")}")
+    }
+    Caches.releaseAll()
+  }
+
   test("q217 SQL-scripting fold: final state equals the recursive-CTE trajectory's last row") {
     val traj = ops.Analytics.q207RecursiveEma(spark, sf()).collect()
     val fin = ops.Analytics.q217SqlScriptFold(spark, sf()).collect()
