@@ -631,6 +631,53 @@ object Relational {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** q220: SQL pipe-operator syntax (SPARK-49555, Spark 4's `|>` surface)
+    * pinned end-to-end on a multi-stage flow: leading FROM, pre-join WHERE
+    * (pushes below the join exactly as in nested SQL — pipe order is
+    * logical, Catalyst still reorders), JOIN, post-join WHERE, EXTEND
+    * (derived column), AGGREGATE … GROUP BY with aliased grouping
+    * expression, post-aggregation WHERE (the HAVING equivalent), ORDER BY.
+    * The oracle is the same query in classic nested SQL on DuckDB, so the
+    * pin is "pipe stages compose to standard semantics", not pipe-vs-pipe.
+    * Exact integer cents×percent revenue (graft.Exact discipline). The
+    * physical plan is identical to the DataFrame formulation — pipe syntax
+    * is pure parser surface, which is exactly what this query documents. */
+  def q220PipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    val lv = s"graft_li_v${viewSeq.incrementAndGet()}"
+    val ov = s"graft_ord_v${viewSeq.incrementAndGet()}"
+    Tables.lineitem(s, dir).createOrReplaceTempView(lv)
+    Tables.orders(s, dir).createOrReplaceTempView(ov)
+    try s.sql(
+      s"""FROM $lv
+        ||> WHERE l_shipdate >= DATE '1996-01-01'
+        ||> JOIN $ov ON l_orderkey = o_orderkey
+        ||> WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ||> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c100
+        ||> AGGREGATE CAST(sum(rev_c100) AS BIGINT) AS revenue_c100,
+        |     count(*) AS n_items
+        |   GROUP BY o_orderpriority, CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        ||> WHERE n_items >= 5
+        ||> ORDER BY o_orderpriority, ship_year""".stripMargin)
+    finally {
+      s.catalog.dropTempView(lv)
+      s.catalog.dropTempView(ov)
+    }
+  }
+
+  val q220Oracle: String =
+    """SELECT o_orderpriority, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_c100,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= DATE '1996-01-01'
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 5
+      |ORDER BY o_orderpriority, ship_year""".stripMargin
+
   /** Scalar string-function surface (SURVEY §2.8 F10 — ABSENT in reference):
     * upper/substr/length/regexp_replace/concat_ws over `part`, row-level. */
   def q15StringFunctions(s: SparkSession, dir: String): DataFrame =
@@ -903,6 +950,7 @@ object Relational {
     "q14_order_revenue_by_region" -> (q14OrderRevenueByRegion _),
     "q15_string_functions"     -> (q15StringFunctions _),
     "q96_string_functions2"    -> (q96StringFunctions2 _),
+    "q220_pipe_syntax"         -> (q220PipeSyntax _),
     "q16_range_join"           -> (q16RangeJoin _),
     "q17_asof_signup"          -> (q17AsofSignup _),
     "q18_approx_stats"         -> (q18ApproxStats _),
@@ -933,6 +981,7 @@ object Relational {
     "q14_order_revenue_by_region" -> q14Oracle,
     "q15_string_functions"     -> q15Oracle,
     "q96_string_functions2"    -> q96Oracle,
+    "q220_pipe_syntax"         -> q220Oracle,
     "q16_range_join"           -> q16Oracle,
     "q17_asof_signup"          -> q17Oracle,
     "q18_approx_stats"         -> q18Oracle,

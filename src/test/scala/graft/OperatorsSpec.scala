@@ -1038,6 +1038,25 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q220 pipe syntax: stages compose to the DataFrame formulation exactly") {
+    val pipe = ops.Relational.q220PipeSyntax(spark, sf()).collect()
+    assert(pipe.nonEmpty)
+    // independent DataFrame formulation of the same semantics
+    val df = Tables.lineitem(spark, sf())
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date"))
+      .join(Tables.orders(spark, sf()), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .withColumn("rev_c100", Exact.cents(col("l_extendedprice"))
+        * (lit(100L) - Exact.cents(col("l_discount"))))
+      .groupBy(col("o_orderpriority"), year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(col("rev_c100")).as("revenue_c100"), count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 5)
+      .orderBy(col("o_orderpriority"), col("ship_year"))
+      .collect()
+    assert(pipe.map(_.toSeq).toSeq == df.map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
+
   test("q219 CUSUM: closed form equals the max-reset recursion; planted shift alarms") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
