@@ -1817,7 +1817,71 @@ object Analytics {
       |         > 2 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm_down
       |FROM p ORDER BY day""".stripMargin
 
+  /** q223: exact GLOBAL quantiles by two-pass bucket selection — the
+    * 100 TB algorithm for an exact median/p90 over a corpus-scale column.
+    * q63's `percentile` sorts within each (small) group; a GLOBAL exact
+    * quantile that way is a full sort of the corpus. The selection
+    * formulation needs no sort at all: pass 1 reduces the corpus to a
+    * bounded bucket histogram ($100-wide cents buckets), prefix-sums it,
+    * and locates for each target rank k the bucket where the cumulative
+    * count crosses k plus the residual rank r inside it; pass 2 re-scans
+    * ONLY the target buckets (a broadcast semi-join on the bucket key —
+    * at 100 TB this is where partition pruning on a bucketed layout would
+    * kick in), reduces them to per-distinct-value counts, and reads the
+    * r-th value off the in-bucket prefix sum. Two partial+final hash
+    * aggregates, two bounded-frame window passes, zero row-level sorts.
+    *
+    * Ranks are the standard lower statistics: k_med = (n+1) div 2,
+    * k_p90 = ceil(0.9n) = (9n+9) div 10 — pure integers, so the oracle
+    * (row_number over the sorted column — the thing we refuse to do at
+    * scale) must agree bit-for-bit on the rank-k VALUE regardless of tie
+    * order. */
+  def q223TwopassQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(Exact.cents(col("l_extendedprice")).as("c"))
+    val hist = li.groupBy(expr("c div 10000").as("b")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val targets = hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("b"), col("cum"), col("cnt"), col("n"),
+        explode(array(
+          struct(lit("median").as("stat"), expr("(n + 1) div 2").as("k")),
+          struct(lit("p90").as("stat"), expr("(9 * n + 9) div 10").as("k")))).as("sk"))
+      .filter(col("cum") - col("cnt") < col("sk.k") && col("sk.k") <= col("cum"))
+      .select(col("sk.stat").as("stat"), col("b"), col("n"), col("sk.k").as("k"),
+        (col("sk.k") - (col("cum") - col("cnt"))).as("r"))
+    val wIn = Window.partitionBy(col("stat")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("b", expr("c div 10000"))
+      .join(broadcast(targets), Seq("b"))
+      .groupBy(col("stat"), col("n"), col("k"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cc"))
+      .withColumn("cumc", sum(col("cc")).over(wIn))
+      .filter(col("cumc") >= col("r"))
+      .groupBy(col("stat"), col("n"), col("k"))
+      .agg(min(col("c")).as("value_cents"))
+      .orderBy(col("stat"))
+  }
+
+  val q223Oracle: String =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+      |cnt AS (SELECT count(*) AS n FROM v),
+      |s AS (
+      |  SELECT 'median' AS stat, (n + 1) // 2 AS k, n FROM cnt
+      |  UNION ALL
+      |  SELECT 'p90', (9 * n + 9) // 10, n FROM cnt),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+      |SELECT s.stat, CAST(s.n AS BIGINT) AS n, CAST(s.k AS BIGINT) AS k,
+      |  r.c AS value_cents
+      |FROM s JOIN r ON r.rn = s.k
+      |ORDER BY s.stat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_twopass_quantile" -> (q223TwopassQuantile _),
     "q219_cusum_drift" -> (q219CusumDrift _),
     "q217_sql_script_fold" -> (q217SqlScriptFold _),
     "q207_recursive_ema" -> (q207RecursiveEma _),
@@ -1861,6 +1925,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q223_twopass_quantile" -> q223Oracle,
     "q219_cusum_drift" -> q219Oracle,
     "q217_sql_script_fold" -> q217Oracle,
     "q207_recursive_ema" -> q207Oracle,

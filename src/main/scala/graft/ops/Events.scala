@@ -961,7 +961,82 @@ object Events {
       |FROM b LEFT JOIN k ON b.event_type = k.event_type
       |ORDER BY b.event_type""".stripMargin
 
+  /** q222: lagged cross-covariance — "does click volume LEAD purchase
+    * volume, and by how many days?", the lead-lag screen run before anyone
+    * trusts a conversion attribution (q144 assigns credit within a session;
+    * this asks whether the aggregate series even co-move, and at what
+    * offset). For L ∈ 0..7 the pairs (x_t, y_{t+L}) are aligned by
+    * CALENDAR day (a self-equi-join on day+L over the reduced day frame —
+    * not lead(L) rows, which would silently mis-lag across gap days), and
+    * the covariance numerator n·Σxy − Σx·Σy is emitted exactly: count
+    * products widen to DECIMAL(38,0) BEFORE multiplication (at 100 TB
+    * daily counts reach 1e12 and Σxy passes 2^63 — the q161 widening
+    * requirement, not pedantry), the result cast back to BIGINT at the
+    * reporting grain. A peak flag marks the |cov|-maximal lag via a window
+    * over the 8-row frame.
+    *
+    * Scale: ONE fact-table partial+final aggregate reduces the corpus to
+    * the bounded day frame; the lag explode (×8) and self-join touch only
+    * that frame. No float enters, so engines agree on every margin. */
+  def q222LaggedCrosscov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val d = graft.Caches.persist(
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y")))
+    val lagged = d.select(col("day"), col("x"),
+        explode(sequence(lit(0L), lit(7L))).as("lag"))
+      .join(d.select(col("day").as("yday"), col("y")),
+        col("yday") === col("day") + col("lag"))
+    val agg = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(wide(col("x")) * wide(col("y"))).as("sxy"))
+      .select(col("lag"), col("n_pairs"),
+        (wide(col("n_pairs")) * col("sxy") - wide(col("sx")) * wide(col("sy")))
+          .cast("long").as("cov_num"))
+    agg
+      .withColumn("is_peak",
+        (abs(col("cov_num")) === max(abs(col("cov_num"))).over(
+          Window.orderBy(col("lag"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .cast("long"))
+      .select(col("lag"), col("n_pairs"), col("cov_num"), col("is_peak"))
+      .orderBy(col("lag"))
+  }
+
+  val q222Oracle: String =
+    """WITH d AS (
+      |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+      |p AS (
+      |  SELECT l.lag, a.x, b.y
+      |  FROM d a CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS l(lag)
+      |  JOIN d b ON b.day = a.day + l.lag),
+      |agg AS (
+      |  SELECT lag, count(*) AS n_pairs,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(CAST(x AS DECIMAL(38, 0)) * CAST(y AS DECIMAL(38, 0))) AS sxy
+      |  FROM p GROUP BY 1),
+      |c AS (
+      |  SELECT lag, n_pairs,
+      |    CAST(CAST(n_pairs AS DECIMAL(38, 0)) * sxy
+      |       - CAST(sx AS DECIMAL(38, 0)) * CAST(sy AS DECIMAL(38, 0))
+      |      AS BIGINT) AS cov_num
+      |  FROM agg)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  cov_num,
+      |  CAST(CASE WHEN abs(cov_num) = max(abs(cov_num)) OVER () THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_peak
+      |FROM c ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_lagged_crosscov" -> (q222LaggedCrosscov _),
     "q212_l_diversity" -> (q212LDiversity _),
     "q210_erasure_propagation" -> (q210ErasurePropagation _),
     "q208_variant_extract" -> (q208VariantExtract _),
@@ -986,6 +1061,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q222_lagged_crosscov" -> q222Oracle,
     "q212_l_diversity" -> q212Oracle,
     "q210_erasure_propagation" -> q210Oracle,
     "q208_variant_extract" -> q208Oracle,

@@ -509,7 +509,8 @@ object Sketches {
     "q157_bloom_semijoin" -> (q157BloomSemijoin _),
     "q164_bottomk_quantile" -> (q164BottomkQuantile _),
     "q202_hll_merge" -> (q202HllMerge _),
-    "q216_kmv_merge" -> (q216KmvMerge _))
+    "q216_kmv_merge" -> (q216KmvMerge _),
+    "q221_bloom_fpr_audit" -> (q221BloomFprAudit _))
 
   val oracles: Map[String, String] = Map(
     "q206_cms_join_size" -> q206Oracle,
@@ -519,7 +520,8 @@ object Sketches {
     "q157_bloom_semijoin" -> q157Oracle,
     "q164_bottomk_quantile" -> q164Oracle,
     "q202_hll_merge" -> q202Oracle,
-    "q216_kmv_merge" -> q216Oracle)
+    "q216_kmv_merge" -> q216Oracle,
+    "q221_bloom_fpr_audit" -> q221Oracle)
 
   /** q202: HLL dump-merge law — the reason a 100 TB pipeline can keep
     * per-source/per-month distinct-user sketches and NEVER rescan old
@@ -669,6 +671,114 @@ object Sketches {
           .as("merge_exact"))
       .orderBy(col("event_type"))
   }
+
+  /** q221: Bloom-filter membership audit — a Bloom built FROM FIRST
+    * PRINCIPLES on cross-engine-deterministic hashes (Bloom 1970; the same
+    * md5-slice discipline as the KMV/HLL/count-min family), then graded
+    * against ground truth. q157 uses Spark's built-in bloom as an opaque
+    * semi-join pre-filter (correct because it only prunes); this one makes
+    * the FILTER ITSELF reproducible — m = 2^20 bits as 32768 × 32-bit
+    * words (the round-4 gotcha: shifted masks stay ≤ 2^31 so DuckDB BIGINT
+    * never overflows), k = 4 independent 20-bit positions = disjoint
+    * 5-hex-char md5 slices — so both engines materialize the IDENTICAL
+    * bitmap and the audit row hashes bit-for-bit.
+    *
+    * Build set: customers that placed orders. Probe set: ALL customers
+    * (TPC-H leaves ~⅓ orderless — real negatives). The audit pins the two
+    * numbers that matter when a 100 TB join uses a Bloom pre-filter:
+    * n_false_negative ≡ 0 (the structural guarantee — a violated fn_zero
+    * means the filter is WRONG, not just loose) and the observed FPR in
+    * exact ppm (the wasted probe-side work the filter failed to prune).
+    *
+    * Scale: the bitmap is a ≤ 32768-row frame built by one partial+final
+    * bit_or aggregate (OR is mergeable — map-side combine caps the shuffle
+    * at m words per partition) and BROADCAST into the probe join; probes
+    * explode to k rows each, join the bitmap on the word key, and reduce
+    * back per key — no shuffle of the probe side beyond its own
+    * aggregation. The exact ground-truth join is the audit only (the thing
+    * the filter exists to avoid). m is a build parameter: production sizes
+    * m to the expected n (n ≫ m/k saturates the filter — the audit is
+    * exactly the query that would catch that misconfiguration). */
+  def q221BloomFprAudit(s: SparkSession, dir: String): DataFrame = {
+    val K = 4
+    def pos(key: Column, i: Int): Column =
+      conv(substring(md5(key.cast("string").cast("binary")), 1 + 5 * i, 5),
+        16, 10).cast("long")
+    def posed(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("key"),
+          explode(array((0 until K).map(i => pos(col(key), i)): _*)).as("p"))
+        .select(col("key"), expr("p div 32").as("w"),
+          expr("shiftleft(1L, cast(p % 32 as int))").as("mask"))
+    val build = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    val bitmap = posed(build, "o_custkey")
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+    val probe = Tables.customer(s, dir).select(col("c_custkey"))
+    val admitted = posed(probe, "c_custkey")
+      .join(broadcast(bitmap), Seq("w"), "left")
+      .select(col("key"),
+        when((coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))) =!= 0L, 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy(col("key"))
+      .agg((sum(col("hit")) === K).cast("long").as("admitted"))
+    val graded = admitted.join(
+      build.select(col("o_custkey").as("key"), lit(1L).as("present")),
+      Seq("key"), "left")
+      .select(col("admitted"), coalesce(col("present"), lit(0L)).as("present"))
+    graded.agg(
+        count(lit(1)).as("n_probe"),
+        coalesce(sum(col("present")), lit(0L)).as("n_present"),
+        coalesce(sum(col("admitted")), lit(0L)).as("n_admitted"),
+        coalesce(sum(when(col("admitted") === 1L && col("present") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_fp"),
+        coalesce(sum(when(col("admitted") === 0L && col("present") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_fn"))
+      .select(col("n_probe"), col("n_present"), col("n_admitted"),
+        col("n_fp"), col("n_fn"),
+        (col("n_fn") === 0L).cast("long").as("fn_zero"),
+        when(col("n_probe") === col("n_present"), lit(0L))
+          .otherwise(expr("n_fp * 1000000L div (n_probe - n_present)"))
+          .as("fpr_ppm"))
+  }
+
+  // def (round-5 init-order discipline: the maps above capture this)
+  def q221Oracle: String =
+    """WITH bs AS (SELECT DISTINCT o_custkey AS key FROM orders),
+      |bpos AS (
+      |  SELECT key,
+      |    CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1 + 5*i, 5) AS BIGINT) AS p
+      |  FROM bs, unnest([0, 1, 2, 3]) AS t(i)),
+      |bm AS (
+      |  SELECT p // 32 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      |  FROM bpos GROUP BY 1),
+      |ppos AS (
+      |  SELECT c_custkey AS key,
+      |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1 + 5*i, 5) AS BIGINT) AS p
+      |  FROM customer, unnest([0, 1, 2, 3]) AS t(i)),
+      |adm AS (
+      |  SELECT ppos.key,
+      |    CASE WHEN sum(CASE WHEN (coalesce(bm.bits, 0)
+      |           & (CAST(1 AS BIGINT) << CAST(ppos.p % 32 AS INT))) <> 0
+      |         THEN 1 ELSE 0 END) = 4 THEN 1 ELSE 0 END AS admitted
+      |  FROM ppos LEFT JOIN bm ON ppos.p // 32 = bm.w
+      |  GROUP BY 1),
+      |graded AS (
+      |  SELECT adm.admitted,
+      |    CASE WHEN bs.key IS NULL THEN 0 ELSE 1 END AS present
+      |  FROM adm LEFT JOIN bs ON adm.key = bs.key)
+      |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+      |  CAST(sum(present) AS BIGINT) AS n_present,
+      |  CAST(sum(admitted) AS BIGINT) AS n_admitted,
+      |  CAST(sum(CASE WHEN admitted = 1 AND present = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_fp,
+      |  CAST(sum(CASE WHEN admitted = 0 AND present = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_fn,
+      |  CAST(CASE WHEN sum(CASE WHEN admitted = 0 AND present = 1 THEN 1 ELSE 0 END) = 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS fn_zero,
+      |  CAST(CASE WHEN count(*) = sum(present) THEN 0
+      |    ELSE sum(CASE WHEN admitted = 1 AND present = 0 THEN 1 ELSE 0 END)
+      |         * 1000000 // (count(*) - sum(present)) END AS BIGINT) AS fpr_ppm
+      |FROM graded""".stripMargin
 
   // def (round-5 init-order discipline, same as q202Oracle)
   def q216Oracle: String = {

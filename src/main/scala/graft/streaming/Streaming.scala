@@ -876,7 +876,112 @@ object Streaming {
     }
   }
 
+  /** q224: idempotent `foreachBatch` upsert sink — the exactly-once WRITE
+    * law completing q186's exactly-once READ. Structured Streaming gives
+    * at-least-once delivery to a custom sink: after a crash between "batch
+    * written" and "offset committed", the SAME batch is re-delivered. The
+    * canonical production answer is an idempotent upsert — here dynamic
+    * partition overwrite keyed by event_type, so re-writing a batch
+    * replaces exactly the partitions it already wrote with identical
+    * content. The query runs an update-mode aggregation (each batch emits
+    * the keys whose cumulative state changed; the mart's per-key partition
+    * always holds the latest cumulative row), drains the bounded stream
+    * over multiple micro-batches (maxFilesPerTrigger=1), snapshots the
+    * mart, then REPLAYS the recorded last batch through the same upsert —
+    * the at-least-once retry, forced — and proves the mart is unchanged:
+    * `replay_ok` ≡ 1 on every row. A non-idempotent sink (append-mode
+    * foreachBatch) would double the last batch's keys and break both the
+    * flag and the row hash.
+    *
+    * Replay instrumentation (recording batches to a side directory) is
+    * test-shape, as in q168; the upsert function itself is exactly the
+    * production pattern. Oracle: the plain batch aggregate — the restart
+    * machinery must be result-invisible — plus the analytic flag. */
+  def q224IdempotentSink(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft-upsert-")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val evDir = s"$scratch/events.parquet"
+      val src = graft.Tables.canonicalTs(s.read.parquet(s"$dir/events.parquet"))
+      src.repartition(4).write.parquet(evDir)
+      val mart = s"$scratch/mart"
+      val batches = s"$scratch/batches"
+      // from the source frame, not the written dir: an all-empty write
+      // leaves no part files to infer from (round-3 gotcha)
+      val schema = src.schema
+      // the dynamic mode rides on the WRITE (round-8 gotcha: a conf set on
+      // the wrong session object silently no-ops — the per-write option
+      // cannot miss)
+      def upsert(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+        df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type").parquet(mart)
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(evDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exact.cents(col("value"))).as("sum_value_cents"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) =>
+          val snap = df.localCheckpoint() // decouple from streaming lineage
+          try {
+            upsert(snap)
+            snap.write.mode("overwrite").parquet(s"$batches/b=$id")
+          } finally snap.unpersist() // stream-thread-local; not Caches-tracked
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import org.apache.spark.sql.types._
+      // explicit schemas throughout: an all-empty source still fires batch 0,
+      // and a partitioned write of zero rows leaves no footer to infer from
+      // (round-3 gotcha); event_type resolves as the partition column
+      val martSchema = StructType(Seq(
+        StructField("n_events", LongType), StructField("sum_value_cents", LongType),
+        StructField("event_type", StringType)))
+      def readMart(): DataFrame = s.read.schema(martSchema).parquet(mart)
+      val batchIds = Option(new java.io.File(batches).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("b=")).map(_.getName.stripPrefix("b=").toLong)
+      if (batchIds.isEmpty) { // empty source: no batch ever fired, no mart
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("n_events", LongType),
+            StructField("sum_value", DoubleType),
+            StructField("replay_ok", LongType))))
+      } else {
+        val before = readMart()
+          .collect().map(r => (r.getAs[String]("event_type"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_cents"))).toSet
+        // the forced at-least-once retry: re-deliver the LAST recorded batch
+        upsert(s.read.parquet(s"$batches/b=${batchIds.max}"))
+        val after = readMart()
+        val ok = after.collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_cents"))).toSet == before
+        // materialize before scratch cleanup deletes the parquet underneath
+        graft.Caches.trackCheckpoint(after
+          .select(col("event_type"), col("n_events"),
+            (col("sum_value_cents").cast("double") / lit(100.0)).as("sum_value"),
+            lit(if (ok) 1L else 0L).as("replay_ok"))
+          .orderBy(col("event_type"))
+          .localCheckpoint())
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  val q224Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+      |  CAST(1 AS BIGINT) AS replay_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_idempotent_sink" -> (q224IdempotentSink _),
     "q186_checkpoint_restart" -> (q186CheckpointRestart _),
     "q168_stream_dedup_audit" -> (q168StreamDedupAudit _),
     "q166_late_data_audit" -> (q166LateDataAudit _),
@@ -888,6 +993,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q224_idempotent_sink" -> q224Oracle,
     // identical aggregation to q24; the restart machinery must be
     // result-invisible, which is exactly what sharing the oracle asserts
     "q186_checkpoint_restart" -> q24Oracle,

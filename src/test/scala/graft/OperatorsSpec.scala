@@ -1038,6 +1038,125 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q221 bloom audit: no false negatives, fp identity, planted and sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    Seq(1L, 2L, 3L, 4L, 5L).map(k => (k * 100L, k))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1L to 10L).map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = ops.Sketches.q221BloomFprAudit(spark, dir).collect().head
+    assert(r.getAs[Long]("n_probe") == 10L)
+    assert(r.getAs[Long]("n_present") == 5L)
+    assert(r.getAs[Long]("fn_zero") == 1L, "bloom must never reject a member")
+    assert(r.getAs[Long]("n_fp") ==
+      r.getAs[Long]("n_admitted") - r.getAs[Long]("n_present"))
+    // 5 keys in 2^20 bits: a false positive needs 4 independent 1-in-1e5
+    // bit hits — deterministic here, and structurally (essentially) zero
+    assert(r.getAs[Long]("n_fp") == 0L)
+    Caches.releaseAll()
+    // sf corpus: structural laws hold whatever the load factor
+    val c = ops.Sketches.q221BloomFprAudit(spark, sf()).collect().head
+    assert(c.getAs[Long]("fn_zero") == 1L)
+    assert(c.getAs[Long]("n_admitted") >= c.getAs[Long]("n_present"))
+    assert(c.getAs[Long]("n_fp") ==
+      c.getAs[Long]("n_admitted") - c.getAs[Long]("n_present"))
+    val negatives = c.getAs[Long]("n_probe") - c.getAs[Long]("n_present")
+    if (negatives > 0)
+      assert(c.getAs[Long]("fpr_ppm") ==
+        c.getAs[Long]("n_fp") * 1000000L / negatives)
+    Caches.releaseAll()
+  }
+
+  test("q222 lagged cross-covariance: planted shift peaks at its lag; formula replay on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xcov").toString
+    def ts(d: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:${i % 60}%02d")
+    // x (clicks) alternates 5,1,...; y (purchases) is x delayed one day
+    val x = Seq(5, 1, 5, 1, 5, 1)
+    val y = 0 +: x.dropRight(1)
+    var id = 0L
+    val rows =
+      x.zipWithIndex.flatMap { case (n, d) => (1 to n).map { i =>
+        id += 1; (id, ts(d, i), id, "click", 1.0, "{}") } } ++
+      y.zipWithIndex.flatMap { case (n, d) => (1 to n).map { i =>
+        id += 1; (id, ts(d, i), id, "purchase", 1.0, "{}") } }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def replay(xs: Seq[Long], ys: Seq[Long]): Map[Long, Long] =
+      (0 to 7).map { l =>
+        val pairs = xs.indices.flatMap(t =>
+          if (t + l < ys.length) Some((xs(t), ys(t + l))) else None)
+        val n = pairs.length.toLong
+        l.toLong -> (n * pairs.map(p => p._1 * p._2).sum
+          - pairs.map(_._1).sum * pairs.map(_._2).sum)
+      }.toMap
+    val exp = replay(x.map(_.toLong), y.map(_.toLong))
+    val out = ops.Events.q222LaggedCrosscov(spark, dir).collect()
+    // lags 6..7 have no aligned pair on a 6-day series: absent, not zero
+    // (the inner join semantics, identical in the oracle)
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cov_num") == exp(r.getAs[Long]("lag")),
+        s"lag ${r.getAs[Long]("lag")}")
+    }
+    val peak = exp.maxBy { case (_, v) => math.abs(v) }
+    out.filter(_.getAs[Long]("is_peak") == 1L).foreach { r =>
+      assert(math.abs(exp(r.getAs[Long]("lag"))) == math.abs(peak._2))
+    }
+    Caches.releaseAll()
+    // sf corpus: replay the formula from the collected day frame
+    val d = Tables.events(spark, sf())
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val byDay = d.map(t => t._1 -> (t._2, t._3)).toMap
+    val expSf = (0 to 7).map { l =>
+      val pairs = d.flatMap { case (day, xv, _) =>
+        byDay.get(day + l).map(p => (xv, p._2)) }
+      val n = pairs.length.toLong
+      l.toLong -> (n * pairs.map(p => p._1 * p._2).sum
+        - pairs.map(_._1).sum * pairs.map(_._2).sum)
+    }.toMap
+    ops.Events.q222LaggedCrosscov(spark, sf()).collect().foreach { r =>
+      assert(r.getAs[Long]("cov_num") == expSf(r.getAs[Long]("lag")))
+    }
+    Caches.releaseAll()
+  }
+
+  test("q223 two-pass quantile: planted ladder exact; equals sorted rank-k on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q2p").toString
+    // 100 prices $1..$100: median = rank 50 = $50, p90 = rank 90 = $90;
+    // $100 lands in bucket 1, so pass 2 genuinely selects per bucket
+    (1 to 100).map(i => (i.toLong, i.toDouble))
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ops.Analytics.q223TwopassQuantile(spark, dir).collect()
+      .map(r => r.getAs[String]("stat") -> r).toMap
+    assert(out("median").getAs[Long]("n") == 100L)
+    assert(out("median").getAs[Long]("k") == 50L)
+    assert(out("median").getAs[Long]("value_cents") == 5000L)
+    assert(out("p90").getAs[Long]("k") == 90L)
+    assert(out("p90").getAs[Long]("value_cents") == 9000L)
+    Caches.releaseAll()
+    // sf corpus: must equal the rank-k value off the fully sorted column
+    val cents = Tables.lineitem(spark, sf())
+      .select(Exact.cents(col("l_extendedprice")).as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val sfOut = ops.Analytics.q223TwopassQuantile(spark, sf()).collect()
+      .map(r => r.getAs[String]("stat") -> r).toMap
+    assert(sfOut("median").getAs[Long]("value_cents") == cents((n + 1) / 2 - 1))
+    assert(sfOut("p90").getAs[Long]("value_cents") == cents((9 * n + 9) / 10 - 1))
+    assert(sfOut("median").getAs[Long]("n") == n.toLong)
+    Caches.releaseAll()
+  }
+
   test("q220 pipe syntax: stages compose to the DataFrame formulation exactly") {
     val pipe = ops.Relational.q220PipeSyntax(spark, sf()).collect()
     assert(pipe.nonEmpty)

@@ -58,6 +58,25 @@ class StreamingSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q224: idempotent upsert sink absorbs a replayed batch (exactly-once write)") {
+    val out = streaming.Streaming.q224IdempotentSink(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("replay_ok") == 1L,
+      "re-delivered batch changed the mart — the sink is not idempotent"))
+    // the mart's latest cumulative rows must equal the batch aggregate
+    val batch = Tables.events(spark, sf())
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Exact.cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect()
+    assert(out.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+      r.getAs[Double]("sum_value"))).toSeq ===
+      batch.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSeq)
+    Caches.releaseAll()
+  }
+
   test("q166: late-filter watermark lags one batch (wave-1 stats, pinned off hour alignment)") {
     // Non-hour-aligned fixture that DISTINGUISHES the two candidate rules:
     //   wave 1 (on-time bulk)  A=08:05 B=09:05 C=10:30  → W_wave1 = 09:30
