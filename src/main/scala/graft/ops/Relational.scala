@@ -678,6 +678,60 @@ object Relational {
       |HAVING count(*) >= 5
       |ORDER BY o_orderpriority, ship_year""".stripMargin
 
+  /** q225: SQL-defined UDFs (SPARK-51086 surface: `CREATE TEMPORARY
+    * FUNCTION … RETURNS … RETURN <expr>`) — the declarative cousin of the
+    * Scala UDF row in §2.11, pinned working plus its load-bearing plan
+    * property: the analyzer's ResolveSQLFunctions INLINES the body into
+    * the plan, so a SQL UDF costs nothing at execution (same codegen'd
+    * expressions as writing them inline — the spec asserts equality with
+    * the DataFrame formulation). A scalar money UDF (the graft.Exact cents
+    * discipline packaged as a reusable function) and a banding UDF feed an
+    * aggregate; `GROUP BY ALL` (the Spark 4 grouping-inference surface)
+    * picks up both non-aggregate columns. Functions and views are
+    * per-invocation named and dropped — session-scoped objects race on the
+    * shared-session concurrency harness otherwise (the q27 lesson). */
+  def q225SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    val n = viewSeq.incrementAndGet()
+    val fRev = s"graft_rev_$n"
+    val fBand = s"graft_band_$n"
+    val lv = s"graft_li225_$n"
+    Tables.lineitem(s, dir).createOrReplaceTempView(lv)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fRev(price DOUBLE, disc DOUBLE)
+      |RETURNS BIGINT
+      |RETURN CAST(round(price * 100) AS BIGINT)
+      |  * (100 - CAST(round(disc * 100) AS BIGINT))""".stripMargin)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fBand(q DOUBLE)
+      |RETURNS STRING
+      |RETURN CASE WHEN q < 10 THEN 'small'
+      |            WHEN q < 30 THEN 'mid'
+      |            ELSE 'bulk' END""".stripMargin)
+    try s.sql(
+      s"""SELECT l_returnflag, $fBand(l_quantity) AS band,
+        |  CAST(sum($fRev(l_extendedprice, l_discount)) AS BIGINT) AS revenue_c100,
+        |  count(*) AS n_items
+        |FROM $lv
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, band""".stripMargin)
+    finally {
+      s.catalog.dropTempView(lv)
+      s.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $fRev")
+      s.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $fBand")
+    }
+  }
+
+  val q225Oracle: String =
+    """SELECT l_returnflag,
+      |  CASE WHEN l_quantity < 10 THEN 'small'
+      |       WHEN l_quantity < 30 THEN 'mid'
+      |       ELSE 'bulk' END AS band,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_c100,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY l_returnflag, band""".stripMargin
+
   /** Scalar string-function surface (SURVEY §2.8 F10 — ABSENT in reference):
     * upper/substr/length/regexp_replace/concat_ws over `part`, row-level. */
   def q15StringFunctions(s: SparkSession, dir: String): DataFrame =
@@ -951,6 +1005,7 @@ object Relational {
     "q15_string_functions"     -> (q15StringFunctions _),
     "q96_string_functions2"    -> (q96StringFunctions2 _),
     "q220_pipe_syntax"         -> (q220PipeSyntax _),
+    "q225_sql_udf"             -> (q225SqlUdf _),
     "q16_range_join"           -> (q16RangeJoin _),
     "q17_asof_signup"          -> (q17AsofSignup _),
     "q18_approx_stats"         -> (q18ApproxStats _),
@@ -982,6 +1037,7 @@ object Relational {
     "q15_string_functions"     -> q15Oracle,
     "q96_string_functions2"    -> q96Oracle,
     "q220_pipe_syntax"         -> q220Oracle,
+    "q225_sql_udf"             -> q225Oracle,
     "q16_range_join"           -> q16Oracle,
     "q17_asof_signup"          -> q17Oracle,
     "q18_approx_stats"         -> q18Oracle,

@@ -1038,6 +1038,27 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q225 SQL UDF: analyzer inlines the body; equals the inline formulation") {
+    val udf = ops.Relational.q225SqlUdf(spark, sf())
+    // inlined: the executed plan is plain aggregation over codegen'd
+    // expressions — no residual function-invocation node
+    val plan = udf.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(400))
+    val out = udf.collect()
+    assert(out.nonEmpty)
+    val inline = Tables.lineitem(spark, sf())
+      .groupBy(col("l_returnflag"),
+        when(col("l_quantity") < 10, "small")
+          .when(col("l_quantity") < 30, "mid").otherwise("bulk").as("band"))
+      .agg(sum(Exact.cents(col("l_extendedprice"))
+        * (lit(100L) - Exact.cents(col("l_discount")))).as("revenue_c100"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"), col("band"))
+      .collect()
+    assert(out.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq)
+    Caches.releaseAll()
+  }
+
   test("q221 bloom audit: no false negatives, fp identity, planted and sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
