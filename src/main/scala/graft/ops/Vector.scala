@@ -967,7 +967,98 @@ object Vector {
       |JOIN sizes sa ON sa.label = label_a JOIN sizes sb ON sb.label = label_b
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** q226: embedding-space drift monitor — per label, how far did the
+    * centroid MOVE between the old dumps (vec_id % 10 ≠ 0) and the new one?
+    * The corpus-drift check an embedding-indexed 100 TB store runs on every
+    * ingest: a drifted centroid invalidates IVF cell assignments (q51/q102)
+    * and SemDeDup cells (q156) long before recall visibly degrades.
+    *
+    * Exactness at ANY corpus size: coordinates quantize by the shared
+    * round(x·2^24) rule (exact for f32), but the drift is computed at the
+    * MEAN grain — dm_d = s_new_d div n_new − s_old_d div n_old — NOT as
+    * cross-multiplied sum deltas: means are bounded by the coordinate range
+    * (|dm| ≤ 2^25), so drift² = Σ_d dm² ≤ 64·2^50 stays BIGINT-safe when
+    * n reaches 1e12, where the (S_new·n_old − S_old·n_new)² form would
+    * blow past DECIMAL(38). The floor-mean truncation (≤ 1 ulp of the
+    * fixed-point grid per dim, truncating toward zero in BOTH engines) is
+    * part of the pinned statistic, not error. Labels present in only one
+    * dump are excluded (no drift is defined), stated here and mirrored by
+    * the oracle's HAVING.
+    *
+    * Scale: one posexplode pass → ONE partial+final hash aggregate to the
+    * bounded (label × 64 dim) frame with both dump sums as conditional
+    * aggregates; the per-label count frame broadcasts in. The top-moving
+    * dimension comes off the reduced frame via min_by (fixed-width
+    * primitives — stays in HashAggregate, the round-4 rule). */
+  def q226EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        (col("vec_id") % 10 === 0).as("newd"), col("embedding"))
+    val counts = base.groupBy(col("label"))
+      .agg(sum(when(col("newd"), 0L).otherwise(1L)).as("n_old"),
+        sum(when(col("newd"), 1L).otherwise(0L)).as("n_new"))
+      .filter(col("n_old") > 0 && col("n_new") > 0)
+    val sums = base
+      .select(col("label"), col("newd"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("label"), col("newd"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * FixedPoint, 0).cast("long").as("xq"))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(when(!col("newd"), col("xq"))).as("s_old"),
+        sum(when(col("newd"), col("xq"))).as("s_new"))
+    val deltas = graft.Caches.persist(
+      sums.join(broadcast(counts), Seq("label"))
+        .select(col("label"), col("j"), col("n_old"), col("n_new"),
+          (expr("s_new div n_new") - expr("s_old div n_old")).as("dm")))
+    val perLabel = deltas.groupBy(col("label"), col("n_old"), col("n_new"))
+      .agg(sum(col("dm") * col("dm")).as("drift2"),
+        max(abs(col("dm"))).as("ma"))
+    perLabel.join(deltas.select(col("label"), col("j"), col("dm")), Seq("label"))
+      .filter(abs(col("dm")) === col("ma"))
+      .groupBy(col("label"), col("n_old"), col("n_new"), col("drift2"))
+      .agg(min(col("j")).cast("long").as("top_dim"),
+        min_by(col("dm"), col("j")).as("top_dm"))
+      .orderBy(col("label"))
+  }
+
+  val q226Oracle: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    vec_id % 10 = 0 AS newd, embedding
+      |  FROM embeddings),
+      |cnt AS (
+      |  SELECT label,
+      |    CAST(sum(CASE WHEN newd THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+      |    CAST(sum(CASE WHEN newd THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM e GROUP BY 1
+      |  HAVING sum(CASE WHEN newd THEN 0 ELSE 1 END) > 0
+      |     AND sum(CASE WHEN newd THEN 1 ELSE 0 END) > 0),
+      |q AS (
+      |  SELECT label, newd, i + 1 AS j,
+      |    CAST(round(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * $FixedPoint)
+      |      AS BIGINT) AS xq
+      |  FROM e, unnest(range(0, len(embedding))) AS u(i)),
+      |s AS (
+      |  SELECT label, j,
+      |    CAST(sum(CASE WHEN NOT newd THEN xq END) AS BIGINT) AS s_old,
+      |    CAST(sum(CASE WHEN newd THEN xq END) AS BIGINT) AS s_new
+      |  FROM q GROUP BY 1, 2),
+      |d AS (
+      |  SELECT s.label, j, n_old, n_new,
+      |    (s_new // n_new) - (s_old // n_old) AS dm
+      |  FROM s JOIN cnt ON s.label = cnt.label),
+      |p AS (
+      |  SELECT label, n_old, n_new,
+      |    CAST(sum(dm * dm) AS BIGINT) AS drift2, max(abs(dm)) AS ma
+      |  FROM d GROUP BY 1, 2, 3)
+      |SELECT p.label, p.n_old, p.n_new, p.drift2,
+      |  CAST(min(d.j) AS BIGINT) AS top_dim,
+      |  CAST(min_by(d.dm, d.j) AS BIGINT) AS top_dm
+      |FROM p JOIN d ON d.label = p.label AND abs(d.dm) = p.ma
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY p.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_embedding_drift" -> (q226EmbeddingDrift _),
     "q194_centroid_sim_matrix" -> (q194CentroidSimMatrix _),
     "q191_int8_quant_recall" -> (q191Int8QuantRecall _),
     "q50_cosine_topk"        -> (q50CosineTopk _),
@@ -982,6 +1073,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q226_embedding_drift" -> q226Oracle,
     "q194_centroid_sim_matrix" -> q194Oracle,
     "q191_int8_quant_recall" -> q191Oracle,
     "q50_cosine_topk"        -> q50Oracle,

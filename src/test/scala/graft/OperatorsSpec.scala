@@ -1038,6 +1038,38 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q226 embedding drift: planted centroid move exact; one-dump labels excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val fp = 1L << 24
+    // label 0: old mean (1, 0) → new mean (2, 0): dm = (2^24, 0),
+    // drift2 = 2^48; label 1 exists only in the old dump → excluded
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (10L, Array(2.0f, 0.0f), 0),
+      (3L, Array(5.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = ops.Vector.q226EmbeddingDrift(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("label") == 0L)
+    assert(r.getAs[Long]("n_old") == 2L && r.getAs[Long]("n_new") == 1L)
+    assert(r.getAs[Long]("drift2") == fp * fp)
+    assert(r.getAs[Long]("top_dim") == 1L)
+    assert(r.getAs[Long]("top_dm") == fp)
+    Caches.releaseAll()
+    // sf corpus: drift2 must dominate its own top dimension's square and
+    // be bounded by 64 of them
+    ops.Vector.q226EmbeddingDrift(spark, sf()).collect().foreach { c =>
+      val t = c.getAs[Long]("top_dm")
+      assert(c.getAs[Long]("drift2") >= t * t)
+      assert(c.getAs[Long]("drift2") <= 64L * t * t)
+    }
+    Caches.releaseAll()
+  }
+
   test("q225 SQL UDF: analyzer inlines the body; equals the inline formulation") {
     val udf = ops.Relational.q225SqlUdf(spark, sf())
     // inlined: the executed plan is plain aggregation over codegen'd
