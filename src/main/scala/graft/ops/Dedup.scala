@@ -255,25 +255,19 @@ object Dedup {
       |FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  /** Near-dup clusters: connected components over the LSH pair graph
-    * (q46's Jaccard-verified edges), labeled by the component's minimum
-    * doc_id; the representative ("kept") doc is that minimum — the final
-    * step of a dedup pipeline (drop every member but the representative).
-    *
-    * Distributed min-label propagation: each iteration is one join +
-    * aggregate; the driver loop only checks a monotone convergence
-    * checksum (sum of labels strictly decreases until fixpoint), which is
-    * how Pregel-style algorithms run on Spark — iterations ≈ cluster
-    * diameter (tiny for near-dup graphs), data never leaves executors.
-    * Oracle: DuckDB recursive CTE computing the same transitive min. */
-  def q48DedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Connected components by min-label propagation + pointer jumping over
+    * undirected `pairs(doc_a, doc_b)` — the q48 loop, shared since q227
+    * needs it on three edge sets. Returns `(id, lbl)` for every node that
+    * touches an edge (components have ≥ 2 nodes by construction); the
+    * final labels and the symmetrized edge table stay checkpoint-tracked
+    * for the harness's post-query release. */
+  private def ccLabels(pairs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // localCheckpoint truncates lineage: without it every iteration's
     // LOGICAL plan doubles (persist caches data but keeps the plan), and
     // Catalyst re-analysis grows exponentially — measured 56 s of pure
     // driver planning by iteration 2. On a cluster this would be a
     // reliable checkpoint() to storage instead.
-    val pairs = q46MinhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val pairs = pairs0.localCheckpoint()
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v").localCheckpoint()
     // edges is materialized (localCheckpoint is eager) — pairs can go now.
@@ -315,24 +309,43 @@ object Dedup {
       converged = nextSum == checksum
       checksum = nextSum
     }
-    val sizes = labels.groupBy(col("lbl").as("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels
-      .join(sizes, labels("lbl") === sizes("cluster_rep"))
-      .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"),
-        when(col("id") === col("cluster_rep"), 1L).otherwise(0L).as("is_kept"))
-      .orderBy(col("cluster_rep"), col("doc_id"))
     // edges + final labels feed the returned (lazy) plan — released by the
     // harness's Caches.releaseAll after the query's action completes.
     graft.Caches.trackCheckpoint(edges)
     graft.Caches.trackCheckpoint(labels)
-    out
+    labels
+  }
+
+  /** Near-dup clusters: connected components over the LSH pair graph
+    * (q46's Jaccard-verified edges), labeled by the component's minimum
+    * doc_id; the representative ("kept") doc is that minimum — the final
+    * step of a dedup pipeline (drop every member but the representative).
+    *
+    * Distributed min-label propagation: each iteration is one join +
+    * aggregate; the driver loop only checks a monotone convergence
+    * checksum (sum of labels strictly decreases until fixpoint), which is
+    * how Pregel-style algorithms run on Spark — iterations ≈ cluster
+    * diameter (tiny for near-dup graphs), data never leaves executors.
+    * Oracle: DuckDB recursive CTE computing the same transitive min. */
+  def q48DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(
+      q46MinhashLshPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    val sizes = labels.groupBy(col("lbl").as("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, labels("lbl") === sizes("cluster_rep"))
+      .select(col("id").as("doc_id"), col("cluster_rep"), col("cluster_size"),
+        when(col("id") === col("cluster_rep"), 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col("cluster_rep"), col("doc_id"))
   }
 
   /** q46's pipeline + the recursive transitive-min closure as CTEs ending
     * in `labels(id, cluster_rep)` — shared by q48's oracle and the
     * end-to-end corpus-pipeline oracle (graft.Pipelines.q101Oracle). Must
     * follow a `WITH RECURSIVE` keyword at the call site. */
-  val clusterLabelCtes: String = {
+  /** q46's pipeline as CTEs ending in `pairs(doc_a, doc_b)` — the shared
+    * prefix of [[clusterLabelCtes]], also used standalone by q227's oracle
+    * (which runs the closure over two different edge restrictions). */
+  val pairsCtes: String = {
     val mins = minsSql
     val bandSelects = bandSelectsSql
     s"""$hashedShinglesSql,
@@ -356,7 +369,11 @@ object Dedup {
       |pairs AS (
       |  SELECT doc_a, doc_b
       |  FROM inter JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
-      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)""".stripMargin
+  }
+
+  val clusterLabelCtes: String =
+    s"""$pairsCtes,
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -365,7 +382,6 @@ object Dedup {
       |  UNION
       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
       |labels AS (SELECT id, min(lbl) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
-  }
 
   val q48Oracle: String =
     s"""WITH RECURSIVE $clusterLabelCtes,
@@ -904,7 +920,101 @@ object Dedup {
       |  CAST((sum(caught) * 1000000) // count(*) AS BIGINT) AS recall_ppm
       |FROM j GROUP BY 1 ORDER BY j_decile""".stripMargin
 
+  /** q227: incremental near-dup CLUSTER maintenance — the law that closes
+    * the IVM family across the dedup stack: q176 maintains the LSH pair
+    * INDEX from a delta, this maintains the cluster ASSIGNMENT. When a new
+    * dump lands (doc_id % 10 == 0), production re-clusters over
+    *   repEdges(C_old) ∪ Δ        (each old cluster compressed to
+    *                               member→root star edges, plus the new
+    *                               pairs only)
+    * instead of the full pair graph — rep edges preserve old connectivity
+    * exactly and Δ is delta-sized, so the propagation input shrinks from
+    * |E| to |V_clustered| + |Δ|, and the min-label canonical form makes
+    * the claim CHECKABLE: component sets equal ⇒ labels bit-equal. The
+    * full-graph re-clustering runs here only as the audit
+    * (`incr_matches_full` ≡ 1 — computed by the engine, pinned constant by
+    * the oracle, so a law violation breaks hash AND flag); pair candidacy
+    * is per-pair content-determined, hence E_old is exactly the full pair
+    * set restricted to old endpoints — one LSH pipeline feeds all three
+    * edge sets. Label changes count docs whose effective assignment moved
+    * (previously-unclustered docs count — their singleton became a
+    * membership). */
+  def q227IncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val p = q46MinhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    graft.Caches.trackCheckpoint(p)
+    val oldP = p.filter(col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
+    val deltaP = p.filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+    val lOld = ccLabels(oldP)
+    val repEdges = lOld.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_a"), col("lbl").as("doc_b"))
+    val lIncr = ccLabels(repEdges.unionByName(deltaP))
+    val lFull = ccLabels(p)
+    val cmp = lFull.select(col("id"), col("lbl").as("lf"))
+      .join(lOld.select(col("id"), col("lbl").as("lo")), Seq("id"), "left")
+      .join(lIncr.select(col("id"), col("lbl").as("li")), Seq("id"), "full")
+    def nulls = lit(null).cast("long")
+    // tagged union → ONE aggregate (the q133 lint discipline)
+    oldP.select(lit("eo").as("tag"), nulls.as("lf"), nulls.as("lo"),
+        nulls.as("li"), nulls.as("id"))
+      .unionAll(deltaP.select(lit("dn").as("tag"), nulls.as("lf"), nulls.as("lo"),
+        nulls.as("li"), nulls.as("id")))
+      .unionAll(cmp.select(lit("c").as("tag"), col("lf"), col("lo"),
+        col("li"), col("id")))
+      .agg(
+        coalesce(sum(when(col("tag") === "eo", 1L).otherwise(0L)), lit(0L))
+          .as("n_old_edges"),
+        coalesce(sum(when(col("tag") === "dn", 1L).otherwise(0L)), lit(0L))
+          .as("n_delta_edges"),
+        coalesce(sum(when(col("tag") === "c", 1L).otherwise(0L)), lit(0L))
+          .as("n_docs"),
+        countDistinct(col("lo")).as("n_clusters_old"),
+        countDistinct(col("lf")).as("n_clusters"),
+        coalesce(sum(when(col("tag") === "c" &&
+          coalesce(col("lo"), col("id")) =!= col("lf"), 1L).otherwise(0L)), lit(0L))
+          .as("n_label_changes"),
+        (coalesce(sum(when(col("tag") === "c" &&
+          !col("lf").eqNullSafe(col("li")), 1L).otherwise(0L)), lit(0L)) === 0L)
+          .cast("long").as("incr_matches_full"))
+  }
+
+  // def: interpolates pairsCtes (round-5 init-order discipline)
+  def q227Oracle: String =
+    s"""WITH RECURSIVE $pairsCtes,
+      |pm AS MATERIALIZED (SELECT * FROM pairs),
+      |pairs_old AS (SELECT * FROM pm WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+      |pairs_new AS (SELECT * FROM pm WHERE doc_a % 10 = 0 OR doc_b % 10 = 0),
+      |edges_f AS MATERIALIZED (
+      |  SELECT doc_a AS u, doc_b AS v FROM pm
+      |  UNION ALL SELECT doc_b, doc_a FROM pm),
+      |edges_o AS MATERIALIZED (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs_old
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs_old),
+      |reach_f(id, lbl) AS (
+      |  SELECT DISTINCT u, u FROM edges_f
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges_f e JOIN reach_f r ON e.v = r.id),
+      |labels_f AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM reach_f GROUP BY 1),
+      |reach_o(id, lbl) AS (
+      |  SELECT DISTINCT u, u FROM edges_o
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges_o e JOIN reach_o r ON e.v = r.id),
+      |labels_o AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM reach_o GROUP BY 1),
+      |cmp AS (
+      |  SELECT f.id, f.lbl AS lf, o.lbl AS lo
+      |  FROM labels_f f LEFT JOIN labels_o o ON f.id = o.id)
+      |SELECT
+      |  CAST((SELECT count(*) FROM pairs_old) AS BIGINT) AS n_old_edges,
+      |  CAST((SELECT count(*) FROM pairs_new) AS BIGINT) AS n_delta_edges,
+      |  CAST((SELECT count(*) FROM labels_f) AS BIGINT) AS n_docs,
+      |  CAST((SELECT count(DISTINCT lbl) FROM labels_o) AS BIGINT) AS n_clusters_old,
+      |  CAST((SELECT count(DISTINCT lbl) FROM labels_f) AS BIGINT) AS n_clusters,
+      |  CAST((SELECT count(*) FROM cmp WHERE coalesce(lo, id) <> lf) AS BIGINT)
+      |    AS n_label_changes,
+      |  CAST(1 AS BIGINT) AS incr_matches_full""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_incremental_clusters" -> (q227IncrementalClusters _),
     "q196_lsh_dedup_recall" -> (q196LshDedupRecall _),
     "q179_source_dup_matrix" -> (q179SourceDupMatrix _),
     "q176_incremental_lsh" -> (q176IncrementalLshUpdate _),
@@ -921,6 +1031,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q227_incremental_clusters" -> q227Oracle,
     "q196_lsh_dedup_recall" -> q196Oracle,
     "q179_source_dup_matrix" -> q179Oracle,
     "q176_incremental_lsh" -> q176Oracle,

@@ -1038,6 +1038,36 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q227 incremental clusters: planted dump merge exact; law holds on sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-icc").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight"
+    val c = "red orange yellow green blue indigo violet purple"
+    // old docs: {1,2}=A (a cluster), {3,4}=B; new dump: 10=A (joins the A
+    // cluster via two delta edges), 20=C (no pair — never clustered)
+    Seq((1L, a), (2L, a), (3L, b), (4L, b), (10L, a), (20L, c))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = ops.Dedup.q227IncrementalClusters(spark, dir).collect().head
+    assert(r.getAs[Long]("n_old_edges") == 2L)
+    assert(r.getAs[Long]("n_delta_edges") == 2L)
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_clusters_old") == 2L)
+    assert(r.getAs[Long]("n_clusters") == 2L)
+    assert(r.getAs[Long]("n_label_changes") == 1L) // doc 10 entered cluster 1
+    assert(r.getAs[Long]("incr_matches_full") == 1L)
+    Caches.releaseAll()
+    // sf corpus: the law must hold, and the audit count must agree with q48
+    val sfr = ops.Dedup.q227IncrementalClusters(spark, sf()).collect().head
+    assert(sfr.getAs[Long]("incr_matches_full") == 1L)
+    Caches.releaseAll()
+    val q48Clusters = ops.Dedup.q48DedupClusters(spark, sf())
+      .select(col("cluster_rep")).distinct().count()
+    assert(sfr.getAs[Long]("n_clusters") == q48Clusters)
+    Caches.releaseAll()
+  }
+
   test("q226 embedding drift: planted centroid move exact; one-dump labels excluded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
