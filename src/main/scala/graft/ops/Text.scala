@@ -1705,8 +1705,12 @@ object Text {
     * frame plus a 1-row broadcast of the weights — the q110 Lloyd-
     * iteration shape; the driver never holds data. `localCheckpoint`
     * keeps the k-step lineage flat (round-7 gotcha). */
-  private def lrTrain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
-    val f = graft.Caches.persist(lrFeatures(s, dir))
+  private def lrTrain(s: SparkSession, dir: String,
+      trainFilter: Option[Column] = None): (Seq[DataFrame], DataFrame) = {
+    val fAll = graft.Caches.persist(lrFeatures(s, dir))
+    // q228 fits on a slice (split-conformal needs the score function fixed
+    // w.r.t. the calibration docs); every other caller trains on everything
+    val f = trainFilter.map(fAll.filter).getOrElse(fAll)
     var w = graft.Caches.trackCheckpoint(
       s.range(1).select(
         lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
@@ -1744,7 +1748,13 @@ object Text {
 
   /** Shared unrolled-training CTE chain (the q181 BPE pattern): features
     * once, then k MATERIALIZED (gradient, weights) rounds. */
-  private def lrCteSql: String = {
+  private def lrCteSql: String = lrCteSqlWhere("")
+
+  /** [[lrCteSql]] with an optional gradient-restriction predicate: the
+    * feature CTE `f` always covers the full corpus (scoring needs it), the
+    * WHERE applies only inside each round's gradient aggregate — mirroring
+    * [[lrTrain]]'s trainFilter (q228 trains on a slice). */
+  private def lrCteSqlWhere(gradWhere: String): String = {
     val f =
       s"""f AS MATERIALIZED (
          |  SELECT doc_id, source, y,
@@ -1771,7 +1781,7 @@ object Text {
          |    CAST(sum((err * x2) // $LrScale) AS BIGINT) AS g2,
          |    CAST(sum((err * x3) // $LrScale) AS BIGINT) AS g3
          |  FROM (SELECT y * $LrScale - $p AS err, x0, x1, x2, x3
-         |        FROM f CROSS JOIN v${r - 1})),
+         |        FROM f CROSS JOIN v${r - 1}$gradWhere)),
          |v$r AS MATERIALIZED (
          |  SELECT CAST(w0 + g0 // (4 * n) AS BIGINT) AS w0,
          |    CAST(w1 + g1 // (4 * n) AS BIGINT) AS w1,
@@ -2633,7 +2643,89 @@ object Text {
        |    - (n_pos * 1000000) // n_docs AS BIGINT) AS gap_ppm
        |FROM b ORDER BY bucket""".stripMargin
 
+  /** q228: split-conformal calibration of the learned filter (Vovk's
+    * conformal prediction, the Angelopoulos–Bates split recipe) — the
+    * distribution-free upgrade on q211's reliability diagram: instead of
+    * asking "do the scores LOOK like probabilities", fix the score
+    * function on a train slice (doc_id % 4 < 2 — the guarantee requires
+    * the calibration docs untouched by training, hence [[lrTrain]]'s
+    * trainFilter), take the ⌈(1−α)(n+1)⌉-th smallest nonconformity
+    * A = y·(S−p) + (1−y)·p on the calibration slice (% 4 = 2), and the
+    * test slice (% 4 = 3) inherits the finite-sample coverage guarantee
+    * P(A ≤ q̂) ≥ 1−α. q̂ is an EXACT order statistic — the q223 selection
+    * discipline, pass 2 only, since nonconformities already live on the
+    * bounded [0, LrScale] grid: one value-count aggregate + prefix-sum
+    * windows over the reduced value frame, no sort of raw rows. Coverage
+    * is reported in exact ppm; the spec asserts it clears 1−α minus
+    * finite-sample slack, the oracle pins every value bit-for-bit.
+    *
+    * Scale: training is the q184 loop (one aggregate + 1-row broadcast per
+    * step); scoring is column algebra over one corpus scan; q̂ broadcasts
+    * into the coverage aggregate (allowlisted 1-row broadcast, as the
+    * LR weight joins). */
+  def q228SplitConformal(s: SparkSession, dir: String): DataFrame = {
+    val (_, w) = lrTrain(s, dir, Some(col("doc_id") % 4 < 2))
+    val scored = graft.Caches.persist(
+      lrFeatures(s, dir).crossJoin(broadcast(w))
+        .withColumn("p", expr(lrProbSql))
+        .withColumn("a", expr(s"y * ($LrScale - p) + (1 - y) * p"))
+        .select((col("doc_id") % 4).as("slice"), col("a")))
+    val vc = scored.filter(col("slice") === 2).groupBy(col("a"))
+      .agg(count(lit(1)).as("cnt"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.orderBy(col("a"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.orderBy(col("a"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val qhat = vc
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n_calib", sum(col("cnt")).over(wAll))
+      // k = ⌈0.9 · (n+1)⌉, clamped to n (tiny-calib degenerate case)
+      .withColumn("k", least(expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")))
+      .filter(col("cum") - col("cnt") < col("k") && col("k") <= col("cum"))
+      .select(col("a").as("qhat"), col("n_calib"), col("k"))
+    scored.filter(col("slice") === 3)
+      .crossJoin(broadcast(qhat))
+      .agg(
+        first(col("n_calib")).as("n_calib"),
+        first(col("k")).as("k"),
+        first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        coalesce(sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)), lit(0L))
+          .as("n_covered"))
+      .select(col("n_calib"), col("k"), col("qhat"), col("n_test"), col("n_covered"),
+        when(col("n_test") === 0L, lit(0L))
+          .otherwise(expr("n_covered * 1000000L div n_test")).as("coverage_ppm"))
+  }
+
+  // def: interpolates lrCteSqlWhere (round-5 init-order discipline)
+  def q228Oracle: String = {
+    val pd = s"greatest(CAST(0 AS BIGINT), least(CAST($LrScale AS BIGINT), " +
+      s"((w0*x0 + w1*x1 + w2*x2 + w3*x3) // $LrScale + ${4 * LrScale}) // 8))"
+    s"""${lrCteSqlWhere(" WHERE doc_id % 4 < 2")},
+      |scored AS MATERIALIZED (
+      |  SELECT doc_id % 4 AS slice,
+      |    y * ($LrScale - $pd) + (1 - y) * $pd AS a
+      |  FROM f CROSS JOIN v$LrRounds),
+      |calib AS (SELECT a FROM scored WHERE slice = 2),
+      |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM calib),
+      |kk AS (SELECT n_calib,
+      |         least((9 * (n_calib + 1) + 9) // 10, n_calib) AS k FROM cn),
+      |rk AS (SELECT a, row_number() OVER (ORDER BY a) AS rn FROM calib),
+      |qh AS (SELECT kk.n_calib, kk.k, rk.a AS qhat
+      |       FROM kk JOIN rk ON rk.rn = kk.k),
+      |tst AS (SELECT a FROM scored WHERE slice = 3)
+      |SELECT qh.n_calib, CAST(qh.k AS BIGINT) AS k, CAST(qh.qhat AS BIGINT) AS qhat,
+      |  CAST((SELECT count(*) FROM tst) AS BIGINT) AS n_test,
+      |  CAST((SELECT count(*) FROM tst WHERE a <= qh.qhat) AS BIGINT) AS n_covered,
+      |  CAST(CASE WHEN (SELECT count(*) FROM tst) = 0 THEN 0
+      |    ELSE (SELECT count(*) FROM tst WHERE a <= qh.qhat) * 1000000
+      |         // (SELECT count(*) FROM tst) END AS BIGINT) AS coverage_ppm
+      |FROM qh""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_split_conformal" -> (q228SplitConformal _),
     "q215_source_auc" -> (q215SourceAuc _),
     "q211_calibration_curve" -> (q211CalibrationCurve _),
     "q205_dump_novelty" -> (q205DumpNovelty _),
@@ -2677,6 +2769,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q228_split_conformal" -> q228Oracle,
     "q215_source_auc" -> q215Oracle,
     "q211_calibration_curve" -> q211Oracle,
     "q205_dump_novelty" -> q205Oracle,

@@ -1038,6 +1038,22 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q228 split conformal: rank formula, coverage identity, guarantee band") {
+    val r = ops.Text.q228SplitConformal(spark, sf()).collect().head
+    val n = r.getAs[Long]("n_calib")
+    assert(n > 0)
+    assert(r.getAs[Long]("k") ==
+      math.min((9 * (n + 1) + 9) / 10, n), "conformal rank formula")
+    assert(r.getAs[Long]("coverage_ppm") ==
+      r.getAs[Long]("n_covered") * 1000000L / r.getAs[Long]("n_test"))
+    // finite-sample guarantee: E[coverage] >= 90%; one draw at this n can
+    // undershoot by O(1/sqrt(n)) — 70% is ~5 sigma below at n >= 12
+    assert(r.getAs[Long]("coverage_ppm") >= 700000L,
+      s"coverage ${r.getAs[Long]("coverage_ppm")} ppm implausibly low")
+    assert(r.getAs[Long]("qhat") >= 0L && r.getAs[Long]("qhat") <= 1048576L)
+    Caches.releaseAll()
+  }
+
   test("q227 incremental clusters: planted dump merge exact; law holds on sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-icc").toString
