@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * payloads — same operator shape, schema, and distribution properties.
   *
   * AUDIO decode is REAL too ([[decodeAudio]]: PCM16 WAV via
-  * `javax.sound.sampled`, spec-tested — AudioDecodeSpec), and VIDEO
+  * `javax.sound.sampled`, spec-tested — AudioDecodeSpec — plus the
+  * COMPRESSED companding family: [[decodeMulawWav]] expands G.711 μ-law
+  * through the JDK's CCITT codec, oracle-checked as q229 with the table
+  * pinned against the closed-form expansion on all 256 codes), and VIDEO
   * decode is real both for the multi-frame formats the JDK has a codec
   * for ([[decodeVideo]]: animated GIF frame extraction, per-frame luma,
   * motion signal) and for codec-FREE uncompressed video
@@ -140,6 +143,88 @@ object Multimodal {
     * ≤ 8 16-bit samples at 7.1; 10^8 frames × 8 × 32767² ≈ 8.6·10^17 < 2^63)
     * and quarantines absurd declared lengths before any work. */
   val MaxDecodeFrames: Long = 100L * 1000 * 1000
+
+  /** Hand-built G.711 μ-law WAV (RIFF format code 7, 8-bit companded
+    * mono): the COMPRESSED audio interchange format reachable without
+    * native codecs — java.desktop ships the CCITT μ-law codec, making this
+    * the audio analogue of the MJPEG-in-AVI move ([[decodeMjpegAvi]]):
+    * a real lossy-companding format, shrinking the "compressed audio"
+    * disclosure the way MJPEG shrank the video one. Constant-byte payload
+    * keeps features closed-form for the oracle. */
+  def encodeMulawWav(nSamples: Int, b: Byte, rate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(46 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(38 + nSamples)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(18) // non-PCM: cbSize present
+    bb.putShort(7); bb.putShort(1)                     // μ-law, mono
+    bb.putInt(rate); bb.putInt(rate)                   // byteRate = rate × 1
+    bb.putShort(1); bb.putShort(8); bb.putShort(0)     // block 1, 8 bit, cb 0
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(nSamples)
+    var i = 0
+    while (i < nSamples) { bb.put(b); i += 1 }
+    bb.array()
+  }
+
+  /** μ-law WAV decode through the JDK codec: `AudioSystem` detects the
+    * ULAW encoding, the format-conversion service expands each companded
+    * byte to 16-bit PCM via the CCITT table, and the feature loop is the
+    * same exact-integer peak/mean-square/RMS as [[decodeAudio]]. The
+    * oracle mirrors the expansion with the closed-form table expression
+    * `mag = ((m·8 + 132) << e) − 132` over the complemented byte — pinned
+    * equal to the JDK table by AudioDecodeSpec across all 256 codes.
+    * Quarantine discipline identical to the PCM path. */
+  def decodeMulawWav(bytes: Array[Byte], maxFrames: Long = MaxDecodeFrames): AudioFeature = {
+    val bad = AudioFeature(ok = false, 0, 0, 0, 0L, 0L, 0L, 0L, 0L)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val declared = ais.getFrameLength
+        val ulaw8 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ULAW &&
+            fmt.getSampleSizeInBits == 8 && fmt.getChannels >= 1 &&
+            fmt.getFrameSize == fmt.getChannels
+        if (!ulaw8 || declared < 0 || declared > maxFrames) bad
+        else {
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+            fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+          try {
+            val data = pcm.readAllBytes()
+            if (data.length != declared * 2 * fmt.getChannels) bad
+            else {
+              val nSamples = data.length / 2
+              var peak = 0L
+              var sumSq = 0L
+              var i = 0
+              while (i < nSamples) {
+                val lo = data(2 * i) & 0xff
+                val hi = data(2 * i + 1).toInt // sign-extends
+                val s = (hi << 8) | lo
+                val a = math.abs(s.toLong)
+                if (a > peak) peak = a
+                sumSq += s.toLong * s
+                i += 1
+              }
+              val rate = math.round(fmt.getSampleRate)
+              val meanSq = if (nSamples == 0) 0L else sumSq / nSamples
+              var r = math.sqrt(meanSq.toDouble).toLong
+              while (r > 0 && r * r > meanSq) r -= 1
+              while ((r + 1) * (r + 1) <= meanSq) r += 1
+              AudioFeature(ok = true, rate, fmt.getChannels, 8, declared,
+                declared * 1000L / rate, peak, meanSq, r)
+            }
+          } finally pcm.close()
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => bad
+    }
+  }
 
   /** REAL audio decode — JDK `javax.sound.sampled` (java.desktop ships a
     * pure-JVM WAV/AIFF/AU parser; no native libs), the audio analogue of
@@ -985,7 +1070,55 @@ object Multimodal {
       }
   }
 
+  /** q229: G.711 μ-law audio through the engine, oracle-checked — the
+    * compressed-audio analogue of q173's MJPEG-in-AVI: per doc a real
+    * μ-law WAV is synthesized (constant companded byte u = doc_id % 256,
+    * 160 + doc_id % 64 frames at 8 kHz), decoded by [[decodeMulawWav]]
+    * (the JDK's CCITT codec), and the exact features ride against a
+    * closed-form oracle that expands the code arithmetically —
+    * mag = ((m·8 + 132) << e) − 132 over the complemented byte —
+    * because constant-sample audio has peak = |c|, mean_square = c², and
+    * ⌊√c²⌋ = |c| exactly. AudioDecodeSpec pins JDK-table ≡ formula on all
+    * 256 codes, so the oracle is checking the real codec, not a stub.
+    * Plan shape: per-row UDF synth+decode, no shuffle until the sort. */
+  def q229MulawAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (d: Long) =>
+      encodeMulawWav(160 + (d % 64).toInt, (d % 256).toByte)
+    }
+    val decode = udf((b: Array[Byte]) => decodeMulawWav(b))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("audio", decode(synth(col("doc_id"))))
+      .select(col("doc_id"),
+        col("audio.ok").cast("long").as("ok"),
+        col("audio.sample_rate").cast("long").as("sample_rate"),
+        col("audio.n_frames").as("n_frames"),
+        col("audio.duration_ms").as("duration_ms"),
+        col("audio.peak_abs").as("peak_abs"),
+        col("audio.mean_square").as("mean_square"),
+        col("audio.rms").as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q229Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, 255 - (doc_id % 256) AS x, 160 + (doc_id % 64) AS nf
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, nf,
+      |    (CASE WHEN x >= 128 THEN -1 ELSE 1 END)
+      |      * ((((x % 16) * 8 + 132) << ((x // 16) % 8)) - 132) AS cv
+      |  FROM m)
+      |SELECT doc_id, CAST(1 AS BIGINT) AS ok,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf // 8 AS BIGINT) AS duration_ms,
+      |  CAST(abs(cv) AS BIGINT) AS peak_abs,
+      |  CAST(cv * cv AS BIGINT) AS mean_square,
+      |  CAST(abs(cv) AS BIGINT) AS rms
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_mulaw_audio_decode" -> (q229MulawAudioDecode _),
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_multimodal_stats"  -> (q61MultimodalStats _),
     "q82_multimodal_resize" -> (q82MultimodalResize _),
@@ -996,6 +1129,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q229_mulaw_audio_decode" -> q229Oracle,
     "q60_multimodal_decode" -> q60Oracle,
     "q61_multimodal_stats"  -> q61Oracle,
     "q82_multimodal_resize" -> q82Oracle,

@@ -64,6 +64,37 @@ class AudioDecodeSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(good).ok)
   }
 
+  /** The closed-form CCITT μ-law expansion the q229 oracle uses. */
+  private def mulawFormula(b: Int): Int = {
+    val x = ~b & 0xff
+    val e = (x >> 4) & 7
+    val m = x & 0xf
+    val mag = (((m << 3) + 0x84) << e) - 0x84
+    if ((x & 0x80) != 0) -mag else mag
+  }
+
+  test("decodeMulawWav: JDK codec equals the CCITT formula on all 256 codes") {
+    (0 until 256).foreach { b =>
+      val f = Multimodal.decodeMulawWav(Multimodal.encodeMulawWav(8, b.toByte))
+      assert(f.ok, s"code $b failed to decode")
+      val c = mulawFormula(b)
+      assert(f.peak_abs == math.abs(c).toLong, s"code $b: jdk ${f.peak_abs} formula $c")
+      assert(f.mean_square == c.toLong * c, s"code $b mean_square")
+      assert(f.sample_rate == 8000 && f.bits_per_sample == 8 && f.n_frames == 8L)
+    }
+  }
+
+  test("decodeMulawWav: quarantine paths (PCM16 input, truncation, frame cap)") {
+    // a PCM16 WAV through the μ-law decoder must quarantine, not mis-decode
+    assert(!Multimodal.decodeMulawWav(wav(8000f, 1, Array.fill(16)(100.toShort))).ok)
+    val good = Multimodal.encodeMulawWav(100, 0x20.toByte)
+    assert(Multimodal.decodeMulawWav(good).ok)
+    assert(!Multimodal.decodeMulawWav(good.dropRight(7), maxFrames = 1000L).ok)
+    assert(!Multimodal.decodeMulawWav(good, maxFrames = 10L).ok)
+    // and the PCM decoder quarantines μ-law input symmetrically
+    assert(!Multimodal.decodeAudio(good).ok)
+  }
+
   test("decodeAudio: deterministic across repeat decodes; empty audio is ok with zero stats") {
     val rnd = new scala.util.Random(7)
     val bytes = wav(16000f, 1, Array.fill(1234)((rnd.nextInt(65536) - 32768).toShort))
