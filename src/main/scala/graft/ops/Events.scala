@@ -961,6 +961,151 @@ object Events {
       |FROM b LEFT JOIN k ON b.event_type = k.event_type
       |ORDER BY b.event_type""".stripMargin
 
+  /** q230: t-closeness release audit (Li, Li & Venkatasubramanian 2007) —
+    * the third rung of the privacy ladder, catching the SKEW attack that
+    * survives both q204's k-anonymity and q212's l-diversity: a cell can
+    * hold ≥ k users and ≥ l distinct sensitive values yet still leak by
+    * having its distribution wildly tilted toward one value. t-closeness
+    * bounds the Earth Mover's Distance between each cell's sensitive
+    * distribution and the global one; for an ORDERED domain the EMD has
+    * the exact prefix form (1/(m−1))·Σᵢ |Pᵢ − Qᵢ| over cumulative
+    * probabilities — which cross-multiplies to pure integers:
+    * emd_ppm = 10⁶·Σᵢ |Cᵢ·N − Gᵢ·n| div ((m−1)·n·N), every product
+    * DECIMAL(38)-widened (cell·global count products pass 2^63 at corpus
+    * scale — the q161/q214 requirement). The final prefix term is
+    * identically zero (Cₘ·N = n·N = Gₘ·n), so summing all m positions IS
+    * the m−1-term sum.
+    *
+    * Scale: same single QI-keyed shuffle as q204/q212 plus one bounded
+    * global-value aggregate; the dense (cell × domain) grid comes from a
+    * ≤|domain|-row broadcast crossJoin onto the reduced cell frame
+    * (PlanSpec-allowlisted — the q162 boundary-probe argument), and every
+    * window runs over reduced frames. Release = k-anon ∧ l-diverse ∧
+    * EMD ≤ t (k=5, l=3, t=0.2); `n_skewed` counts exactly the cells the
+    * first two rungs would have released. */
+  def q230TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    val (k, l, tPpm) = (lit(5L), lit(3L), lit(200000L))
+    val ev = graft.Caches.persist(Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("v")))
+    val gOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gcum = ev.groupBy(col("v")).agg(count(lit(1)).as("gc"))
+      .withColumn("gcum", sum(col("gc")).over(gOrd))
+      .withColumn("nglob", sum(col("gc")).over(gAll))
+      .withColumn("m", count(lit(1)).over(gAll))
+      .select(col("v"), col("gcum"), col("nglob"), col("m"))
+    val cellStats = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("v")).as("n_sens"))
+    val cellVal = ev.groupBy(col("event_type"), col("day"), col("v"))
+      .agg(count(lit(1)).as("cc"))
+    val cOrd = Window.partitionBy(col("event_type"), col("day")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = cellStats.select(col("event_type"), col("day"), col("n_rows"))
+      .crossJoin(broadcast(gcum))
+      .join(cellVal, Seq("event_type", "day", "v"), "left")
+      // re-aggregate the (already unique) grid so the prefix window's
+      // reduced-input claim is STRUCTURAL — an Aggregate on its unary
+      // chain, not just on the join's branches (the PlanSpec window lint
+      // stops at multi-child nodes by design); one cheap hash agg over
+      // the bounded |cells|·|domain| frame
+      .groupBy(col("event_type"), col("day"), col("v"))
+      .agg(first(col("n_rows")).as("n_rows"), first(col("m")).as("m"),
+        first(col("nglob")).as("nglob"), first(col("gcum")).as("gcum"),
+        sum(coalesce(col("cc"), lit(0L))).as("cc"))
+      .withColumn("ccum", sum(col("cc")).over(cOrd))
+      .groupBy(col("event_type"), col("day"))
+      .agg(first(col("n_rows")).as("n_rows"), first(col("m")).as("m"),
+        first(col("nglob")).as("nglob"),
+        sum(abs(wide(col("ccum")) * wide(col("nglob"))
+          - wide(col("gcum")) * wide(col("n_rows")))).as("num"))
+      .withColumn("emd_ppm",
+        expr("CAST((1000000 * num) div ((m - 1) * CAST(n_rows AS DECIMAL(38,0)) * nglob) AS BIGINT)"))
+      .select(col("event_type"), col("day"), col("emd_ppm"))
+    val cells = cellStats.join(emd, Seq("event_type", "day"))
+    val kl = col("n_users") >= k && col("n_sens") >= l
+    val released = kl && col("emd_ppm") <= tPpm
+    cells.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(kl, 1L).otherwise(0L)).as("n_pass_kl"),
+        sum(when(kl && col("emd_ppm") > tPpm, 1L).otherwise(0L)).as("n_skewed"),
+        sum(when(released, col("n_rows")).otherwise(0L)).as("rows_released"),
+        sum(when(kl && col("emd_ppm") > tPpm, col("n_rows")).otherwise(0L))
+          .as("rows_blocked_skew"),
+        coalesce(max(when(released, col("emd_ppm"))), lit(0L))
+          .as("max_released_emd_ppm"),
+        sum(col("n_rows")).as("rows_total"))
+      .withColumn("skew_blocked_ppm",
+        expr("rows_blocked_skew * 1000000 div rows_total"))
+      .drop("rows_total")
+      .orderBy(col("event_type"))
+  }
+
+  val q230Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT v, count(*) AS gc FROM ev GROUP BY 1),
+      |gcum AS (
+      |  SELECT v,
+      |    sum(gc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS gcum,
+      |    sum(gc) OVER () AS nglob, count(*) OVER () AS m
+      |  FROM g),
+      |cs AS (
+      |  SELECT event_type, day, count(*) AS n_rows,
+      |    count(DISTINCT user_id) AS n_users, count(DISTINCT v) AS n_sens
+      |  FROM ev GROUP BY 1, 2),
+      |cv AS (
+      |  SELECT event_type, day, v, count(*) AS cc FROM ev GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT cs.event_type, cs.day, cs.n_rows, g.v, g.gcum, g.nglob, g.m,
+      |    coalesce(cv.cc, 0) AS cc
+      |  FROM cs CROSS JOIN gcum g
+      |  LEFT JOIN cv ON cv.event_type = cs.event_type AND cv.day = cs.day
+      |    AND cv.v = g.v),
+      |pre AS (
+      |  SELECT event_type, day, n_rows, m, nglob, gcum,
+      |    sum(cc) OVER (PARTITION BY event_type, day ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS ccum
+      |  FROM grid),
+      |emd AS (
+      |  SELECT event_type, day,
+      |    CAST((1000000 * sum(abs(CAST(ccum AS HUGEINT) * nglob
+      |        - CAST(gcum AS HUGEINT) * n_rows)))
+      |      // ((max(m) - 1) * CAST(max(n_rows) AS HUGEINT) * max(nglob))
+      |      AS BIGINT) AS emd_ppm
+      |  FROM pre GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT cs.*, emd.emd_ppm FROM cs JOIN emd USING (event_type, day))
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens >= 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_pass_kl,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens >= 3 AND emd_ppm > 200000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skewed,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens >= 3 AND emd_ppm <= 200000
+      |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_released,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens >= 3 AND emd_ppm > 200000
+      |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_blocked_skew,
+      |  CAST(coalesce(max(CASE WHEN n_users >= 5 AND n_sens >= 3
+      |    AND emd_ppm <= 200000 THEN emd_ppm END), 0) AS BIGINT)
+      |    AS max_released_emd_ppm,
+      |  CAST(sum(CASE WHEN n_users >= 5 AND n_sens >= 3 AND emd_ppm > 200000
+      |    THEN n_rows ELSE 0 END) * 1000000 // sum(n_rows) AS BIGINT)
+      |    AS skew_blocked_ppm
+      |FROM cells
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q222: lagged cross-covariance — "does click volume LEAD purchase
     * volume, and by how many days?", the lead-lag screen run before anyone
     * trusts a conversion attribution (q144 assigns credit within a session;
@@ -1037,6 +1182,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_lagged_crosscov" -> (q222LaggedCrosscov _),
+    "q230_t_closeness" -> (q230TCloseness _),
     "q212_l_diversity" -> (q212LDiversity _),
     "q210_erasure_propagation" -> (q210ErasurePropagation _),
     "q208_variant_extract" -> (q208VariantExtract _),
@@ -1062,6 +1208,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q222_lagged_crosscov" -> q222Oracle,
+    "q230_t_closeness" -> q230Oracle,
     "q212_l_diversity" -> q212Oracle,
     "q210_erasure_propagation" -> q210Oracle,
     "q208_variant_extract" -> q208Oracle,

@@ -1038,6 +1038,49 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q230 t-closeness: planted skew caught past k-anon and l-diversity; exact EMD") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tclose").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    // click: 40 rows (38,1,1 over values 0/1/2) — 10 users? no: distinct
+    // users per row so k-anonymity passes; 95% zeros → EMD 222115 ppm > t.
+    // view: (12,4,4) and signup: (120,40,40) both match the global mix →
+    // EMD 40384 ppm, released. All three pass k=5 and l=3.
+    def cell(tpe: String, counts: Seq[Int], base: Long) =
+      counts.zipWithIndex.flatMap { case (c, v) =>
+        (0 until c).map { i =>
+          val id = base + v * 1000 + i
+          (id, ts, id, tpe, 1.0, s"""{"k":$v}""")
+        }
+      }
+    val rows = cell("click", Seq(38, 1, 1), 10000L) ++
+      cell("view", Seq(12, 4, 4), 20000L) ++
+      cell("signup", Seq(120, 40, 40), 30000L)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.Events.q230TCloseness(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.keySet == Set("click", "view", "signup"))
+    val c = out("click")
+    assert(c.getAs[Long]("n_pass_kl") == 1L)
+    assert(c.getAs[Long]("n_skewed") == 1L, "95%-zeros cell must fail t-closeness")
+    assert(c.getAs[Long]("rows_released") == 0L)
+    assert(c.getAs[Long]("rows_blocked_skew") == 40L)
+    assert(c.getAs[Long]("skew_blocked_ppm") == 1000000L)
+    val v = out("view")
+    assert(v.getAs[Long]("n_skewed") == 0L)
+    assert(v.getAs[Long]("rows_released") == 20L)
+    assert(v.getAs[Long]("max_released_emd_ppm") == 40384L) // hand-computed
+    assert(out("signup").getAs[Long]("max_released_emd_ppm") == 40384L)
+    Caches.releaseAll()
+    // sf corpus: structural invariants
+    ops.Events.q230TCloseness(spark, sf()).collect().foreach { r =>
+      assert(r.getAs[Long]("n_skewed") <= r.getAs[Long]("n_pass_kl"))
+      assert(r.getAs[Long]("max_released_emd_ppm") <= 200000L)
+    }
+    Caches.releaseAll()
+  }
+
   test("q228 split conformal: rank formula, coverage identity, guarantee band") {
     val r = ops.Text.q228SplitConformal(spark, sf()).collect().head
     val n = r.getAs[Long]("n_calib")

@@ -117,7 +117,13 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast (N docs, T tokens) corpus stats onto the postings join
       "q200_bm25_retrieval",
       // 1-row broadcast exact-join-size frame onto the 4-row dot-product frame
-      "q206_cms_join_size")
+      "q206_cms_join_size",
+      // 1-row broadcast final weights (the q184 shape) + 1-row broadcast
+      // conformal-threshold frame onto the test slice
+      "q228_split_conformal",
+      // ≤|domain|-row broadcast global-value frame densifying the bounded
+      // (QI-cell × sensitive-value) grid (the q162 boundary-probe argument)
+      "q230_t_closeness")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
