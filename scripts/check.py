@@ -51,6 +51,48 @@ def table_key(rows, cols):
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return out
 
+# Types whose parquet/arrow round-trip representation has burned a round of
+# driver typed-hash compares before (r1: HUGEINT; r8: DECIMAL on q30) —
+# value-identical results can still hash-mismatch through these.
+RISK_TYPES = ("DECIMAL", "HUGEINT", "TIMESTAMP WITH TIME ZONE")
+
+def col_profile(rows, cols, types):
+    """Per-column {type, nulls, min, max, checksum} — order-insensitive,
+    computed from normalized cells so engine and oracle sides are directly
+    comparable (VERDICT r8 item 2: localize WHICH column diverges)."""
+    import hashlib
+    prof = {}
+    for i, c in enumerate(cols):
+        vals = [norm_cell(r[i]) for r in rows]
+        nn = [v for v in vals if v is not None]
+        ck = 0
+        for v in nn:
+            ck ^= int(hashlib.md5(repr(v).encode()).hexdigest()[:15], 16)
+        prof[c] = {
+            "type": norm_type(types[i]) if not isinstance(types, dict) else types[c],
+            "nulls": len(vals) - len(nn),
+            "min": str(min(nn, key=lambda x: str(x))) if nn else None,
+            "max": str(max(nn, key=lambda x: str(x))) if nn else None,
+            "checksum": ck,
+        }
+    return prof
+
+def profile_diff(name, got_rows, exp_rows, cols, got_types, exp_types):
+    """One-look localization: which column(s) carry the mismatch."""
+    gp = col_profile(got_rows, cols, got_types)
+    ep = col_profile(exp_rows, cols, exp_types)
+    lines = []
+    for c in cols:
+        bad = [k for k in ("type", "nulls", "min", "max", "checksum")
+               if gp[c][k] != ep[c][k]]
+        if bad:
+            lines.append(f"    column {c}: differs on {bad} "
+                         f"spark={ {k: gp[c][k] for k in bad} } "
+                         f"oracle={ {k: ep[c][k] for k in bad} }")
+    if not lines:
+        lines.append("    (no per-column profile delta — ordering/pairing issue)")
+    return "\n".join(lines)
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -97,11 +139,20 @@ def main(sf_dir, out_dir):
             continue
         g = table_key(got_rows, got_cols)
         e = table_key(exp_rows, exp_cols)
+        # typed-hash risk lint: flag representation-fragile column types
+        # even when values compare equal (the q30-class failure mode —
+        # the driver's hash is stricter than this script's normalization)
+        risks = [f"{c}:{t}" for c, t in zip(got.columns,
+                 [str(x).upper() for x in got.types])
+                 if any(r in t for r in RISK_TYPES)]
+        risk_note = f" [RISK typed-hash: {risks}]" if risks else ""
         if g != e:
             diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
-            results[name] = f"VALUES-MISMATCH first_diffs={diffs}"
+            loc = profile_diff(name, got_rows, exp_rows, got_cols,
+                               got_types, exp_types)
+            results[name] = (f"VALUES-MISMATCH first_diffs={diffs}\n{loc}")
         else:
-            results[name] = f"OK rows={len(got_rows)}"
+            results[name] = f"OK rows={len(got_rows)}{risk_note}"
     bad = 0
     for name, r in sorted(results.items()):
         status = "PASS" if r.startswith("OK") or r.startswith("NO-ORACLE") else "FAIL"

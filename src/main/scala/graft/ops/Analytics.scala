@@ -1706,6 +1706,10 @@ object Analytics {
     val mat = graft.Caches.trackCheckpoint(idx.localCheckpoint())
     val mv = s"graft_quarters_w${viewSeq.incrementAndGet()}"
     mat.createOrReplaceTempView(mv)
+    // ADVICE r8: scripting.enabled is session-global — save and restore it
+    // so this query leaves no side effect on the shared session (ScaleSpec
+    // runs queries concurrently on one SparkSession).
+    val priorScripting = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
     try s.sql(
       s"""BEGIN
@@ -1723,7 +1727,13 @@ object Analytics {
         |    (SELECT max(qi) FROM $mv) AS last_quarter_index,
         |    CAST(vema AS BIGINT) AS final_ema_cents;
         |END""".stripMargin)
-    finally s.catalog.dropTempView(mv)
+    finally {
+      priorScripting match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None    => s.conf.unset("spark.sql.scripting.enabled")
+      }
+      s.catalog.dropTempView(mv)
+    }
   }
 
   val q217Oracle: String =

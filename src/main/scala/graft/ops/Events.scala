@@ -820,7 +820,13 @@ object Events {
         sum(expr("variant_get(v, '$.k', 'long')")).as("sum_k"),
         sum(when(expr("try_variant_get(v, '$.missing', 'long')").isNull, lit(1L))
           .otherwise(lit(0L))).as("n_missing_null"),
-        countDistinct(expr("schema_of_variant(v)")).as("n_schemas"))
+        // ADVICE r8: the variant and json_structure type LATTICES are not
+        // isomorphic (DuckDB splits UBIGINT/BIGINT by sign; variant does
+        // not), so an exact schema COUNT is data-dependent. Compare drift
+        // as a boolean instead — "more than one observed shape" — with the
+        // known sign-lattice asymmetry normalized oracle-side.
+        (countDistinct(expr("schema_of_variant(v)")) > 1).cast("long")
+          .as("schema_drift"))
       .orderBy(col("event_type"))
 
   val q208Oracle: String =
@@ -830,7 +836,8 @@ object Events {
       |    AS sum_k,
       |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
-      |  CAST(count(DISTINCT json_structure(props)) AS BIGINT) AS n_schemas
+      |  CAST(count(DISTINCT replace(CAST(json_structure(props) AS VARCHAR),
+      |    'UBIGINT', 'BIGINT')) > 1 AS BIGINT) AS schema_drift
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q212: l-diversity release audit (Machanavajjhala et al. 2007) — the
@@ -857,8 +864,11 @@ object Events {
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"),
-        countDistinct(expr("CAST(get_json_object(props, '$.k') AS BIGINT)"))
-          .as("n_sens"))
+        // ADVICE r8 (mirrors q230): NULL sensitive values count as a real
+        // (sentinel) diversity value in both engines, never silently drop
+        countDistinct(coalesce(
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)"),
+          lit(-4611686018427387904L))).as("n_sens"))
     val kAnon = col("n_users") >= k
     val released = kAnon && col("n_sens") >= l
     cells
@@ -884,8 +894,9 @@ object Events {
     """WITH cells AS (
       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
       |    count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
-      |    count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
-      |      AS n_sens
+      |    count(DISTINCT coalesce(
+      |      CAST(json_extract_string(props, '$.k') AS BIGINT),
+      |      -4611686018427387904)) AS n_sens
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type,
       |  CAST(count(*) AS BIGINT) AS n_cells,
@@ -987,10 +998,17 @@ object Events {
     import org.apache.spark.sql.types.DecimalType
     def wide(c: Column): Column = c.cast(DecimalType(38, 0))
     val (k, l, tPpm) = (lit(5L), lit(3L), lit(200000L))
+    // ADVICE r8: a NULL sensitive value would diverge between engines
+    // (Spark windows sort NULLS FIRST asc, DuckDB NULLS LAST; the cv.v=g.v
+    // equi-join drops NULL mass). Coalesce to an ordered sentinel below any
+    // real payload value so the assumption is structural, not
+    // data-dependent — a NULL becomes a genuine (lowest) domain value in
+    // BOTH engines and its mass participates in the EMD.
     val ev = graft.Caches.persist(Tables.events(s, dir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
         col("user_id"),
-        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("v")))
+        coalesce(expr("CAST(get_json_object(props, '$.k') AS BIGINT)"),
+          lit(-4611686018427387904L)).as("v")))
     val gOrd = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gAll = Window.orderBy(col("v"))
@@ -1052,7 +1070,8 @@ object Events {
   val q230Oracle: String =
     """WITH ev AS (
       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id,
-      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      |    coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT),
+      |      -4611686018427387904) AS v
       |  FROM events),
       |g AS (
       |  SELECT v, count(*) AS gc FROM ev GROUP BY 1),

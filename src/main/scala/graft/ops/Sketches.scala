@@ -645,11 +645,16 @@ object Sketches {
       when(size(mins) < k, size(mins).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(pow60).cast("double")
           / element_at(mins, k))
+    // ADVICE r8: dedupe the 60-bit hash WITHIN (event_type, dump) before
+    // sketching — an md5-prefix collision between two users in one dump
+    // would otherwise feed a duplicate value into the engine's bottom-k
+    // that the oracle's DISTINCT-over-h CTE removes, shifting the kth-min.
     val hashed = graft.Caches.persist(
       Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct()
         .select(col("event_type"), (col("user_id") % 4).as("dump"),
           conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
-            16, 10).cast("long").as("h")))
+            16, 10).cast("long").as("h"))
+        .distinct())
     val perDump = hashed.groupBy(col("event_type"), col("dump"))
       .agg(minK(col("h"), -col("h")).as("mins"))
     val merged = perDump

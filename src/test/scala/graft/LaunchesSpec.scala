@@ -72,6 +72,26 @@ class LaunchesSpec extends SparkSpec {
     assert(Launches.mart(empty).collect().isEmpty)
   }
 
+  test("q30 driver shape: centi-percent BIGINT equals the DECIMAL(10,2) rate ×100") {
+    // VERDICT r8 item 1: the driver-facing q30 emits the rate as exact
+    // integer centi-percent; it must equal the reference DECIMAL semantics
+    // (mart's success_rate_pct) scaled by 100 on every row.
+    val driverRows = Launches.q30LaunchesMart(spark, "").collect()
+    assert(driverRows.nonEmpty)
+    assert(!driverRows.head.schema.fieldNames.contains("success_rate_pct"))
+    val byYear = fct.map(r =>
+      Option(r.getAs[Integer]("year")) ->
+        r.getAs[java.math.BigDecimal]("success_rate_pct")).toMap
+    driverRows.foreach { r =>
+      val expect = byYear(Option(r.getAs[Integer]("year")))
+        .movePointRight(2).longValueExact()
+      assert(r.getAs[Long]("success_rate_centi_pct") == expect, s"row $r")
+    }
+    // golden: 2014 = 2/3 successes -> 66.67% -> 6667 centi-pct (HALF_UP)
+    val y2014 = driverRows.find(r => r.getAs[Integer]("year") == 2014).get
+    assert(y2014.getAs[Long]("success_rate_centi_pct") == 6667L)
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

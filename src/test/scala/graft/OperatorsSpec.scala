@@ -1639,12 +1639,12 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
-  test("q208 variant extract: typed get, null-safe miss, schema-drift count") {
+  test("q208 variant extract: typed get, null-safe miss, schema-drift flag") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-variant").toString
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    // type A: two DIFFERENT json shapes (schema drift → n_schemas = 2);
-    // type B: one shape
+    // type A: two DIFFERENT json shapes (schema drift → schema_drift = 1);
+    // type B: one shape (drift = 0)
     Seq((1L, ts, 1L, "A", 1.0, """{"k": 3}"""),
         (2L, ts, 2L, "A", 1.0, """{"k": 4, "x": "y"}"""),
         (3L, ts, 3L, "B", 1.0, """{"k": 10}"""))
@@ -1653,8 +1653,8 @@ class OperatorsSpec extends SparkSpec {
     val out = Events.q208VariantExtract(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
         ((r.getAs[Long]("n_events"), r.getAs[Long]("sum_k"),
-          r.getAs[Long]("n_missing_null"), r.getAs[Long]("n_schemas")))).toMap
-    assert(out == Map("A" -> ((2L, 7L, 2L, 2L)), "B" -> ((1L, 10L, 1L, 1L))))
+          r.getAs[Long]("n_missing_null"), r.getAs[Long]("schema_drift")))).toMap
+    assert(out == Map("A" -> ((2L, 7L, 2L, 1L)), "B" -> ((1L, 10L, 1L, 0L))))
     Caches.releaseAll()
     // real corpus: the variant path agrees with the string-extraction path
     // (q22's idiom) and the absent path is null on EVERY row
@@ -1670,8 +1670,52 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_k") == expected(t)._1)
       assert(r.getAs[Long]("n_events") == expected(t)._2)
       assert(r.getAs[Long]("n_missing_null") == expected(t)._2)
-      assert(r.getAs[Long]("n_schemas") >= 1L)
+      assert(Set(0L, 1L).contains(r.getAs[Long]("schema_drift")))
     }
     Caches.releaseAll()
+  }
+
+  test("unigram-LM: fixed-point log2 laws (exact powers of two, doubling shift)") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 3L, 7L, 8L, 1000L, 1048576L, 123456789L).toDF("x")
+    val lg = Text.withLog2fp(xs, "x", "lg").collect()
+      .map(r => r.getAs[Long]("x") -> r.getAs[Long]("lg")).toMap
+    // exact on powers of two: log2fp(2^k) = k·65536
+    assert(lg(1L) == 0L && lg(2L) == 65536L && lg(8L) == 3 * 65536L
+      && lg(1048576L) == 20 * 65536L)
+    // doubling law: log2fp(2x) = 65536 + log2fp(x) EXACTLY (the exponent
+    // increments, the mantissa chain is identical)
+    val dbl = Text.withLog2fp(xs.select((col("x") * 2).as("x")), "x", "lg")
+      .collect().map(r => r.getAs[Long]("x") -> r.getAs[Long]("lg")).toMap
+    lg.foreach { case (x, v) => assert(dbl(2 * x) == v + 65536L, s"x=$x") }
+    // 16-bit fraction sanity: log2(3) = 1.58496…; truncation-based chain
+    // must land within 2 ulps of floor(1.58496·65536) = 103872
+    assert(math.abs(lg(3L) - 103872L) <= 2, lg(3L).toString)
+  }
+
+  test("q231/q232 unigram-LM training invariants on the real corpus") {
+    val rows = Text.q231UnigramLmTrain(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val len = r.getAs[Long]("piece_len")
+      assert(len >= 2 && len <= 4)
+      assert(r.getAs[String]("piece").length == len)
+      // an EM count tallies each Viterbi occurrence at most once per seed
+      // occurrence, so em ≤ seed on every piece
+      assert(r.getAs[Long]("em2_count") <= r.getAs[Long]("seed_count"), s"row $r")
+      assert(r.getAs[Long]("em2_count") >= 1L)
+    }
+    val fert = Text.q232TokenizerFertility(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      // every word segments into ≥ 1 piece under BOTH tokenizers, so each
+      // fixed-point fertility is ≥ 1.0 (2^20); subtoken sums dominate words
+      assert(r.getAs[Long]("uni_subtokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("bpe_subtokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("uni_fertility_fp") >= 1048576L)
+      assert(r.getAs[Long]("bpe_fertility_fp") >= 1048576L)
+    }
   }
 }

@@ -123,7 +123,11 @@ class PlanSpec extends SparkSpec {
       "q228_split_conformal",
       // ≤|domain|-row broadcast global-value frame densifying the bounded
       // (QI-cell × sensitive-value) grid (the q162 boundary-probe argument)
-      "q230_t_closeness")
+      "q230_t_closeness",
+      // 1-row broadcast log2fp(C+|V|) normalization scalar onto the vocab
+      // frame, once per EM round (the q184/q197 shape)
+      "q231_unigram_lm_train",
+      "q232_tokenizer_fertility")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
