@@ -26,10 +26,22 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.functions.GraftExtensions()(_))
 
-  /** Session for the driver harness: local[cpus], cpus shuffle partitions. */
+  /** Session for the driver harness: local[cpus], cpus shuffle partitions.
+    *
+    * `SPARK_GRAFT_CONF` (dev-only; `k=v;k=v`) overlays RUNTIME confs after
+    * construction — the hook the determinism sweeps use to re-run the full
+    * Verify suite under a production-shaped config (AQE coalescing/skew
+    * fully on, `shuffle.partitions=200`) and assert every result hash
+    * unchanged. Runtime confs only: static confs are pinned above. */
   def local(cpus: Int): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.contains("=")).foreach { kv =>
+        val i = kv.indexOf('=')
+        s.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
     s
   }
 }

@@ -1890,7 +1890,367 @@ object Analytics {
       |FROM s JOIN r ON r.rn = s.k
       |ORDER BY s.stat""".stripMargin
 
+  /** q235: Kaplan–Meier survival estimate of user retention — the standard
+    * censoring-aware answer to "how long do users stay active" (Kaplan &
+    * Meier 1958), which a naive churn average gets wrong because users
+    * still active at the corpus edge haven't churned, they're CENSORED.
+    * Per user: lifetime = weeks between first and last event; censored if
+    * the last event falls within 14 days of the corpus end (their true
+    * lifetime is only known to be ≥ observed). The survival curve
+    * S(w) = Π_{w'≤w} (n_{w'} − d_{w'}) / n_{w'} is a product of
+    * data-dependent ratios — under the house truncating-integer discipline
+    * (ppm fixed point, floor division per step) the fold is
+    * NON-ASSOCIATIVE, so it runs as a recursive CTE over the reduced
+    * weekly frame (the q207 surface), never over raw events.
+    *
+    * Scale stance: events reduce by TWO hash aggregates (per-user span →
+    * per-week churn/censor counts) to a bounded sf-invariant frame
+    * (≤ corpus-span weeks); the at-risk counts come from a suffix-sum
+    * window on that reduced frame (lint-conformant), and the recursion
+    * walks |weeks| 1-row frontiers. At 100 TB only the two aggregates see
+    * data. */
+  def q235KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val span = ev.groupBy("user_id")
+      .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+    val mx = ev.agg(max(col("d")).as("md"))
+    val wk = span.crossJoin(broadcast(mx))
+      .select(expr("CAST(datediff(ld, fd) AS BIGINT) div 7").as("w"),
+        (datediff(col("md"), col("ld")) < 14).cast("long").as("cen"))
+      .groupBy(col("w"))
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+    val wSuf = Window.orderBy(col("w").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = wk
+      .withColumn("n", sum(col("d") + col("c")).over(wSuf))
+      .withColumn("i", row_number().over(Window.orderBy(col("w"))))
+    val mat = graft.Caches.trackCheckpoint(f.localCheckpoint())
+    val mv = s"graft_km_v${viewSeq.incrementAndGet()}"
+    mat.createOrReplaceTempView(mv)
+    try s.sql(
+      s"""WITH RECURSIVE r(i, w, n, d, c, s) AS (
+         |  SELECT i, w, n, d, c, (1000000L * (n - d)) div n FROM $mv WHERE i = 1
+         |  UNION ALL
+         |  SELECT x.i, x.w, x.n, x.d, x.c, (rr.s * (x.n - x.d)) div x.n
+         |  FROM r rr JOIN $mv x ON x.i = rr.i + 1)
+         |SELECT w AS week, n AS n_risk, d AS n_churned, c AS n_censored,
+         |       s AS surv_ppm
+         |FROM r ORDER BY week""".stripMargin)
+    finally s.catalog.dropTempView(mv)
+  }
+
+  val q235Oracle: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |span AS (SELECT user_id, min(d) fd, max(d) ld FROM ev GROUP BY 1),
+      |mx AS (SELECT max(d) md FROM ev),
+      |durs AS (
+      |  SELECT CAST((ld - fd) // 7 AS BIGINT) AS w,
+      |    CASE WHEN (SELECT md FROM mx) - ld < 14 THEN 1 ELSE 0 END AS cen
+      |  FROM span),
+      |wk AS (SELECT w, CAST(sum(1 - cen) AS BIGINT) AS d,
+      |              CAST(sum(cen) AS BIGINT) AS c
+      |       FROM durs GROUP BY 1),
+      |f AS (
+      |  SELECT w, d, c,
+      |    CAST(sum(d + c) OVER (ORDER BY w DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+      |    row_number() OVER (ORDER BY w) AS i
+      |  FROM wk),
+      |r(i, w, n, d, c, s) AS (
+      |  SELECT i, w, n, d, c, (1000000 * (n - d)) // n FROM f WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.i, x.w, x.n, x.d, x.c, (rr.s * (x.n - x.d)) // x.n
+      |  FROM r rr JOIN f x ON x.i = rr.i + 1)
+      |SELECT w AS week, n AS n_risk, d AS n_churned, c AS n_censored,
+      |  s AS surv_ppm
+      |FROM r ORDER BY week""".stripMargin
+
+  /** q236: Holt double exponential smoothing (level + trend) of quarterly
+    * revenue — the forecasting fold one state variable can't hold: q207's
+    * EMA tracks level only and lags a trending series; Holt (1957) carries
+    * (level, trend) jointly: l_t = (x_t + 3·(l+b)) div 4,
+    * b_t = ((l_t − l) + 3·b) div 4 (α = β = ¼ in the house truncating
+    * fixed-point), initialized l₁ = x₁, b₁ = x₂ − x₁. Emits the one-step-
+    * ahead in-sample forecast l+b per quarter — the anomaly baseline a
+    * revenue monitor alerts against. A TWO-variable non-associative fold
+    * pins that the recursive-CTE surface composes state, not just a
+    * scalar. Same scale stance as q207: one corpus aggregate → ~27-row
+    * checkpointed quarter frame → |quarters| 1-row recursion steps. */
+  def q236HoltTrend(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.orders(s, dir)
+      .groupBy(expr("CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT)")
+        .as("qi"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("x"))
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("qi"))))
+    val mat = graft.Caches.trackCheckpoint(idx.localCheckpoint())
+    val mv = s"graft_holt_v${viewSeq.incrementAndGet()}"
+    mat.createOrReplaceTempView(mv)
+    try s.sql(
+      s"""WITH RECURSIVE r(i, qi, x, l, b) AS (
+         |  SELECT a.i, a.qi, a.x, a.x,
+         |         (SELECT x FROM $mv WHERE i = 2) - a.x
+         |  FROM $mv a WHERE a.i = 1
+         |  UNION ALL
+         |  SELECT x.i, x.qi, x.x,
+         |    (x.x + 3 * (rr.l + rr.b)) div 4,
+         |    (((x.x + 3 * (rr.l + rr.b)) div 4 - rr.l) + 3 * rr.b) div 4
+         |  FROM r rr JOIN $mv x ON x.i = rr.i + 1)
+         |SELECT qi AS quarter_index, x AS revenue_cents, l AS level_cents,
+         |       b AS trend_cents, l + b AS forecast_next_cents
+         |FROM r ORDER BY quarter_index""".stripMargin)
+    finally s.catalog.dropTempView(mv)
+  }
+
+  val q236Oracle: String =
+    """WITH RECURSIVE q AS (
+      |  SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS qi,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT qi, x, row_number() OVER (ORDER BY qi) AS i FROM q),
+      |r(i, qi, x, l, b) AS (
+      |  SELECT a.i, a.qi, a.x, a.x,
+      |    (SELECT x FROM idx WHERE i = 2) - a.x
+      |  FROM idx a WHERE a.i = 1
+      |  UNION ALL
+      |  SELECT x.i, x.qi, x.x,
+      |    (x.x + 3 * (rr.l + rr.b)) // 4,
+      |    (((x.x + 3 * (rr.l + rr.b)) // 4 - rr.l) + 3 * rr.b) // 4
+      |  FROM r rr JOIN idx x ON x.i = rr.i + 1)
+      |SELECT qi AS quarter_index, x AS revenue_cents, l AS level_cents,
+      |  b AS trend_cents, l + b AS forecast_next_cents
+      |FROM r ORDER BY quarter_index""".stripMargin
+
+  /** q242: TWO-feature least squares by exact normal equations — q130 fits
+    * y on one regressor; real models control for covariates, and with two
+    * features the closed form is a 2×2 Cramer solve over centered moment
+    * sums: S_ij = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, β = [S22·S1y − S12·S2y,
+    * S11·S2y − S12·S1y] / (S11·S22 − S12²). Per order-year, order price
+    * (cents) is regressed on line count and total quantity; coefficients
+    * ship ×100 (centi-cents per unit) and the intercept in cents, all
+    * floor-division over DECIMAL(38)-widened BIGINT moments — no float
+    * anywhere, so the fit is bit-identical cross-engine (the magnitude
+    * audit: |S·S·100| < 10³⁶ at sf0.1's per-year n ≈ 10⁵, three orders
+    * inside DECIMAL(38)/HUGEINT).
+    *
+    * Scale: two partial+final hash aggregates (per-order feature build →
+    * per-year 9-moment reduction); the solve runs on the |years|-row
+    * frame. The moments are one pass regardless of feature count — k
+    * features cost k(k+3)/2 sum columns, not extra scans. */
+  def q242OlsTwoFeature(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        sum(col("l_quantity").cast("long")).as("x2"))
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        col("x1"), col("x2"), Exact.cents(col("o_totalprice")).as("y"))
+    val m = perOrder.groupBy(col("yr")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    m.selectExpr("yr", "n",
+        "CAST(n AS DECIMAL(38,0)) * s11 - CAST(s1 AS DECIMAL(38,0)) * s1 AS S11",
+        "CAST(n AS DECIMAL(38,0)) * s22 - CAST(s2 AS DECIMAL(38,0)) * s2 AS S22",
+        "CAST(n AS DECIMAL(38,0)) * s12 - CAST(s1 AS DECIMAL(38,0)) * s2 AS S12",
+        "CAST(n AS DECIMAL(38,0)) * s1y - CAST(s1 AS DECIMAL(38,0)) * sy AS S1y",
+        "CAST(n AS DECIMAL(38,0)) * s2y - CAST(s2 AS DECIMAL(38,0)) * sy AS S2y",
+        "s1", "s2", "sy")
+      .selectExpr("yr", "n", "s1", "s2", "sy",
+        "CAST((100 * (S22 * S1y - S12 * S2y)) div (S11 * S22 - S12 * S12) AS BIGINT) AS b1_centi",
+        "CAST((100 * (S11 * S2y - S12 * S1y)) div (S11 * S22 - S12 * S12) AS BIGINT) AS b2_centi")
+      .selectExpr("yr", "CAST(n AS BIGINT) AS n", "b1_centi", "b2_centi",
+        "CAST((100 * sy - b1_centi * s1 - b2_centi * s2) div (100 * n) AS BIGINT) AS intercept_cents")
+      .orderBy(col("yr"))
+  }
+
+  val q242Oracle: String =
+    """WITH po AS (
+      |  SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS x1,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+      |  FROM lineitem l GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, x1, x2,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM po JOIN orders ON l_orderkey = o_orderkey),
+      |m AS (
+      |  SELECT yr, CAST(count(*) AS BIGINT) n,
+      |    CAST(sum(x1) AS BIGINT) s1, CAST(sum(x2) AS BIGINT) s2,
+      |    CAST(sum(y) AS BIGINT) sy,
+      |    CAST(sum(x1*x1) AS BIGINT) s11, CAST(sum(x2*x2) AS BIGINT) s22,
+      |    CAST(sum(x1*x2) AS BIGINT) s12,
+      |    CAST(sum(x1*y) AS HUGEINT) s1y, CAST(sum(x2*y) AS HUGEINT) s2y
+      |  FROM f GROUP BY 1),
+      |c AS (
+      |  SELECT yr, n, s1, s2, sy,
+      |    CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 AS S11,
+      |    CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 AS S22,
+      |    CAST(n AS HUGEINT)*s12 - CAST(s1 AS HUGEINT)*s2 AS S12,
+      |    CAST(n AS HUGEINT)*s1y - CAST(s1 AS HUGEINT)*sy AS S1y,
+      |    CAST(n AS HUGEINT)*s2y - CAST(s2 AS HUGEINT)*sy AS S2y
+      |  FROM m),
+      |b AS (
+      |  SELECT yr, n, s1, s2, sy,
+      |    CAST((100 * (S22*S1y - S12*S2y)) // (S11*S22 - S12*S12) AS BIGINT) AS b1_centi,
+      |    CAST((100 * (S11*S2y - S12*S1y)) // (S11*S22 - S12*S12) AS BIGINT) AS b2_centi
+      |  FROM c)
+      |SELECT yr, n, b1_centi, b2_centi,
+      |  CAST((100*sy - b1_centi*s1 - b2_centi*s2) // (100*n) AS BIGINT) AS intercept_cents
+      |FROM b ORDER BY yr""".stripMargin
+
+  /** q245: association RULES — the directional layer over q118's
+    * symmetric pairs (Agrawal & Srikant 1994): each frequent pair emits
+    * both a→b and b→a with confidence (support/antecedent-support),
+    * lift, and conviction ((1 − sup(b)) / (1 − conf) — "how much more
+    * often would a appear without b if independent"; ∞ for exact
+    * implications, shipped NULL). All ratios exact integer ppm; conviction
+    * composes two ppm ratios as ((1e6 − supB)·1e6) div (1e6 − conf) with
+    * the conf = 1e6 guard. Same Apriori prune + basket-local pair
+    * generation as q118 (one fact shuffle); the rule expansion is a
+    * 2×-explode of the already-tiny frequent-pair frame. */
+  def q245AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val minsup = 3L
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val itemSup = li.groupBy("l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("c"))
+      .filter(col("c") >= minsup)
+    val nOrders = Tables.orders(s, dir).count()
+    val supB = broadcast(graft.Caches.persist(itemSup))
+    val pruned = li.join(supB.select(col("l_partkey")), "l_partkey")
+    val pairs = pruned.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minsup)
+    val rules = pairs
+      .select(explode(array(
+        struct(col("p1").as("ante"), col("p2").as("cons"), col("support")),
+        struct(col("p2").as("ante"), col("p1").as("cons"), col("support"))))
+        .as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"), col("r.support").as("support"))
+      .join(supB.select(col("l_partkey").as("ante"), col("c").as("ca")), Seq("ante"))
+      .join(supB.select(col("l_partkey").as("cons"), col("c").as("cc")), Seq("cons"))
+    rules.select(col("ante"), col("cons"), col("support"),
+        expr("(support * 1000000L) div ca").as("conf_ppm"),
+        expr(s"(support * ${nOrders}L * 1000000L) div (ca * cc)").as("lift_ppm"),
+        expr(s"(cc * 1000000L) div ${nOrders}L").as("supb_ppm"))
+      .withColumn("conviction_ppm",
+        when(col("conf_ppm") >= 1000000L, lit(null).cast("long"))
+          .otherwise(expr("((1000000L - supb_ppm) * 1000000L) div (1000000L - conf_ppm)")))
+      .select(col("ante"), col("cons"), col("support"), col("conf_ppm"),
+        col("lift_ppm"), col("conviction_ppm"))
+      .orderBy(col("conf_ppm").desc, col("ante"), col("cons"))
+  }
+
+  val q245Oracle: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |item_sup AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM baskets GROUP BY 1 HAVING COUNT(*) >= 3),
+      |pruned AS (
+      |  SELECT b.l_orderkey, b.l_partkey
+      |  FROM baskets b JOIN item_sup i USING (l_partkey)),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+      |         CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM pruned a JOIN pruned b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |rules AS (
+      |  SELECT p1 AS ante, p2 AS cons, support FROM pairs
+      |  UNION ALL
+      |  SELECT p2, p1, support FROM pairs),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS no FROM orders),
+      |j AS (
+      |  SELECT ante, cons, support,
+      |    (support * 1000000) // ia.c AS conf_ppm,
+      |    (support * (SELECT no FROM n) * 1000000) // (ia.c * ic.c) AS lift_ppm,
+      |    (ic.c * 1000000) // (SELECT no FROM n) AS supb_ppm
+      |  FROM rules
+      |  JOIN item_sup ia ON rules.ante = ia.l_partkey
+      |  JOIN item_sup ic ON rules.cons = ic.l_partkey)
+      |SELECT ante, cons, support, CAST(conf_ppm AS BIGINT) AS conf_ppm,
+      |  CAST(lift_ppm AS BIGINT) AS lift_ppm,
+      |  CAST(CASE WHEN conf_ppm >= 1000000 THEN NULL
+      |       ELSE ((1000000 - supb_ppm) * 1000000) // (1000000 - conf_ppm)
+      |       END AS BIGINT) AS conviction_ppm
+      |FROM j
+      |ORDER BY conf_ppm DESC, ante, cons""".stripMargin
+
+  /** q246: price-volume revenue bridge — year-over-year change per market
+    * segment decomposed into the two levers an operator can act on:
+    * volume effect = prior revenue scaled by the quantity change at prior
+    * unit economics (rev₀ · Δq div q₀, floor), price/mix effect = the
+    * exact residual (Δrev − volume effect) — so the two effects SUM TO
+    * the total change by construction, the property a finance bridge
+    * must have and floats routinely violate. Quantities are integral
+    * (FIXTURES), revenue exact cents; the lag runs over the reduced
+    * (segment × year) frame. One fact aggregate, one bounded window. */
+  def q246RevenueBridge(s: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+      .agg(sum(Exact.cents(col("l_extendedprice"))).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("yr"))
+    yearly
+      .withColumn("rev0", lag(col("rev"), 1).over(w))
+      .withColumn("qty0", lag(col("qty"), 1).over(w))
+      .filter(col("rev0").isNotNull)
+      .withColumn("volume_effect_cents",
+        expr("(rev0 * (qty - qty0)) div qty0"))
+      .select(col("segment"), col("yr"),
+        (col("rev") - col("rev0")).as("delta_rev_cents"),
+        col("volume_effect_cents"),
+        (col("rev") - col("rev0") - col("volume_effect_cents"))
+          .as("price_mix_effect_cents"))
+      .orderBy(col("segment"), col("yr"))
+  }
+
+  val q246Oracle: String =
+    """WITH yearly AS (
+      |  SELECT c_mktsegment AS segment, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT segment, yr, rev, qty,
+      |    lag(rev) OVER (PARTITION BY segment ORDER BY yr) AS rev0,
+      |    lag(qty) OVER (PARTITION BY segment ORDER BY yr) AS qty0
+      |  FROM yearly)
+      |SELECT segment, yr,
+      |  CAST(rev - rev0 AS BIGINT) AS delta_rev_cents,
+      |  CAST((rev0 * (qty - qty0)) // qty0 AS BIGINT) AS volume_effect_cents,
+      |  CAST((rev - rev0) - (rev0 * (qty - qty0)) // qty0 AS BIGINT)
+      |    AS price_mix_effect_cents
+      |FROM lagged WHERE rev0 IS NOT NULL
+      |ORDER BY segment, yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_assoc_rules" -> (q245AssocRules _),
+    "q246_revenue_bridge" -> (q246RevenueBridge _),
+    "q242_ols_two_feature" -> (q242OlsTwoFeature _),
+    "q235_kaplan_meier" -> (q235KaplanMeier _),
+    "q236_holt_trend" -> (q236HoltTrend _),
     "q223_twopass_quantile" -> (q223TwopassQuantile _),
     "q219_cusum_drift" -> (q219CusumDrift _),
     "q217_sql_script_fold" -> (q217SqlScriptFold _),
@@ -1935,6 +2295,11 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q245_assoc_rules" -> q245Oracle,
+    "q246_revenue_bridge" -> q246Oracle,
+    "q242_ols_two_feature" -> q242Oracle,
+    "q235_kaplan_meier" -> q235Oracle,
+    "q236_holt_trend" -> q236Oracle,
     "q223_twopass_quantile" -> q223Oracle,
     "q219_cusum_drift" -> q219Oracle,
     "q217_sql_script_fold" -> q217Oracle,

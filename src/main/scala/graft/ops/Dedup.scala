@@ -1013,7 +1013,81 @@ object Dedup {
       |    AS n_label_changes,
       |  CAST(1 AS BIGINT) AS incr_matches_full""".stripMargin
 
+  /** q241: Fellegi–Sunter record linkage (1969) — multi-field weighted
+    * entity resolution, the structured-record sibling of the text dedup
+    * stack: q129 scores ONE field by edit distance; real linkage weighs
+    * EVIDENCE ACROSS FIELDS, each comparison contributing a log-odds-style
+    * agreement weight (+) or disagreement penalty (−), with the summed
+    * score classified against a threshold. Candidate part pairs within a
+    * p_brand BLOCK are compared on three fields — type (exact: +24/−8),
+    * size (|Δ| ≤ 1: +16/−12), name token-set Jaccard (≥ ½: +30/−10, the
+    * q106 overlap measure in exact ppm) — and pairs scoring ≥ 40 emit as
+    * links. Weights are fixed integers (the production system estimates
+    * them by EM over match/unmatch frequencies; the DECISION arithmetic
+    * pinned here is what runs at scale either way).
+    *
+    * Scale: blocking IS the operator — the self-join is an equi-join on
+    * the block key (never all-pairs), per-block fan-out bounded by block
+    * size², the same discipline as the LSH band joins; the field
+    * comparators are codegen'd array/scalar builtins. At 100 TB blocks
+    * come from multiple passes (brand, sorted-neighborhood on name) and
+    * union — one block key suffices to pin the semantics. */
+  def q241RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_brand").as("blk"),
+        col("p_type").as("tp"), col("p_size").cast("long").as("sz"),
+        array_distinct(filter(split(lower(col("p_name")), "[^a-z0-9]+"),
+          t => t =!= lit(""))).as("nt"))
+    val a = p.select(col("pk").as("p1"), col("blk"), col("tp").as("tp1"),
+      col("sz").as("sz1"), col("nt").as("nt1"))
+    val b = p.select(col("pk").as("p2"), col("blk"), col("tp").as("tp2"),
+      col("sz").as("sz2"), col("nt").as("nt2"))
+    a.join(b, Seq("blk")).filter(col("p1") < col("p2"))
+      .withColumn("jac_ppm",
+        expr("""(CAST(size(array_intersect(nt1, nt2)) AS BIGINT) * 1000000L)
+               | div size(array_union(nt1, nt2))""".stripMargin))
+      .withColumn("agr_type", (col("tp1") === col("tp2")).cast("long"))
+      .withColumn("agr_size", (abs(col("sz1") - col("sz2")) <= 1).cast("long"))
+      .withColumn("agr_name", (col("jac_ppm") >= 500000L).cast("long"))
+      .withColumn("score",
+        when(col("agr_type") === 1L, 24L).otherwise(-8L) +
+        when(col("agr_size") === 1L, 16L).otherwise(-12L) +
+        when(col("agr_name") === 1L, 30L).otherwise(-10L))
+      .filter(col("score") >= 40L)
+      .select(col("p1"), col("p2"), col("blk").as("brand"),
+        col("agr_type"), col("agr_size"), col("agr_name"),
+        col("jac_ppm"), col("score"))
+      .orderBy(col("p1"), col("p2"))
+  }
+
+  def q241Oracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey AS pk, p_brand AS blk, p_type AS tp,
+      |    CAST(p_size AS BIGINT) AS sz,
+      |    list_distinct(list_filter(
+      |      string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> '')) AS nt
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.pk p1, b.pk p2, a.blk, a.tp tp1, b.tp tp2, a.sz sz1, b.sz sz2,
+      |    (CAST(len(list_intersect(a.nt, b.nt)) AS BIGINT) * 1000000)
+      |      // len(list_distinct(list_concat(a.nt, b.nt))) AS jac_ppm
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.pk < b.pk),
+      |scored AS (
+      |  SELECT p1, p2, blk,
+      |    CAST(CASE WHEN tp1 = tp2 THEN 1 ELSE 0 END AS BIGINT) AS agr_type,
+      |    CAST(CASE WHEN abs(sz1 - sz2) <= 1 THEN 1 ELSE 0 END AS BIGINT) AS agr_size,
+      |    CAST(CASE WHEN jac_ppm >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS agr_name,
+      |    CAST(jac_ppm AS BIGINT) AS jac_ppm,
+      |    CAST((CASE WHEN tp1 = tp2 THEN 24 ELSE -8 END)
+      |       + (CASE WHEN abs(sz1 - sz2) <= 1 THEN 16 ELSE -12 END)
+      |       + (CASE WHEN jac_ppm >= 500000 THEN 30 ELSE -10 END) AS BIGINT) AS score
+      |  FROM pairs)
+      |SELECT p1, p2, blk AS brand, agr_type, agr_size, agr_name, jac_ppm, score
+      |FROM scored WHERE score >= 40
+      |ORDER BY p1, p2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_record_linkage" -> (q241RecordLinkage _),
     "q227_incremental_clusters" -> (q227IncrementalClusters _),
     "q196_lsh_dedup_recall" -> (q196LshDedupRecall _),
     "q179_source_dup_matrix" -> (q179SourceDupMatrix _),
@@ -1031,6 +1105,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q241_record_linkage" -> q241Oracle,
     "q227_incremental_clusters" -> q227Oracle,
     "q196_lsh_dedup_recall" -> q196Oracle,
     "q179_source_dup_matrix" -> q179Oracle,

@@ -795,6 +795,147 @@ object Graph {
       |              = (SELECT count(*) FROM tri) THEN 1 ELSE 0 END AS BIGINT)
       |    AS ivm_match""".stripMargin
 
+  /** Fixed-round WEIGHTED single-source cheapest paths (Bellman–Ford
+    * relaxation): `dist_{i+1}(v) = min(dist_i(v), min over in-edges (u,v)
+    * of dist_i(u) + w(u,v))` — [[shortestHops]] with the +1 hop cost
+    * generalized to the edge weight. k rounds bound the path length
+    * (exactly the Pregel/GraphX SSSP shape); each round is one equi-join
+    * on the edge key + one partial+final min-aggregate, the same O(E)
+    * shuffle topology as [[pageRank]], no driver-side frontier. All
+    * arithmetic BIGINT, so relaxation order can't perturb the result. */
+  def cheapestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = graft.Caches.persist(edges.select(col("src"), col("dst"), col("w")))
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relax = e.join(dist, e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relax).groupBy("id").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** q233: cheapest trade route — minimum cumulative shipping cost (exact
+    * integer cents, lane cost = the cheapest single line ever shipped on
+    * that supplier-nation → customer-nation lane) from the region-0
+    * nations to every nation reachable within 4 legs. q121 answers "how
+    * many hops"; this answers "at what cost" — the weighted SSSP member of
+    * the graph family, and the relaxation shape is what a 100 TB
+    * entity-graph (payments routing, dependency costs) runs per round. */
+  def q233CheapestRoute(s: SparkSession, dir: String): DataFrame = {
+    val lanes = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(min(graft.Exact.cents(col("l_extendedprice"))).as("w"))
+    val seeds = Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("long").as("id"))
+    cheapestPaths(lanes, seeds, rounds = 4)
+      .select(col("id").as("nation_id"), col("dist").as("min_cost_cents"))
+      .orderBy(col("nation_id"))
+  }
+
+  val q233Oracle: String = {
+    def relax(prev: String): String =
+      s"""SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |  SELECT id, dist FROM $prev
+         |  UNION ALL
+         |  SELECT e.dst AS id, d.dist + e.w AS dist
+         |  FROM edges e JOIN $prev d ON e.src = d.id
+         |) GROUP BY id""".stripMargin
+    val its = (1 to 4).map(i => s"d$i AS (${relax(s"d${i - 1}")})").mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst,
+       |         CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |d0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+       |       FROM nation WHERE n_regionkey = 0),
+       |$its
+       |SELECT id AS nation_id, dist AS min_cost_cents FROM d4 ORDER BY nation_id""".stripMargin
+  }
+
+  /** q234: PERSONALIZED PageRank (Haveliwala 2002's topic-sensitive
+    * variant of q117): teleport mass returns only to a seed set S
+    * (region-0 nations) instead of uniformly — rank'(v) = [v ∈ S]·(1−d)·
+    * SCALE/|S| + d·Σ contribs — so the scores rank nations by proximity
+    * to S's outgoing trade, the "related to these sources" importance a
+    * pipeline uses to expand a trusted seed-domain list. Same exact
+    * 1e12 fixed-point integer arithmetic, same pre-normalized 1e6 edge
+    * shares, same k(join+agg) unrolled plan as q117 — only the base term
+    * changes, and |S| comes from a broadcast 1-row count, no driver read.
+    * Simplified dangling semantics (q117's), stated so the oracle pins
+    * the same thing. */
+  def q234PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val nodes = graft.Caches.persist(
+      edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct())
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    val shares = graft.Caches.persist(edges.join(outw, "src")
+      .select(col("src"), col("dst"), expr("(w * 1000000L) div ow").as("share")))
+    val seeds = Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("long").as("sid"))
+    val nSeeds = seeds.agg(count(lit(1)).as("ns"))
+    // seed-indicator frame: base teleport term per node, 0 for non-seeds
+    val baseF = graft.Caches.persist(
+      nodes.join(seeds, nodes("id") === seeds("sid"), "left")
+        .crossJoin(broadcast(nSeeds))
+        .select(col("id"),
+          when(col("sid").isNotNull,
+            expr(s"(($Scale div ns) * ${100 - Damping}) div 100"))
+            .otherwise(lit(0L)).as("base"),
+          when(col("sid").isNotNull, expr(s"$Scale div ns"))
+            .otherwise(lit(0L)).as("init")))
+    var ranks = baseF.select(col("id"), col("init").as("rank"))
+    for (_ <- 1 to 5) {
+      val contrib = shares.join(ranks, shares("src") === ranks("id"))
+        .select(col("dst"), expr("(rank * share) div 1000000L").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cb"))
+      ranks = baseF.join(contrib, baseF("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (col("base") + expr(s"(${Damping}L * coalesce(cb, 0L)) div 100")).as("rank"))
+    }
+    ranks.select(col("id").as("nation_id"), col("rank").as("ppr_scaled"))
+      .orderBy(col("nation_id"))
+  }
+
+  val q234Oracle: String = {
+    val base = s"(CASE WHEN n.id IN (SELECT sid FROM seeds) THEN " +
+      s"(($Scale//(SELECT COUNT(*) FROM seeds))*${100 - Damping})//100 ELSE 0 END)"
+    def iter(prev: String): String =
+      s"""SELECT n.id, $base + ${Damping}*COALESCE(c.cb,0)//100 AS rank
+         |FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS id, CAST(SUM((r.rank*e.share)//1000000) AS BIGINT) AS cb
+         |  FROM shares e JOIN $prev r ON e.src = r.id GROUP BY 1) c ON n.id = c.id""".stripMargin
+    val its = (1 to 5).map(i => s"r$i AS (${iter(s"r${i - 1}")})").mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst,
+       |         CAST(COUNT(*) AS BIGINT) w
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) ow FROM edges GROUP BY 1),
+       |shares AS (SELECT e.src, e.dst, (e.w*1000000)//o.ow AS share
+       |           FROM edges e JOIN outw o ON e.src = o.src),
+       |seeds AS (SELECT CAST(n_nationkey AS BIGINT) AS sid FROM nation WHERE n_regionkey = 0),
+       |r0 AS (SELECT id,
+       |         CAST(CASE WHEN id IN (SELECT sid FROM seeds)
+       |              THEN $Scale//(SELECT COUNT(*) FROM seeds) ELSE 0 END AS BIGINT) AS rank
+       |       FROM nodes),
+       |$its
+       |SELECT id AS nation_id, CAST(rank AS BIGINT) AS ppr_scaled
+       |FROM r5 ORDER BY nation_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_lpa_communities" -> (q171LpaCommunities _),
     "q117_pagerank" -> (q117Pagerank _),
@@ -803,7 +944,9 @@ object Graph {
     "q154_pagerank_dangling" -> (q154PagerankDangling _),
     "q203_kcore_peel" -> (q203KcorePeel _),
     "q214_modularity" -> (q214Modularity _),
-    "q218_incremental_triangles" -> (q218IncrementalTriangles _))
+    "q218_incremental_triangles" -> (q218IncrementalTriangles _),
+    "q233_cheapest_route" -> (q233CheapestRoute _),
+    "q234_personalized_pagerank" -> (q234PersonalizedPagerank _))
 
   def oracles: Map[String, String] = Map(
     "q171_lpa_communities" -> q171Oracle,
@@ -813,5 +956,7 @@ object Graph {
     "q154_pagerank_dangling" -> q154Oracle,
     "q203_kcore_peel" -> q203Oracle,
     "q214_modularity" -> q214Oracle,
-    "q218_incremental_triangles" -> q218Oracle)
+    "q218_incremental_triangles" -> q218Oracle,
+    "q233_cheapest_route" -> q233Oracle,
+    "q234_personalized_pagerank" -> q234Oracle)
 }

@@ -625,7 +625,47 @@ object Mixture {
       |    AS doc_share_ppm
       |FROM g ORDER BY shard""".stripMargin
 
+  /** q240: dense global curriculum ordinals WITHOUT a global sort — the
+    * distributed "zipWithIndex by sort order" primitive. A curriculum
+    * trainer wants every document numbered 1..N in (n_chars, doc_id)
+    * order (shortest-first); `row_number()` over a global ORDER BY
+    * funnels 100 TB through ONE sort task. Two-pass instead (the
+    * TeraSort/range-partition recipe): (1) value-bucket the sort key
+    * (equi-width n_chars div 256 — deterministic, no sampling), ONE
+    * aggregate for per-bucket counts, prefix-sum offsets over the
+    * bounded bucket frame; (2) rank WITHIN each bucket (the window's
+    * partition count is the parallelism knob) and add the broadcast
+    * bucket offset. Total order (n_chars, doc_id) has no ties, so the
+    * result is exactly row_number() — which is what the oracle pins,
+    * proving the decomposition law, not an approximation. Production
+    * swaps the equi-width bucketing for q136's sampled range boundaries
+    * when the key distribution is unknown; the offset arithmetic is
+    * unchanged. */
+  def q240GlobalSequence(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("rank_bucket", expr("n_chars div 256L"))
+    val counts = docs.groupBy(col("rank_bucket")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.orderBy(col("rank_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = counts
+      .withColumn("off", sum(col("cnt")).over(wOff) - col("cnt"))
+      .select(col("rank_bucket"), col("off"))
+    val wIn = Window.partitionBy(col("rank_bucket"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs.join(broadcast(offs), Seq("rank_bucket"))
+      .withColumn("global_seq", (col("off") + row_number().over(wIn)).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("global_seq"))
+      .orderBy(col("global_seq"))
+  }
+
+  val q240Oracle: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_seq
+      |FROM documents
+      |ORDER BY global_seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_global_sequence" -> (q240GlobalSequence _),
     "q193_shard_assign" -> (q193ShardAssign _),
     "q177_context_fit_audit" -> (q177ContextFitAudit _),
     "q113_mixture_sample" -> (q113MixtureSample _),
@@ -635,6 +675,7 @@ object Mixture {
     "q213_data_wall_sweep" -> (q213DataWallSweep _))
 
   val oracles: Map[String, String] = Map(
+    "q240_global_sequence" -> q240Oracle,
     "q193_shard_assign" -> q193Oracle,
     "q177_context_fit_audit" -> q177Oracle,
     "q113_mixture_sample" -> q113Oracle,

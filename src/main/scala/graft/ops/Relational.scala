@@ -987,7 +987,106 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q243: string COLLATION (Spark 4 surface, SPARK-46830): grouping and
+    * equality under `UTF8_LCASE` — the engine-level answer to
+    * "deduplicate keys case-insensitively" that pipelines otherwise
+    * hand-roll with lower() (which breaks for locale-special casing and
+    * loses the original spelling). A mixed-case segment column (upper for
+    * even custkeys, lower for odd — deterministic synthetic casing) groups
+    * under the case-insensitive collation back to 5 segments; the
+    * REPRESENTATIVE spelling ships as min() under binary collation
+    * (deterministic: uppercase sorts first), never the collated group key
+    * itself (whichever variant the engine happens to surface is
+    * tie-order-dependent — the one subtle contract this query documents).
+    * A collated equality also feeds a conditional count. Oracle: the
+    * lower()-normalized formulation — pinning that collation grouping ≡
+    * normalize-then-group for this casing. */
+  def q243CollationGroups(s: SparkSession, dir: String): DataFrame = {
+    val mixed = Tables.customer(s, dir).select(
+      when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment"))).as("seg_raw"))
+    mixed
+      .groupBy(expr("collate(seg_raw, 'UTF8_LCASE')").as("seg_key"))
+      .agg(min(col("seg_raw")).as("seg_rep"),
+        count(lit(1)).as("n"),
+        sum(when(expr("collate(seg_raw, 'UTF8_LCASE') = 'automobile'"), 1L)
+          .otherwise(0L)).as("n_eq_automobile"))
+      .select(col("seg_rep"), col("n"), col("n_eq_automobile"))
+      .orderBy(col("seg_rep"))
+  }
+
+  val q243Oracle: String =
+    """WITH mixed AS (
+      |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+      |              ELSE lower(c_mktsegment) END AS seg_raw
+      |  FROM customer)
+      |SELECT min(seg_raw) AS seg_rep, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN lower(seg_raw) = 'automobile' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_eq_automobile
+      |FROM mixed
+      |GROUP BY lower(seg_raw)
+      |ORDER BY seg_rep""".stripMargin
+
+  /** q244: ordered-set aggregates (Spark 4 surfaces): `percentile_disc`
+    * WITHIN GROUP (SQL:2003 inverse-distribution — returns an ACTUAL data
+    * value, the house exactness stance, vs percentile_cont's interpolated
+    * float) and `listagg` WITHIN GROUP (SPARK-42746 — ordered string
+    * aggregation, the ISO form of q72's concat_ws(collect_list)). Median
+    * and p90 quantity per return flag, plus the flag's line statuses as an
+    * ordered comma list (pre-reduced to distinct statuses first — listagg
+    * input is the bounded status set, not raw lines). The oracle spells
+    * percentile_disc by its DEFINITION (smallest value whose cume_dist ≥ p
+    * = the value at rank ceil(p·n)) rather than trusting DuckDB's
+    * quantile_disc to share edge conventions — the pin is against the
+    * standard, not another engine's shortcut. */
+  def q244OrderedSetAggs(s: SparkSession, dir: String): DataFrame = {
+    val n = viewSeq.incrementAndGet()
+    val lv = s"graft_li244_$n"
+    Tables.lineitem(s, dir).createOrReplaceTempView(lv)
+    try s.sql(
+      s"""WITH st AS (
+        |  SELECT DISTINCT l_returnflag, l_linestatus FROM $lv),
+        |lists AS (
+        |  SELECT l_returnflag,
+        |    listagg(l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)
+        |      AS statuses
+        |  FROM st GROUP BY l_returnflag),
+        |qs AS (
+        |  SELECT l_returnflag,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+        |      AS BIGINT) AS median_qty,
+        |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+        |      AS BIGINT) AS p90_qty
+        |  FROM $lv GROUP BY l_returnflag)
+        |SELECT qs.l_returnflag, median_qty, p90_qty, statuses
+        |FROM qs JOIN lists ON qs.l_returnflag = lists.l_returnflag
+        |ORDER BY qs.l_returnflag""".stripMargin)
+    finally s.catalog.dropTempView(lv)
+  }
+
+  val q244Oracle: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |qs AS (
+      |  SELECT l_returnflag,
+      |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN q END) AS median_qty,
+      |    max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN q END) AS p90_qty
+      |  FROM ranked GROUP BY 1),
+      |st AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),
+      |lists AS (
+      |  SELECT l_returnflag,
+      |    string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+      |  FROM st GROUP BY 1)
+      |SELECT qs.l_returnflag, median_qty, p90_qty, statuses
+      |FROM qs JOIN lists ON qs.l_returnflag = lists.l_returnflag
+      |ORDER BY qs.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_collation_groups" -> (q243CollationGroups _),
+    "q244_ordered_set_aggs" -> (q244OrderedSetAggs _),
     "q01_pricing_summary"      -> (q01PricingSummary _),
     "q02_topk_orders"          -> (q02TopkOrders _),
     "q03_revenue_by_nation"    -> (q03RevenueByNation _),
@@ -1020,6 +1119,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q243_collation_groups"    -> q243Oracle,
+    "q244_ordered_set_aggs"    -> q244Oracle,
     "q01_pricing_summary"      -> q01Oracle,
     "q02_topk_orders"          -> q02Oracle,
     "q03_revenue_by_nation"    -> q03Oracle,

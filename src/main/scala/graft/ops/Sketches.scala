@@ -501,7 +501,66 @@ object Sketches {
       |    AS overestimate_ppm
       |FROM dots CROSS JOIN ex ORDER BY r""".stripMargin
 
+  /** q237: KMV set ALGEBRA — the reason a pipeline keeps bottom-k sketches
+    * per segment instead of exact user sets: union, intersection, Jaccard
+    * and difference sizes between any two segments come from the two
+    * k-row sketches alone (Beyer et al. 2007's distinct-value synopses;
+    * the q216 merge law supplies the union sketch). Here: purchase users
+    * vs click users. bottom-k(A ∪ B) = bottom-k(skA ∪ skB); within that
+    * union sample every value that belongs to A is necessarily inside
+    * skA (union kth-min ≤ A's kth-min), so membership is an
+    * array-contains against the sketches — matches/k estimates Jaccard,
+    * and ρ·est_union estimates each region's size. Estimates are EXACT
+    * integers: (k−1)·2⁶⁰ runs in DECIMAL(38,0) before the floor division
+    * (the widening that q216's double estimator sidesteps), so the row
+    * hashes bit-for-bit cross-engine.
+    *
+    * Scale: two corpus-side hash aggregates (distinct → bottom-k, map-side
+    * combined to ≤ k rows per group by the TopKAggregator); everything
+    * after is a 1-row × 1-row broadcast join over two 64-element arrays.
+    * At 100 TB the segment pair matrix (|segments|² comparisons) touches
+    * only sketches, never the fact table. */
+  def q237SketchSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val minK = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    val hashed = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long").as("h"))
+      .distinct()
+    val sk = hashed.groupBy(col("event_type")).agg(minK(col("h"), -col("h")).as("mins"))
+    val a = sk.filter(col("event_type") === "purchase").select(col("mins").as("ma"))
+    val b = sk.filter(col("event_type") === "click").select(col("mins").as("mb"))
+    val est = (arr: String) =>
+      s"""CASE WHEN size($arr) < $k THEN CAST(size($arr) AS BIGINT)
+         |ELSE CAST((${k - 1} * CAST(1152921504606846976 AS DECIMAL(38,0)))
+         |  div element_at($arr, $k) AS BIGINT) END""".stripMargin
+    a.crossJoin(broadcast(b))
+      .select(col("ma"), col("mb"),
+        expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)").as("mu"))
+      .select(
+        lit(k.toLong).as("k"),
+        expr("CAST(size(mu) AS BIGINT)").as("n_union_sample"),
+        expr("CAST(size(filter(mu, x -> array_contains(ma, x) AND array_contains(mb, x))) AS BIGINT)")
+          .as("n_common_sample"),
+        expr(est("ma")).as("est_purchase"),
+        expr(est("mb")).as("est_click"),
+        expr(est("mu")).as("est_union"),
+        expr(s"""(CAST(size(filter(mu, x -> array_contains(ma, x) AND array_contains(mb, x))) AS BIGINT)
+                 | * 1000000L) div size(mu)""".stripMargin).as("jaccard_ppm"),
+        expr(s"""(CAST(size(filter(mu, x -> array_contains(ma, x) AND array_contains(mb, x))) AS BIGINT)
+                 | * (${est("mu")})) div size(mu)""".stripMargin).as("est_intersection"),
+        expr(s"""(CAST(size(filter(mu, x -> array_contains(ma, x) AND NOT array_contains(mb, x))) AS BIGINT)
+                 | * (${est("mu")})) div size(mu)""".stripMargin).as("est_purchase_only"),
+        expr(s"""(CAST(size(filter(mu, x -> array_contains(mb, x) AND NOT array_contains(ma, x))) AS BIGINT)
+                 | * (${est("mu")})) div size(mu)""".stripMargin).as("est_click_only"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_sketch_set_algebra" -> (q237SketchSetAlgebra _),
     "q206_cms_join_size" -> (q206CmsJoinSize _),
     "q127_hll_distinct" -> (q127HllDistinct _),
     "q132_bitmap_rollup" -> (q132BitmapRollup _),
@@ -513,6 +572,7 @@ object Sketches {
     "q221_bloom_fpr_audit" -> (q221BloomFprAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q237_sketch_set_algebra" -> q237Oracle,
     "q206_cms_join_size" -> q206Oracle,
     "q127_hll_distinct" -> q127Oracle,
     "q132_bitmap_rollup" -> q132Oracle,
@@ -821,5 +881,41 @@ object Sketches {
        |     THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
        |FROM mg JOIN dr USING (event_type) JOIN nd USING (event_type)
        |ORDER BY mg.event_type""".stripMargin
+  }
+
+  // def (round-5 init-order discipline, same as q202Oracle)
+  def q237Oracle: String = {
+    val k = 64
+    val pow60 = "CAST(1152921504606846976 AS HUGEINT)"
+    def est(arr: String) =
+      s"""CASE WHEN len($arr) < $k THEN CAST(len($arr) AS BIGINT)
+         |ELSE CAST((${k - 1} * $pow60) // $arr[$k] AS BIGINT) END""".stripMargin
+    val common = s"len(list_filter(mu, x -> list_contains(ma, x) AND list_contains(mb, x)))"
+    val aOnly = s"len(list_filter(mu, x -> list_contains(ma, x) AND NOT list_contains(mb, x)))"
+    val bOnly = s"len(list_filter(mu, x -> list_contains(mb, x) AND NOT list_contains(ma, x)))"
+    s"""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events
+       |            WHERE event_type IN ('purchase', 'click')),
+       |h AS (SELECT DISTINCT event_type,
+       |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |      FROM ev),
+       |sa AS (SELECT list_sort(array_agg(h))[1:$k] AS ma FROM h WHERE event_type = 'purchase'),
+       |sb AS (SELECT list_sort(array_agg(h))[1:$k] AS mb FROM h WHERE event_type = 'click'),
+       |u AS (SELECT ma, mb,
+       |        list_sort(list_distinct(list_concat(ma, mb)))[1:$k] AS mu
+       |      FROM sa, sb)
+       |SELECT CAST($k AS BIGINT) AS k,
+       |  CAST(len(mu) AS BIGINT) AS n_union_sample,
+       |  CAST($common AS BIGINT) AS n_common_sample,
+       |  ${est("ma")} AS est_purchase,
+       |  ${est("mb")} AS est_click,
+       |  ${est("mu")} AS est_union,
+       |  CAST((CAST($common AS BIGINT) * 1000000) // len(mu) AS BIGINT) AS jaccard_ppm,
+       |  CAST((CAST($common AS BIGINT) * (${est("mu")})) // len(mu) AS BIGINT)
+       |    AS est_intersection,
+       |  CAST((CAST($aOnly AS BIGINT) * (${est("mu")})) // len(mu) AS BIGINT)
+       |    AS est_purchase_only,
+       |  CAST((CAST($bOnly AS BIGINT) * (${est("mu")})) // len(mu) AS BIGINT)
+       |    AS est_click_only
+       |FROM u""".stripMargin
   }
 }

@@ -2746,23 +2746,37 @@ object Text {
     * emits one fraction bit: m² ≥ 2·2^60 ⟺ the value squared past 2).
     * log2fp(x) = e·2^16 + Σ bit_k·2^(16−k). Truncation drift is identical
     * in both engines (integer division only). x = 0 maps to 0 (empty
-    * corpus guard; never hit with real counts). */
-  private[graft] def withLog2fp(df: DataFrame, xExpr: String, out: String): DataFrame = {
-    var d = df
-      .withColumn("__e", expr(s"length(bin(cast(($xExpr) as bigint))) - 1"))
-      .withColumn("__m", expr(
-        s"(cast(($xExpr) as decimal(38,0)) * 1073741824) div shiftleft(cast(1 as bigint), __e)"))
-      .withColumn("__f", lit(0L))
-    for (k <- 1 to 16) {
-      d = d.withColumn("__t", expr("__m * __m"))
-        .withColumn("__b", expr("CASE WHEN __t >= 2305843009213693952 THEN 1L ELSE 0L END"))
-        .withColumn("__f", expr(s"__f + __b * ${1L << (16 - k)}L"))
-        .withColumn("__m", expr(
-          "CASE WHEN __b = 1 THEN __t div 2147483648 ELSE __t div 1073741824 END"))
-    }
-    d.withColumn(out, expr("cast(__e as bigint) * 65536 + __f"))
-      .drop("__e", "__m", "__f", "__t", "__b")
-  }
+    * corpus guard; never hit with real counts).
+    *
+    * The 16 squaring rounds run as ONE `aggregate()` fold over
+    * `sequence(1,16)` — a runtime loop inside a single expression — NOT as
+    * 16 chained `withColumn` Projects. The chained form is the exact trap
+    * the DuckDB mirror's MATERIALIZED CTEs avoid on the SQL side: each
+    * round references the previous mantissa twice (m·m), so any optimizer
+    * that inlines projections textually (Catalyst's CollapseProject /
+    * trimAliases during empty-relation propagation, DuckDB's lateral
+    * aliases) expands the head expression 2^16×. Measured: the chained
+    * Spark form never finished optimizing q231 over all-empty tables
+    * (EmptyDataSpec, 40+ min in trimAliases); the fold form is O(1) plan
+    * size and arithmetic-identical. */
+  private[graft] def withLog2fp(df: DataFrame, xExpr: String, out: String): DataFrame =
+    df.withColumn(out, expr(
+      s"""CAST(length(bin(CAST(($xExpr) AS BIGINT))) - 1 AS BIGINT) * 65536 +
+         |aggregate(
+         |  sequence(1, 16),
+         |  named_struct(
+         |    'm', (CAST(($xExpr) AS DECIMAL(38,0)) * 1073741824)
+         |           div shiftleft(CAST(1 AS BIGINT),
+         |                         length(bin(CAST(($xExpr) AS BIGINT))) - 1),
+         |    'f', CAST(0 AS BIGINT)),
+         |  (a, k) -> named_struct(
+         |    'm', CASE WHEN a.m * a.m >= 2305843009213693952
+         |              THEN (a.m * a.m) div 2147483648
+         |              ELSE (a.m * a.m) div 1073741824 END,
+         |    'f', a.f + CASE WHEN a.m * a.m >= 2305843009213693952
+         |               THEN shiftleft(CAST(1 AS BIGINT), 16 - k)
+         |               ELSE CAST(0 AS BIGINT) END),
+         |  a -> a.f)""".stripMargin))
 
   /** DuckDB mirror of [[withLog2fp]] as a chain of MATERIALIZED step CTEs
     * `{p}0, {p}1 … {p}16, {p}lg` — NOT lateral aliases: DuckDB inlines a
@@ -3073,7 +3087,58 @@ object Text {
        |WHERE length(tk.w) <= $UniMaxWordLen
        |GROUP BY tk.source ORDER BY tk.source""".stripMargin
 
+  /** q238: RAG chunking — sliding-window segmentation of every document
+    * into retrieval units (window W = 64 tokens, stride S = 48, so
+    * consecutive chunks share a 16-token overlap — the boundary-context
+    * hedge every retrieval pipeline applies before embedding). Emits the
+    * full provenance frame (doc_id, chunk_idx, start_token, n_tokens) plus
+    * a 60-bit md5 content fingerprint per chunk — the key chunk-level
+    * exact dedup and the ANN index build (q50–q53 over chunk embeddings)
+    * both join on. The last window is the tail remainder; a document
+    * shorter than W yields exactly one chunk.
+    *
+    * Scale: pure map + in-task explode — zero shuffles, zero joins; chunk
+    * count per task is bounded by token count / stride, and the md5 runs
+    * on the 64-token slice, never the whole document re-hashed per chunk.
+    * At 100 TB this is the embarrassingly-parallel stage before the
+    * embedding model; the ORDER BY is presentation-only. */
+  def q238RagChunks(s: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(s"sequence(0L, (greatest(n - ${W}L, 0L) + ${S - 1}L) div ${S}L)"))
+          .as("ci"))
+      .select(col("doc_id"), col("ci").as("chunk_idx"),
+        (col("ci") * S + 1).as("start_token"),
+        least(lit(W.toLong), col("n") - col("ci") * S).as("n_tokens"),
+        expr(s"""CAST(conv(substring(md5(CAST(concat_ws(' ',
+               |  slice(toks, CAST(ci * $S + 1 AS INT), $W)) AS BINARY)),
+               |  1, 15), 16, 10) AS BIGINT)""".stripMargin).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def q238Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |      FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n,
+       |        unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS ci
+       |      FROM n)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(ci * 48 + 1 AS BIGINT) AS start_token,
+       |  CAST(least(64, n - ci * 48) AS BIGINT) AS n_tokens,
+       |  CAST('0x' || substr(md5(
+       |    array_to_string(toks[(ci*48+1):(ci*48+64)], ' ')), 1, 15) AS BIGINT)
+       |    AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_rag_chunks" -> (q238RagChunks _),
     "q231_unigram_lm_train" -> (q231UnigramLmTrain _),
     "q232_tokenizer_fertility" -> (q232TokenizerFertility _),
     "q228_split_conformal" -> (q228SplitConformal _),
@@ -3120,6 +3185,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q238_rag_chunks" -> q238Oracle,
     "q231_unigram_lm_train" -> q231Oracle,
     "q232_tokenizer_fertility" -> q232Oracle,
     "q228_split_conformal" -> q228Oracle,

@@ -1057,7 +1057,77 @@ object Vector {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY p.label""".stripMargin
 
+  /** q239: hard-negative mining for contrastive embedding training
+    * (triplet/InfoNCE loss wants negatives the model CURRENTLY confuses —
+    * Xiong et al. 2021's ANCE recipe): per query (the q50 probe set,
+    * vec_id % 100 = 0), the top-5 most-similar vectors with a DIFFERENT
+    * label, each next to the query's best SAME-label similarity and a
+    * margin-violation flag (negative scored above the best positive = the
+    * triplet the trainer most needs). One scored pass feeds both the
+    * negative ranking and the positive max — the corpus is scanned once
+    * per query, not twice.
+    *
+    * Scale: queries broadcast (the q50 stance); at real scale the scored
+    * pass swaps to the q51/q102 IVF probe join with the same downstream
+    * ranking unchanged — mining quality degrades gracefully with nprobe,
+    * which is exactly how production ANCE refreshes negatives. Cosine is
+    * double (IEEE-deterministic per row: same fold order both engines);
+    * ranking ties break on vec_id. */
+  def q239HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), v(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        col("cos_sim"))
+    val posTop = scored.filter(col("label") === col("q_label"))
+      .groupBy(col("query_id")).agg(max(col("cos_sim")).as("top_pos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .join(broadcast(posTop), Seq("query_id"))
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        col("rk"), col("vec_id").as("neg_id"),
+        col("label").cast("long").as("neg_label"), col("cos_sim"),
+        col("top_pos_sim"),
+        (col("cos_sim") > col("top_pos_sim")).cast("long").as("margin_violation"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q239Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label, ${vSql("embedding")} AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e),
+      |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+      |      FROM n WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT query_id, q_label, n.vec_id, n.label,
+      |         ${dotSql("qv", "v")} / (qn * nrm) AS cos_sim
+      |  FROM q JOIN n ON query_id <> n.vec_id),
+      |pos AS (
+      |  SELECT query_id, max(cos_sim) AS top_pos_sim
+      |  FROM scored WHERE label = q_label GROUP BY 1),
+      |negs AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      |  FROM scored WHERE label <> q_label)
+      |SELECT negs.query_id, CAST(q_label AS BIGINT) AS q_label,
+      |  CAST(rk AS BIGINT) AS rk, vec_id AS neg_id,
+      |  CAST(label AS BIGINT) AS neg_label, cos_sim, top_pos_sim,
+      |  CAST(CASE WHEN cos_sim > top_pos_sim THEN 1 ELSE 0 END AS BIGINT)
+      |    AS margin_violation
+      |FROM negs JOIN pos ON negs.query_id = pos.query_id
+      |WHERE rk <= 5
+      |ORDER BY negs.query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_hard_negatives" -> (q239HardNegatives _),
     "q226_embedding_drift" -> (q226EmbeddingDrift _),
     "q194_centroid_sim_matrix" -> (q194CentroidSimMatrix _),
     "q191_int8_quant_recall" -> (q191Int8QuantRecall _),
@@ -1073,6 +1143,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q239_hard_negatives" -> q239Oracle,
     "q226_embedding_drift" -> q226Oracle,
     "q194_centroid_sim_matrix" -> q194Oracle,
     "q191_int8_quant_recall" -> q191Oracle,

@@ -127,7 +127,15 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast log2fp(C+|V|) normalization scalar onto the vocab
       // frame, once per EM round (the q184/q197 shape)
       "q231_unigram_lm_train",
-      "q232_tokenizer_fertility")
+      "q232_tokenizer_fertility",
+      // 1-row broadcast |seeds| count onto the node frame (teleport base)
+      "q234_personalized_pagerank",
+      // 1-row broadcast corpus-max-day frame onto the per-user span frame
+      "q235_kaplan_meier",
+      // 1-row × 1-row sketch-pair join (two 64-element bottom-k arrays)
+      "q237_sketch_set_algebra",
+      // q50's declared brute-force query-points × corpus scan (mining pass)
+      "q239_hard_negatives")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
@@ -153,7 +161,8 @@ class PlanSpec extends SparkSpec {
       "hg", // md5 shingle hash (q106 df ranking) — cardinality scales with the corpus
       "g5", // shared 5-gram partition key (q183 suffix-order LCP) — scales with the corpus
       "seg", // 10-token segment text (q189 first-writer-wins dedup) — scales with the corpus
-      "pack_shard") // q115 sharded packing stream — count is the parallelism knob, sized to the cluster
+      "pack_shard", // q115 sharded packing stream — count is the parallelism knob, sized to the cluster
+      "rank_bucket") // q240 two-pass global-ordinal ranking — per-bucket rank; bucket width is the parallelism knob (q136 range boundaries at scale)
     // "reduced" = an Aggregate on the window's UNARY input chain. Stopping
     // at the first multi-child node matters: an Aggregate on a JOINED side
     // branch doesn't shrink the window's input — the window still sorts
