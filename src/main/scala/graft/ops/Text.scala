@@ -1450,6 +1450,122 @@ object Text {
        |FROM tk JOIN dict d ON tk.w = d.w
        |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q248: WordPiece tokenizer training (Schuster & Nakajima 2012 — the
+    * BERT-family tokenizer), completing the production trio next to q181's
+    * BPE and q231's unigram-LM. Identical unrolled-merge machinery to BPE
+    * except the SELECTION RULE: BPE merges the most frequent pair;
+    * WordPiece merges the pair with the largest likelihood gain under a
+    * unigram model, score(a,b) = count(ab) / (count(a)·count(b)) — rare
+    * units that almost always co-occur merge first (the "##ing before
+    * 'th·e'" behavior). Exact integer form: score_fp = count(ab)·2^40 div
+    * (count(a)·count(b)), DECIMAL(38,0)-widened (pair·2^40 passes 2^63 as
+    * soon as the pair count passes 8.4M — guaranteed at corpus scale);
+    * argmax is the total order (score_fp desc, l, r), so ties are
+    * deterministic in both engines.
+    *
+    * Scale: per round, TWO dictionary-sized aggregates (unit counts + pair
+    * counts — one more than BPE, the price of the normalized score), a
+    * dictionary × 1-row broadcast argmax, and a pure-map symbol rewrite;
+    * the corpus is touched once for the word dictionary (q181's
+    * tractability argument). The exhausted-pairs null guard mirrors q181:
+    * a 0-row argmax leaves every word unchanged. */
+  private def wordPieceTrain(s: SparkSession, dir: String): Seq[DataFrame] = {
+    var words = graft.Caches.trackCheckpoint(
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .withColumn("syms", regexp_replace(col("w"), "(.)", "<$1>"))
+        .localCheckpoint())
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val arrd = words
+        .withColumn("arr", split(expr("trim(BOTH '<>' FROM syms)"), "><"))
+      val units = arrd
+        .select(col("freq"), explode(col("arr")).as("u"))
+        .groupBy(col("u")).agg(sum(col("freq")).as("uc"))
+      val pc = arrd
+        .withColumn("ls", expr("slice(arr, 1, size(arr) - 1)"))
+        .withColumn("rs", expr("slice(arr, 2, size(arr) - 1)"))
+        .select(col("freq"), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+        .groupBy(col("p.ls").as("l"), col("p.rs").as("r"))
+        .agg(sum(col("freq")).as("pair_count"))
+      val scored = pc
+        .join(units.select(col("u").as("l"), col("uc").as("lc")), Seq("l"))
+        .join(units.select(col("u").as("r"), col("uc").as("rc")), Seq("r"))
+        .withColumn("score_fp", expr(
+          "CAST((CAST(pair_count AS DECIMAL(38,0)) * 1099511627776) div " +
+            "(CAST(lc AS DECIMAL(38,0)) * rc) AS BIGINT)"))
+      val best = graft.Caches.trackCheckpoint(
+        scored.orderBy(col("score_fp").desc, col("l").asc, col("r").asc)
+          .limit(1).localCheckpoint())
+      merges += best.select(lit(r).cast("long").as("step"), col("l").as("left_sym"),
+        col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+        col("pair_count"), col("score_fp"))
+      words = graft.Caches.trackCheckpoint(
+        words.join(broadcast(best.select(col("l"), col("r"))), lit(true), "left")
+          .withColumn("syms", expr(
+            "CASE WHEN l IS NULL THEN syms " +
+              "ELSE replace(syms, '<' || l || '><' || r || '>', '<' || l || r || '>') END"))
+          .select(col("w"), col("freq"), col("syms"))
+          .localCheckpoint())
+    }
+    merges.toSeq
+  }
+
+  /** q248: the trained WordPiece merge table — k rows of (step, pair,
+    * merged unit, raw pair count, normalized score), the artifact that
+    * diverges from q181's on exactly the pairs where frequency and
+    * likelihood gain disagree. */
+  def q248WordPieceTrain(s: SparkSession, dir: String): DataFrame =
+    wordPieceTrain(s, dir).reduce(_.unionAll(_)).orderBy(col("step").asc)
+
+  /** Shared CTE chain for WordPiece: word dict + k unrolled rounds, each
+    * with unit-count and pair-count aggregates and the normalized-score
+    * argmax. MATERIALIZED throughout (the q171/q181 re-evaluation rule). */
+  private def wpCteSql: String = {
+    val w0 =
+      s"""wp0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |    regexp_replace(w, '(.)', '<\\1>', 'g') AS syms
+         |  FROM (SELECT unnest($tokensSql) AS w FROM documents)
+         |  GROUP BY w)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""wa$r AS MATERIALIZED (
+         |  SELECT freq, string_split(trim(syms, '<>'), '><') AS arr FROM wp${r - 1}),
+         |wu$r AS MATERIALIZED (
+         |  SELECT u, CAST(sum(freq) AS BIGINT) AS uc
+         |  FROM (SELECT freq, unnest(arr) AS u FROM wa$r) GROUP BY u),
+         |wpp$r AS MATERIALIZED (
+         |  SELECT arr[i] AS l, arr[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, unnest(range(1, len(arr))) AS i, arr FROM wa$r)
+         |  GROUP BY 1, 2),
+         |wb$r AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.pair_count,
+         |    CAST((CAST(p.pair_count AS HUGEINT) * 1099511627776)
+         |         // (CAST(ul.uc AS HUGEINT) * ur.uc) AS BIGINT) AS score_fp
+         |  FROM wpp$r p JOIN wu$r ul ON ul.u = p.l JOIN wu$r ur ON ur.u = p.r
+         |  ORDER BY score_fp DESC, p.l, p.r LIMIT 1),
+         |wp$r AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    CASE WHEN b.l IS NULL THEN syms
+         |         ELSE replace(syms, '<' || b.l || '><' || b.r || '>',
+         |                      '<' || b.l || b.r || '>') END AS syms
+         |  FROM wp${r - 1} LEFT JOIN wb$r b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $w0,\n$rounds"
+  }
+
+  def q248Oracle: String = {
+    val union = (1 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, pair_count, score_fp FROM wb$r"
+    }.mkString("\n  UNION ALL ")
+    s"""$wpCteSql
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY step""".stripMargin
+  }
+
   /** q195: context-length fit audit in TRAINED-tokenizer units — q177's
     * truncation/padding/packing report re-based from whitespace tokens to
     * the q181 BPE dictionary's subtoken counts, which is the unit a real
@@ -2815,6 +2931,21 @@ object Text {
     s"$head,\n$steps,\n$lg"
   }
 
+  /** Add-one-smoothed −log₂ p(piece) cost table at fixed-point 2^16 over a
+    * (piece, c) count frame: cost = log2fp(C + |V|) − log2fp(c + 1). The
+    * C+|V| term is a 1-row broadcast (q142's global-scalar shape). Shared
+    * by the EM rounds inside [[unigramTrain]] and by q247's final scoring
+    * pass — hoisted so the SCORING model is definitionally the same
+    * arithmetic the TRAINING rounds used. */
+  private def uniCostFrame(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("tc"), count(lit(1)).as("nv"))
+    val lgTot = withLog2fp(tot, "tc + nv", "lg_tot").select(col("lg_tot"))
+    withLog2fp(counts, "c + 1", "lg_piece")
+      .crossJoin(broadcast(lgTot))
+      .select(col("piece"), (col("lg_tot") - col("lg_piece")).as("cost"))
+  }
+
   /** In-engine unigram-LM tokenizer training (Kudo 2018's SentencePiece
     * unigram model, hard-EM/Viterbi variant) — the OTHER production
     * tokenizer family next to q181's BPE (VERDICT r8 item 7). Where BPE
@@ -2866,14 +2997,7 @@ object Text {
       occ.groupBy(col("piece")).agg(sum(col("freq")).as("c")).localCheckpoint())
 
     // counts (piece, c) → (piece, cost); 1-row broadcast for the C+|V| term
-    def costFrame(counts: DataFrame): DataFrame = {
-      val tot = counts.agg(
-        coalesce(sum(col("c")), lit(0L)).as("tc"), count(lit(1)).as("nv"))
-      val lgTot = withLog2fp(tot, "tc + nv", "lg_tot").select(col("lg_tot"))
-      withLog2fp(counts, "c + 1", "lg_piece")
-        .crossJoin(broadcast(lgTot))
-        .select(col("piece"), (col("lg_tot") - col("lg_piece")).as("cost"))
-    }
+    def costFrame(counts: DataFrame): DataFrame = uniCostFrame(counts)
 
     // Viterbi segmentation of every dictionary word under the given piece
     // costs → emissions (w, i, j, piece), one row per path piece
@@ -2987,6 +3111,49 @@ object Text {
       .orderBy(col("source").asc)
   }
 
+  /** q247: perplexity filtering under the TRAINED tokenizer — the CCNet /
+    * Gopher LM-filter stage run with q231's unigram-LM as the scoring
+    * model. q169 ranks documents by a mean-probability proxy because a
+    * float log-prob sum is not cross-engine reproducible; the fixed-point
+    * log2 machinery ([[withLog2fp]]) removes that excuse: this query
+    * scores every document by its TRUE negative log-likelihood — the sum
+    * of −log₂ p(piece) over the trained Viterbi segmentation of its
+    * words — normalized per piece (bits-per-piece, 2^16 fixed point, the
+    * integer analogue of perplexity's exponent), and surfaces the top-25
+    * drop candidates. The cost table is rebuilt from the FINAL EM counts
+    * over the pruned vocabulary ∪ single chars (exactly how training
+    * produced each round's costs — [[uniCostFrame]] is shared), so the
+    * scoring model is the one q231 ships, not an intermediate.
+    *
+    * Scale: training stays dictionary-sized (q231's argument); scoring is
+    * one corpus token stream hash-joined to the per-WORD NLL dictionary
+    * (no broadcast assumption — the vocab grows with the corpus), one
+    * doc-keyed aggregate, TakeOrderedAndProject top-25. Words longer than
+    * the DP cap carry no model evidence and are excluded on both sides,
+    * same as q232's fertility support. */
+  def q247SubwordNllFilter(s: SparkSession, dir: String): DataFrame = {
+    val (c0, ems, lastEm) = unigramTrain(s, dir)
+    val c2 = ems(1)
+    val v2 = c2.select(col("piece"))
+      .union(c0.filter(length(col("piece")) === 1).select(col("piece")))
+      .distinct()
+      .join(c2, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
+    val wnll = lastEm.join(uniCostFrame(v2), Seq("piece"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("np"), sum(col("cost")).as("nll"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= UniMaxWordLen)
+      .join(wnll, Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("nll")).as("nll_total_fp"))
+      .withColumn("bits_per_piece_fp", expr("nll_total_fp div n_pieces"))
+      .orderBy(col("bits_per_piece_fp").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
   /** The unigram chain as DuckDB CTE definitions (no leading WITH) —
     * mirrors [[unigramTrain]] round for round: wcap/occ/c0, then per EM
     * round r ∈ {0, 1}: cost{r} (with the [[uniLog2Sql]] chains), edge
@@ -3087,6 +3254,33 @@ object Text {
        |WHERE length(tk.w) <= $UniMaxWordLen
        |GROUP BY tk.source ORDER BY tk.source""".stripMargin
 
+  def q247Oracle: String =
+    s"""WITH $uniCteSql,
+       |v2 AS MATERIALIZED (
+       |  SELECT p.piece, CAST(coalesce(c2.c, 0) AS BIGINT) AS c
+       |  FROM (SELECT piece FROM c2
+       |        UNION SELECT piece FROM c0 WHERE length(piece) = 1) p
+       |  LEFT JOIN c2 USING (piece)),
+       |tot2 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS tc,
+       |  CAST(count(*) AS BIGINT) AS nv FROM v2),
+       |${uniLog2Ctes("gt2_", "tot2", "tc + nv", Seq.empty)},
+       |${uniLog2Ctes("pc2_", "v2", "c + 1", Seq("piece"))},
+       |cost2 AS MATERIALIZED (
+       |  SELECT piece, (SELECT lg FROM gt2_lg) - lg AS cost FROM pc2_lg),
+       |wnll AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS np, CAST(sum(cost) AS BIGINT) AS nll
+       |  FROM emall1 JOIN cost2 USING (piece) GROUP BY w),
+       |tk AS (SELECT doc_id, source, unnest($tokensSql) AS w FROM documents)
+       |SELECT tk.doc_id, tk.source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(nll) AS BIGINT) AS nll_total_fp,
+       |  CAST(CAST(sum(nll) AS BIGINT) // CAST(sum(np) AS BIGINT) AS BIGINT)
+       |    AS bits_per_piece_fp
+       |FROM tk JOIN wnll ON tk.w = wnll.w
+       |WHERE length(tk.w) <= $UniMaxWordLen
+       |GROUP BY tk.doc_id, tk.source
+       |ORDER BY bits_per_piece_fp DESC, tk.doc_id LIMIT 25""".stripMargin
+
   /** q238: RAG chunking — sliding-window segmentation of every document
     * into retrieval units (window W = 64 tokens, stride S = 48, so
     * consecutive chunks share a 16-token overlap — the boundary-context
@@ -3141,6 +3335,8 @@ object Text {
     "q238_rag_chunks" -> (q238RagChunks _),
     "q231_unigram_lm_train" -> (q231UnigramLmTrain _),
     "q232_tokenizer_fertility" -> (q232TokenizerFertility _),
+    "q247_subword_nll_filter" -> (q247SubwordNllFilter _),
+    "q248_wordpiece_train" -> (q248WordPieceTrain _),
     "q228_split_conformal" -> (q228SplitConformal _),
     "q215_source_auc" -> (q215SourceAuc _),
     "q211_calibration_curve" -> (q211CalibrationCurve _),
@@ -3188,6 +3384,8 @@ object Text {
     "q238_rag_chunks" -> q238Oracle,
     "q231_unigram_lm_train" -> q231Oracle,
     "q232_tokenizer_fertility" -> q232Oracle,
+    "q247_subword_nll_filter" -> q247Oracle,
+    "q248_wordpiece_train" -> q248Oracle,
     "q228_split_conformal" -> q228Oracle,
     "q215_source_auc" -> q215Oracle,
     "q211_calibration_curve" -> q211Oracle,

@@ -1126,7 +1126,84 @@ object Vector {
       |WHERE rk <= 5
       |ORDER BY negs.query_id, rk""".stripMargin
 
+  /** q249: MaxSim late-interaction retrieval (Khattab & Zaharia 2020,
+    * ColBERT) — the multi-vector scoring model between single-vector ANN
+    * (q50–q53) and full cross-attention: a document is represented by M
+    * token-level vectors, and score(q, d) = Σ over query vectors of the
+    * MAX similarity to any document vector, so a match on ANY facet of
+    * the query counts. Here M = 4 sub-vectors of 16 dims sliced from the
+    * 64-dim embedding — a deterministic stand-in for per-token vectors
+    * (this container has no embedding model; the PLUMBING — slicing,
+    * per-sub-vector max, fixed-order sum, ranking — is the operator).
+    *
+    * Float discipline: the four per-query-slot maxima are pivoted into
+    * COLUMNS (conditional max — order-insensitive) and summed as the
+    * fixed expression m0+m1+m2+m3, never a float SUM aggregate whose
+    * reduction order could differ between engines or shuffle widths.
+    *
+    * Scale: query sub-vectors broadcast (the q50 stance); the scored pass
+    * is one scan of the corpus sub-vector stream; per (query, doc, slot)
+    * max and the 4-column pivot are map-side-combinable hash aggregates.
+    * At real scale each slot's max swaps to an IVF probe join (q51) per
+    * sub-vector — MaxSim over approximate per-slot candidates is exactly
+    * ColBERT's production retrieval mode; the pivot+rank is unchanged. */
+  def q249MaxsimTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val sub = Tables.embeddings(s, dir)
+      .select(col("vec_id"), v(col("embedding")).as("vv"))
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), k -> named_struct('k', k, 'sv', slice(vv, 1 + 16 * k, 16)))")).as("t"))
+      .select(col("vec_id"), col("t.k").as("k"), col("t.sv").as("sv"))
+      .withColumn("sn", norm(col("sv")))
+    val qs = sub.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("k").as("qk"),
+        col("sv").as("qv"), col("sn").as("qn"))
+    val slotMax = broadcast(qs).join(sub, col("query_id") =!= col("vec_id"))
+      .withColumn("sim", dot(col("qv"), col("sv")) / (col("qn") * col("sn")))
+      .groupBy(col("query_id"), col("vec_id"), col("qk"))
+      .agg(max(col("sim")).as("m"))
+    val pair = slotMax.groupBy(col("query_id"), col("vec_id"))
+      .agg(max(when(col("qk") === 0, col("m"))).as("m0"),
+        max(when(col("qk") === 1, col("m"))).as("m1"),
+        max(when(col("qk") === 2, col("m"))).as("m2"),
+        max(when(col("qk") === 3, col("m"))).as("m3"))
+      .withColumn("maxsim", col("m0") + col("m1") + col("m2") + col("m3"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("vec_id").asc)
+    pair.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("maxsim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q249Oracle: String =
+    s"""WITH e AS (SELECT vec_id, ${vSql("embedding")} AS vv FROM embeddings),
+       |ks AS (SELECT vec_id, unnest([0, 1, 2, 3]) AS k, vv FROM e),
+       |sub AS (SELECT vec_id, k, list_slice(vv, 1 + 16 * k, 16 * (k + 1)) AS sv FROM ks),
+       |sn AS (SELECT vec_id, k, sv, ${normSql("sv")} AS snr FROM sub),
+       |q AS (SELECT vec_id AS query_id, k AS qk, sv AS qv, snr AS qn
+       |      FROM sn WHERE vec_id % 100 = 0),
+       |slot_max AS (
+       |  SELECT query_id, s.vec_id, qk, max(${dotSql("qv", "sv")} / (qn * snr)) AS m
+       |  FROM q JOIN sn s ON query_id <> s.vec_id GROUP BY 1, 2, 3),
+       |pair AS (
+       |  SELECT query_id, vec_id,
+       |    max(CASE WHEN qk = 0 THEN m END) AS m0,
+       |    max(CASE WHEN qk = 1 THEN m END) AS m1,
+       |    max(CASE WHEN qk = 2 THEN m END) AS m2,
+       |    max(CASE WHEN qk = 3 THEN m END) AS m3
+       |  FROM slot_max GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, m0 + m1 + m2 + m3 AS maxsim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY m0 + m1 + m2 + m3 DESC, vec_id ASC) AS rk
+       |  FROM pair)
+       |SELECT query_id, rk, vec_id, maxsim FROM ranked
+       |WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_maxsim_topk" -> (q249MaxsimTopk _),
     "q239_hard_negatives" -> (q239HardNegatives _),
     "q226_embedding_drift" -> (q226EmbeddingDrift _),
     "q194_centroid_sim_matrix" -> (q194CentroidSimMatrix _),
@@ -1143,6 +1220,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q249_maxsim_topk" -> q249Oracle,
     "q239_hard_negatives" -> q239Oracle,
     "q226_embedding_drift" -> q226Oracle,
     "q194_centroid_sim_matrix" -> q194Oracle,
