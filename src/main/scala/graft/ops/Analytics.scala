@@ -2023,6 +2023,92 @@ object Analytics {
       |  b AS trend_cents, l + b AS forecast_next_cents
       |FROM r ORDER BY quarter_index""".stripMargin
 
+  /** q252: Holt–Winters additive seasonal smoothing (Winters 1960) — the
+    * third rung of the exponential-smoothing ladder (q207 EMA: level;
+    * q236 Holt: level+trend; this: level+trend+SEASON), the standard
+    * baseline for a revenue monitor whose series has in-year shape. The
+    * state is FIVE variables carried jointly — level, trend, and a
+    * rolling 4-slot seasonal register (season length m = 4 quarters) —
+    * updated with α=β=γ=¼ truncating fixed point:
+    * l₊ = ((x − s₋₄) + 3(l+b)) div 4, b₊ = ((l₊−l) + 3b) div 4,
+    * s₊ = ((x − l₊) + 3s₋₄) div 4, one-step forecast = l + b + s₋₄.
+    * Init is the textbook deterministic start: l₀ = mean of year 1,
+    * b₀ = (mean year 2 − mean year 1) div 4², s_i = x_i − l₀.
+    * A five-variable non-associative fold — the hardest state shape the
+    * recursive-CTE surface (q207/q235/q236) has to carry, and the reason
+    * this is a recursion, not a window.
+    *
+    * Scale: one corpus hash aggregate reduces to the bounded ~28-row
+    * quarter frame (localCheckpoint-materialized — the q207 anchor rule);
+    * the recursion walks |quarters| 1-row steps. Emits per-quarter state
+    * + the one-step-ahead forecast and its error — the anomaly-monitor
+    * artifact. */
+  def q252HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.orders(s, dir)
+      .groupBy(expr("CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT)")
+        .as("qi"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("x"))
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("qi"))))
+    val mat = graft.Caches.trackCheckpoint(idx.localCheckpoint())
+    val mv = s"graft_hw_v${viewSeq.incrementAndGet()}"
+    mat.createOrReplaceTempView(mv)
+    def xq(k: Int) = s"(SELECT x FROM $mv WHERE i = $k)"
+    val l0 = s"((${xq(1)} + ${xq(2)} + ${xq(3)} + ${xq(4)}) div 4)"
+    val b0 = s"(((${xq(5)} + ${xq(6)} + ${xq(7)} + ${xq(8)}) - " +
+      s"(${xq(1)} + ${xq(2)} + ${xq(3)} + ${xq(4)})) div 16)"
+    val lnew = "(((x.x - rr.s1) + 3 * (rr.l + rr.b)) div 4)"
+    try s.sql(
+      s"""WITH RECURSIVE r(i, qi, x, l, b, s1, s2, s3, s4, fc) AS (
+         |  SELECT a.i, a.qi, a.x, $l0, $b0,
+         |    ${xq(1)} - $l0, ${xq(2)} - $l0, ${xq(3)} - $l0, ${xq(4)} - $l0,
+         |    CAST(0 AS BIGINT)
+         |  FROM $mv a WHERE a.i = 4
+         |  UNION ALL
+         |  SELECT x.i, x.qi, x.x,
+         |    $lnew,
+         |    (($lnew - rr.l) + 3 * rr.b) div 4,
+         |    rr.s2, rr.s3, rr.s4,
+         |    ((x.x - $lnew) + 3 * rr.s1) div 4,
+         |    rr.l + rr.b + rr.s1
+         |  FROM r rr JOIN $mv x ON x.i = rr.i + 1)
+         |SELECT qi AS quarter_index, x AS revenue_cents, l AS level_cents,
+         |  b AS trend_cents, s4 AS seasonal_cents, fc AS forecast_cents,
+         |  x - fc AS error_cents
+         |FROM r WHERE i >= 5 ORDER BY quarter_index""".stripMargin)
+    finally s.catalog.dropTempView(mv)
+  }
+
+  val q252Oracle: String = {
+    def xq(k: Int) = s"(SELECT x FROM idx WHERE i = $k)"
+    val l0 = s"((${xq(1)} + ${xq(2)} + ${xq(3)} + ${xq(4)}) // 4)"
+    val b0 = s"(((${xq(5)} + ${xq(6)} + ${xq(7)} + ${xq(8)}) - " +
+      s"(${xq(1)} + ${xq(2)} + ${xq(3)} + ${xq(4)})) // 16)"
+    val lnew = "(((x.x - rr.s1) + 3 * (rr.l + rr.b)) // 4)"
+    s"""WITH RECURSIVE q AS (
+       |  SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS qi,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |idx AS MATERIALIZED (SELECT qi, x, row_number() OVER (ORDER BY qi) AS i FROM q),
+       |r(i, qi, x, l, b, s1, s2, s3, s4, fc) AS (
+       |  SELECT a.i, a.qi, a.x, $l0, $b0,
+       |    ${xq(1)} - $l0, ${xq(2)} - $l0, ${xq(3)} - $l0, ${xq(4)} - $l0,
+       |    CAST(0 AS BIGINT)
+       |  FROM idx a WHERE a.i = 4
+       |  UNION ALL
+       |  SELECT x.i, x.qi, x.x,
+       |    $lnew,
+       |    (($lnew - rr.l) + 3 * rr.b) // 4,
+       |    rr.s2, rr.s3, rr.s4,
+       |    ((x.x - $lnew) + 3 * rr.s1) // 4,
+       |    rr.l + rr.b + rr.s1
+       |  FROM r rr JOIN idx x ON x.i = rr.i + 1)
+       |SELECT qi AS quarter_index, x AS revenue_cents, l AS level_cents,
+       |  b AS trend_cents, s4 AS seasonal_cents, fc AS forecast_cents,
+       |  x - fc AS error_cents
+       |FROM r WHERE i >= 5 ORDER BY quarter_index""".stripMargin
+  }
+
   /** q242: TWO-feature least squares by exact normal equations — q130 fits
     * y on one regressor; real models control for covariates, and with two
     * features the closed form is a 2×2 Cramer solve over centered moment
@@ -2251,6 +2337,7 @@ object Analytics {
     "q242_ols_two_feature" -> (q242OlsTwoFeature _),
     "q235_kaplan_meier" -> (q235KaplanMeier _),
     "q236_holt_trend" -> (q236HoltTrend _),
+    "q252_holt_winters" -> (q252HoltWinters _),
     "q223_twopass_quantile" -> (q223TwopassQuantile _),
     "q219_cusum_drift" -> (q219CusumDrift _),
     "q217_sql_script_fold" -> (q217SqlScriptFold _),
@@ -2300,6 +2387,7 @@ object Analytics {
     "q242_ols_two_feature" -> q242Oracle,
     "q235_kaplan_meier" -> q235Oracle,
     "q236_holt_trend" -> q236Oracle,
+    "q252_holt_winters" -> q252Oracle,
     "q223_twopass_quantile" -> q223Oracle,
     "q219_cusum_drift" -> q219Oracle,
     "q217_sql_script_fold" -> q217Oracle,

@@ -936,7 +936,92 @@ object Graph {
        |FROM r5 ORDER BY nation_id""".stripMargin
   }
 
+  /** q251: HITS hubs & authorities (Kleinberg 1999, JACM "Authoritative
+    * sources in a hyperlinked environment") — the bipartite-role companion
+    * to PageRank's single score: on the directed supplier-nation →
+    * customer-nation trade graph, a good HUB ships to many good
+    * authorities, a good AUTHORITY receives from many good hubs. Four
+    * synchronous rounds of the mutual-reinforcement updates a(v) = Σ h(u)
+    * over in-edges, h(u) = Σ a(v) over out-edges, each L1-normalized to
+    * the fixed-point scale (a·SCALE div Σa — the integer analogue of
+    * HITS' norm step; DECIMAL(38,0) widening because Σ·SCALE passes 2^63
+    * immediately). Everything is exact integer arithmetic, so the result
+    * is bit-stable under any partitioning — the q117/q234 discipline.
+    *
+    * Scale: same Pregel shuffle topology as q117 — per round, two edge
+    * equi-joins + two hash aggregates over the edge frame; normalization
+    * is a window sum over the AGGREGATED node frame (lint-conformant), no
+    * driver state, no crossJoin. The link graph is the distinct-edge
+    * projection of [[tradeEdges]], built once. */
+  def q251HitsScores(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.persist(
+      tradeEdges(s, dir).select(col("src"), col("dst")))
+    val nodes = graft.Caches.persist(
+      edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct())
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def normalize(raw: DataFrame, vcol: String): DataFrame =
+      nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col(vcol), lit(0L)).as("raw"))
+        .withColumn("tot", sum(col("raw")).over(wA))
+        .select(col("id"), expr(
+          s"CAST((CAST(raw AS DECIMAL(38,0)) * ${Scale}L) div tot AS BIGINT)").as(vcol))
+    var hubs = nodes.select(col("id"), lit(Scale).as("h"))
+    var auth = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to 4) {
+      auth = graft.Caches.trackCheckpoint(normalize(
+        edges.join(hubs, edges("src") === hubs("id"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .withColumnRenamed("dst", "id"), "a").localCheckpoint())
+      hubs = graft.Caches.trackCheckpoint(normalize(
+        edges.join(auth, edges("dst") === auth("id"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .withColumnRenamed("src", "id"), "h").localCheckpoint())
+    }
+    auth.join(hubs, Seq("id"))
+      .select(col("id").as("nation_id"), col("a").as("authority_scaled"),
+        col("h").as("hub_scaled"))
+      .orderBy(col("nation_id"))
+  }
+
+  val q251Oracle: String = {
+    def norm(raw: String, out: String, v: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT n.id,
+         |    CAST((CAST(coalesce(r.$v, 0) AS HUGEINT) * $Scale)
+         |         // (SELECT sum($v) FROM $raw) AS BIGINT) AS $v
+         |  FROM nodes n LEFT JOIN $raw r USING (id))""".stripMargin
+    val rounds = (1 to 4).map { r =>
+      val hPrev = if (r == 1) "h0" else s"h${r - 1}"
+      s"""ar$r AS MATERIALIZED (
+         |  SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM edges e JOIN $hPrev h ON e.src = h.id GROUP BY 1),
+         |${norm(s"ar$r", s"a$r", "a")},
+         |hr$r AS MATERIALIZED (
+         |  SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+         |  FROM edges e JOIN a$r a ON e.dst = a.id GROUP BY 1),
+         |${norm(s"hr$r", s"h$r", "h")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT CAST(s_nationkey AS BIGINT) src, CAST(c_nationkey AS BIGINT) dst
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |h0 AS (SELECT id, CAST($Scale AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT a4.id AS nation_id, a4.a AS authority_scaled, h4.h AS hub_scaled
+       |FROM a4 JOIN h4 ON a4.id = h4.id
+       |ORDER BY nation_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_hits_scores" -> (q251HitsScores _),
     "q171_lpa_communities" -> (q171LpaCommunities _),
     "q117_pagerank" -> (q117Pagerank _),
     "q121_shortest_hops" -> (q121ShortestHops _),
@@ -949,6 +1034,7 @@ object Graph {
     "q234_personalized_pagerank" -> (q234PersonalizedPagerank _))
 
   def oracles: Map[String, String] = Map(
+    "q251_hits_scores" -> q251Oracle,
     "q171_lpa_communities" -> q171Oracle,
     "q117_pagerank" -> q117Oracle,
     "q121_shortest_hops" -> q121Oracle,

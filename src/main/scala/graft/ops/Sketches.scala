@@ -559,7 +559,124 @@ object Sketches {
                  | * (${est("mu")})) div size(mu)""".stripMargin).as("est_click_only"))
   }
 
+  /** q250: log-bucket quantile sketch — the DDSketch idea (Masson, Rim &
+    * Lee, VLDB 2019: "DDSketch: a fast and fully-mergeable quantile sketch
+    * with relative-error guarantees") in the house exact-integer form,
+    * completing the mergeable-summary family (HLL q202, KMV q216, CMS
+    * q206, Bloom q221, bitmap q132) with the QUANTILE member. Values map
+    * to logarithmic buckets keyed by (exponent, 3 mantissa bits):
+    * e = ⌊log₂ x⌋ via binary-string length, m = (8x) div 2^e ∈ [8,16),
+    * bucket = 8e + m − 8 — so within a bucket values span a ratio of at
+    * most (m+1)/m ≤ 9/8, a ≤ 12.5% relative-error guarantee, and the
+    * sketch is a plain per-bucket count frame: mergeable by addition, ~8
+    * buckets per octave (≤ ~500 for all of BIGINT).
+    *
+    * The audit runs the production two-phase pattern: the sketch
+    * LOCALIZES each target quantile (p50/p90/p99) to one bucket from
+    * cumulative counts, then a second pass over ONLY that bucket's values
+    * resolves the exact order statistic (q223's shape) — and the query
+    * pins the structural guarantee on data: the exact value must lie in
+    * [lo, hi] of the localized bucket (`in_bucket` ≡ 1), with the bucket's
+    * a-priori error bound shipped in ppm.
+    *
+    * Scale: one hash aggregate builds the sketch; the targets frame is
+    * bounded (|buckets| ≤ ~500); the resolve pass touches ~n/|buckets|
+    * rows via a broadcast semi-join on the bucket key. At 100 TB the
+    * sketch itself is what ships between dumps — counts add, no rescan. */
+  def q250LogQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val bx = graft.Caches.persist(
+      Tables.lineitem(s, dir)
+        .select(graft.Exact.cents(col("l_extendedprice")).as("x"))
+        .withColumn("e", expr("CAST(length(bin(x)) - 1 AS BIGINT)"))
+        .withColumn("m", expr("(x * 8) div shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+        .select(col("x"), (col("e") * 8 + col("m") - 8).as("bucket")))
+    val sketch = bx.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val targets = sketch
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("bucket"), col("cum"), col("cnt"), col("n"),
+        explode(array(
+          struct(lit("p50").as("stat"), expr("(n + 1) div 2").as("k")),
+          struct(lit("p90").as("stat"), expr("(9 * n + 9) div 10").as("k")),
+          struct(lit("p99").as("stat"), expr("(99 * n + 99) div 100").as("k")))).as("sk"))
+      .filter(col("cum") - col("cnt") < col("sk.k") && col("sk.k") <= col("cum"))
+      .select(col("sk.stat").as("stat"), col("bucket"), col("n"),
+        col("sk.k").as("k"), (col("sk.k") - (col("cum") - col("cnt"))).as("r"))
+    val wIn = Window.partitionBy(col("stat")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bx.join(broadcast(targets), Seq("bucket"))
+      .groupBy(col("stat"), col("bucket"), col("n"), col("k"), col("r"), col("x"))
+      .agg(count(lit(1)).as("cc"))
+      .withColumn("cumc", sum(col("cc")).over(wIn))
+      .filter(col("cumc") >= col("r"))
+      .groupBy(col("stat"), col("bucket"), col("n"), col("k"))
+      .agg(min(col("x")).as("exact_cents"))
+      .withColumn("em", expr("bucket % 8 + 8"))
+      .withColumn("ee", expr("bucket div 8"))
+      .withColumn("lo_cents", expr(
+        "(em * shiftleft(CAST(1 AS BIGINT), CAST(ee AS INT)) + 7) div 8"))
+      .withColumn("hi_cents", expr(
+        "((em + 1) * shiftleft(CAST(1 AS BIGINT), CAST(ee AS INT)) + 7) div 8 - 1"))
+      .select(col("stat"), col("n"), col("k"), col("bucket"),
+        col("lo_cents"), col("hi_cents"), col("exact_cents"),
+        (col("exact_cents") >= col("lo_cents") &&
+          col("exact_cents") <= col("hi_cents")).cast("long").as("in_bucket"),
+        expr("((hi_cents - lo_cents) * 1000000) div lo_cents").as("err_bound_ppm"))
+      .orderBy(col("stat"))
+  }
+
+  val q250Oracle: String =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+      |b AS (
+      |  SELECT x,
+      |    (length(printf('%b', x)) - 1) * 8
+      |      + (x * 8) // (CAST(1 AS BIGINT) << (length(printf('%b', x)) - 1))
+      |      - 8 AS bucket
+      |  FROM v),
+      |sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket),
+      |cum AS (
+      |  SELECT bucket, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM sk),
+      |stats AS (
+      |  SELECT c.bucket, c.cum, c.cnt, c.n, s.stat,
+      |    CASE s.stat WHEN 'p50' THEN (c.n + 1) // 2
+      |                WHEN 'p90' THEN (9 * c.n + 9) // 10
+      |                ELSE (99 * c.n + 99) // 100 END AS k
+      |  FROM cum c, (SELECT unnest(['p50', 'p90', 'p99']) AS stat) s),
+      |targets AS (
+      |  SELECT stat, bucket, n, k, k - (cum - cnt) AS r
+      |  FROM stats WHERE cum - cnt < k AND k <= cum),
+      |ranked AS (
+      |  SELECT t.stat, t.bucket, t.n, t.k, t.r, b.x,
+      |    row_number() OVER (PARTITION BY t.stat ORDER BY b.x) AS rn
+      |  FROM b JOIN targets t USING (bucket)),
+      |exact AS (
+      |  SELECT stat, bucket, n, k, x AS exact_cents
+      |  FROM ranked WHERE rn = r),
+      |bounds AS (
+      |  SELECT *, bucket % 8 + 8 AS em, bucket // 8 AS ee FROM exact),
+      |fin AS (
+      |  SELECT stat, n, k, bucket,
+      |    (em * (CAST(1 AS BIGINT) << ee) + 7) // 8 AS lo_cents,
+      |    ((em + 1) * (CAST(1 AS BIGINT) << ee) + 7) // 8 - 1 AS hi_cents,
+      |    exact_cents
+      |  FROM bounds)
+      |SELECT stat, n, k, bucket, lo_cents, hi_cents, exact_cents,
+      |  CAST(CASE WHEN exact_cents BETWEEN lo_cents AND hi_cents
+      |       THEN 1 ELSE 0 END AS BIGINT) AS in_bucket,
+      |  ((hi_cents - lo_cents) * 1000000) // lo_cents AS err_bound_ppm
+      |FROM fin
+      |ORDER BY stat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_log_quantile_sketch" -> (q250LogQuantileSketch _),
     "q237_sketch_set_algebra" -> (q237SketchSetAlgebra _),
     "q206_cms_join_size" -> (q206CmsJoinSize _),
     "q127_hll_distinct" -> (q127HllDistinct _),
@@ -572,6 +689,7 @@ object Sketches {
     "q221_bloom_fpr_audit" -> (q221BloomFprAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q250_log_quantile_sketch" -> q250Oracle,
     "q237_sketch_set_algebra" -> q237Oracle,
     "q206_cms_join_size" -> q206Oracle,
     "q127_hll_distinct" -> q127Oracle,
