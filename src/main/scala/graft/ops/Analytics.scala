@@ -2109,6 +2109,65 @@ object Analytics {
        |FROM r WHERE i >= 5 ORDER BY quarter_index""".stripMargin
   }
 
+  /** q255: Benford first-digit audit (Benford 1938; Nigrini's fraud-
+    * detection workhorse) — a data-quality gate for any financial fact
+    * table: naturally-arising multi-scale amounts follow
+    * P(d) = log₁₀(1 + 1/d), and a feed that was fabricated, truncated, or
+    * re-denominated shows up as first-digit mass pulled away from that
+    * curve. Order totals (exact cents) are bucketed by leading digit; the
+    * observed share ships in exact ppm next to the Benford expectation
+    * (⌊log₁₀(1+1/d)·10⁶⌋, public constants — inputs to the audit, not
+    * computed floats) and the signed deviation. The classic audit
+    * statistic (Nigrini's MAD) is the mean of |dev| over the 9 digits —
+    * recoverable from this frame; shipping per-digit rows keeps the
+    * output engine-comparable and the diagnosis localized (WHICH digit is
+    * inflated matters to an auditor).
+    *
+    * Scale: one hash aggregate on a 9-value key; the share arithmetic
+    * runs on the 9-row frame (1-row broadcast total via window over the
+    * reduced frame). */
+  def q255BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val exp = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val expCase = exp.toSeq.sortBy(_._1)
+      .map { case (d, p) => s"WHEN digit = $d THEN ${p}L" }
+      .mkString("CASE ", " ", " END")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("digit"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("n", sum(col("n_obs")).over(wAll))
+      .select(col("digit"), col("n_obs"),
+        expr("(n_obs * 1000000L) div n").as("obs_ppm"),
+        expr(expCase).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val q255Oracle: String = {
+    val exp = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val expCase = exp.map { case (d, p) => s"WHEN digit = $d THEN $p" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+       |t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM g)
+       |SELECT digit, n_obs,
+       |  CAST((n_obs * 1000000) // n AS BIGINT) AS obs_ppm,
+       |  CAST($expCase AS BIGINT) AS exp_ppm,
+       |  CAST((n_obs * 1000000) // n - ($expCase) AS BIGINT) AS dev_ppm
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
   /** q242: TWO-feature least squares by exact normal equations — q130 fits
     * y on one regressor; real models control for covariates, and with two
     * features the closed form is a 2×2 Cramer solve over centered moment
@@ -2338,6 +2397,7 @@ object Analytics {
     "q235_kaplan_meier" -> (q235KaplanMeier _),
     "q236_holt_trend" -> (q236HoltTrend _),
     "q252_holt_winters" -> (q252HoltWinters _),
+    "q255_benford_audit" -> (q255BenfordAudit _),
     "q223_twopass_quantile" -> (q223TwopassQuantile _),
     "q219_cusum_drift" -> (q219CusumDrift _),
     "q217_sql_script_fold" -> (q217SqlScriptFold _),
@@ -2388,6 +2448,7 @@ object Analytics {
     "q235_kaplan_meier" -> q235Oracle,
     "q236_holt_trend" -> q236Oracle,
     "q252_holt_winters" -> q252Oracle,
+    "q255_benford_audit" -> q255Oracle,
     "q223_twopass_quantile" -> q223Oracle,
     "q219_cusum_drift" -> q219Oracle,
     "q217_sql_script_fold" -> q217Oracle,

@@ -1199,7 +1199,62 @@ object Events {
       |    AS BIGINT) AS is_peak
       |FROM c ORDER BY lag""".stripMargin
 
+  /** q257: first-order Markov transition matrix over per-user event
+    * timelines — the next-event-prediction baseline (and the input to
+    * Markov attribution's removal effects): P(next | current) estimated
+    * from every adjacent pair in each user's (ts, event_id)-ordered
+    * stream, in exact ppm. Ships the full bounded |types|² matrix with
+    * per-row transition ranks — WHICH follow-up dominates each state is
+    * the product question (recommendation, prefetch, funnel design) this
+    * frame answers directly.
+    *
+    * Scale: pair extraction is one `lead` window partitioned by user_id
+    * (a key whose cardinality scales with the data — the lint's
+    * requirement); counts reduce by one hash aggregate to the bounded
+    * type-pair frame, where the ppm arithmetic and ranking run. */
+  def q257MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wU))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wCur = Window.partitionBy(col("cur_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy(col("cur_type"))
+      .orderBy(col("n").desc, col("next_type").asc)
+    pairs
+      .withColumn("n_cur", sum(col("n")).over(wCur))
+      .withColumn("p_ppm", expr("(n * 1000000L) div n_cur"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .select(col("cur_type"), col("next_type"), col("n"), col("n_cur"),
+        col("p_ppm"), col("rk"))
+      .orderBy(col("cur_type"), col("rk"))
+  }
+
+  val q257Oracle: String =
+    """WITH p AS (
+      |  SELECT event_type AS cur_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (
+      |  SELECT cur_type, next_type, n,
+      |    CAST(sum(n) OVER (PARTITION BY cur_type) AS BIGINT) AS n_cur,
+      |    row_number() OVER (PARTITION BY cur_type ORDER BY n DESC, next_type ASC)
+      |      AS rk
+      |  FROM c)
+      |SELECT cur_type, next_type, n, n_cur,
+      |  CAST((n * 1000000) // n_cur AS BIGINT) AS p_ppm,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM m ORDER BY cur_type, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_markov_transitions" -> (q257MarkovTransitions _),
     "q222_lagged_crosscov" -> (q222LaggedCrosscov _),
     "q230_t_closeness" -> (q230TCloseness _),
     "q212_l_diversity" -> (q212LDiversity _),
@@ -1226,6 +1281,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q257_markov_transitions" -> q257Oracle,
     "q222_lagged_crosscov" -> q222Oracle,
     "q230_t_closeness" -> q230Oracle,
     "q212_l_diversity" -> q212Oracle,

@@ -3331,7 +3331,265 @@ object Text {
        |    AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q253: inter-annotator agreement (Cohen 1960's kappa) between two
+    * independent quality gates — the audit a labeling pipeline runs before
+    * trusting EITHER gate: raw percent agreement rewards gates that both
+    * say "accept" to everything, kappa discounts exactly the agreement
+    * their marginal rates would produce by chance. Rater A is the length
+    * gate (n_chars ≥ 200, q41's family), rater B the content gate
+    * (≥ 30 alphanumeric tokens); per source the 2×2 confusion (both/only-A
+    * /only-B/neither) reduces to κ = (pₒ−pₑ)/(1−pₑ), cross-multiplied to
+    * exact ppm integers: κ_ppm = 10⁶·(agree·n − chance) div (n² − chance)
+    * with chance = a₁b₁ + a₀b₀ — DECIMAL(38)-widened because n² passes
+    * 2^63 at 10¹⁰ documents.
+    *
+    * Scale: ONE hash aggregate over the corpus (per-source conditional
+    * counts); the kappa arithmetic runs on the |sources| frame. */
+  def q253AnnotatorKappa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (col("n_chars") >= 200).cast("long").as("ra"),
+        (size(tokens(col("text"))) >= 30).cast("long").as("rb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("ra * rb")).as("n_both_accept"),
+        sum(expr("(1 - ra) * (1 - rb)")).as("n_both_reject"),
+        sum(expr("ra * (1 - rb)")).as("n_only_a"),
+        sum(expr("(1 - ra) * rb")).as("n_only_b"))
+      .withColumn("chance",
+        wide(col("n_both_accept") + col("n_only_a")) * wide(col("n_both_accept") + col("n_only_b")) +
+          wide(col("n_both_reject") + col("n_only_b")) * wide(col("n_both_reject") + col("n_only_a")))
+      .select(col("source"), col("n"), col("n_both_accept"), col("n_both_reject"),
+        col("n_only_a"), col("n_only_b"),
+        expr("CAST(((n_both_accept + n_both_reject) * 1000000L) div n AS BIGINT)").as("po_ppm"),
+        expr("CAST((chance * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_ppm"),
+        expr("""CAST(((CAST(n_both_accept + n_both_reject AS DECIMAL(38,0)) * n - chance)
+                 * 1000000) div (CAST(n AS DECIMAL(38,0)) * n - chance) AS BIGINT)""")
+          .as("kappa_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q253Oracle: String =
+    s"""WITH r AS (
+       |  SELECT source,
+       |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+       |    CASE WHEN len($tokensSql) >= 30 THEN 1 ELSE 0 END AS rb
+       |  FROM documents),
+       |cf AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(ra * rb) AS BIGINT) AS n_both_accept,
+       |    CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n_both_reject,
+       |    CAST(sum(ra * (1 - rb)) AS BIGINT) AS n_only_a,
+       |    CAST(sum((1 - ra) * rb) AS BIGINT) AS n_only_b
+       |  FROM r GROUP BY source),
+       |k AS (
+       |  SELECT *,
+       |    CAST(n_both_accept + n_only_a AS HUGEINT) * (n_both_accept + n_only_b)
+       |      + CAST(n_both_reject + n_only_b AS HUGEINT) * (n_both_reject + n_only_a)
+       |      AS chance
+       |  FROM cf)
+       |SELECT source, n, n_both_accept, n_both_reject, n_only_a, n_only_b,
+       |  CAST(((n_both_accept + n_both_reject) * 1000000) // n AS BIGINT) AS po_ppm,
+       |  CAST((chance * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+       |  CAST(((CAST(n_both_accept + n_both_reject AS HUGEINT) * n - chance)
+       |        * 1000000) // (CAST(n AS HUGEINT) * n - chance) AS BIGINT) AS kappa_ppm
+       |FROM k ORDER BY source""".stripMargin
+
+  /** q254: distributed bootstrap confidence intervals via deterministic
+    * Poissonization — the standard way to bootstrap a dataset too large to
+    * resample by index (Chamandy et al. 2012, "Estimating uncertainty for
+    * massive data streams" / the Poisson bootstrap): drawing n rows with
+    * replacement is approximated by giving every row an independent
+    * Poisson(1) multiplicity, which needs NO global coordination — each
+    * row computes its own weight per replicate. Randomness is the house
+    * deterministic md5 stream (row id × replicate id), inverted through
+    * the exact Poisson(1) CDF at 2^60 fixed point (thresholds are public
+    * constants ⌊cdf·2^60⌋), so both engines draw the SAME multiplicities.
+    * B = 20 replicates of each source's mean document length; the CI is
+    * the 2nd-smallest / 2nd-largest replicate mean (the 90% band 20
+    * replicates support).
+    *
+    * Scale: the 20× fan-out is a pure map (explode over a constant
+    * sequence) feeding ONE (source, replicate)-keyed hash aggregate — the
+    * shape that bootstraps 100 TB without a shuffle per replicate; the
+    * order statistics run on the bounded |sources|×20 frame. */
+  def q254PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val th = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L, 1152236456152946145L)
+    val wCase = th.zipWithIndex
+      .map { case (t, k) => s"WHEN h < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 6L END")
+    val boot = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("r", explode(expr("sequence(0L, 19L)")))
+      .withColumn("h", conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":"), col("r").cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long"))
+      .withColumn("w", expr(wCase))
+      .groupBy(col("source"), col("r"))
+      .agg(sum(col("w")).as("sw"), sum(expr("w * n_chars")).as("swc"))
+      .filter(col("sw") > 0)
+      .withColumn("mean_r", expr("swc div sw"))
+    import org.apache.spark.sql.expressions.Window
+    val wa = Window.partitionBy(col("source")).orderBy(col("mean_r").asc, col("r").asc)
+    val wd = Window.partitionBy(col("source")).orderBy(col("mean_r").desc, col("r").desc)
+    val ci = boot
+      .withColumn("rna", row_number().over(wa))
+      .withColumn("rnd", row_number().over(wd))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_replicates"),
+        max(when(col("rna") === 2, col("mean_r"))).as("boot_lo"),
+        max(when(col("rnd") === 2, col("mean_r"))).as("boot_hi"))
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"))
+      .join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_chars"),
+        col("n_replicates"), col("boot_lo"), col("boot_hi"))
+      .orderBy(col("source"))
+  }
+
+  val q254Oracle: String = {
+    val th = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L, 1152236456152946145L)
+    val wCase = th.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH f AS (
+       |  SELECT source, doc_id, n_chars, unnest(range(0, 20)) AS r
+       |  FROM documents),
+       |hw AS (
+       |  SELECT source, r,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(r AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+       |    n_chars
+       |  FROM f),
+       |bt AS (
+       |  SELECT source, r, CAST($wCase AS BIGINT) AS w, n_chars FROM hw),
+       |ag AS (
+       |  SELECT source, r, CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(sum(w * n_chars) AS BIGINT) AS swc
+       |  FROM bt GROUP BY 1, 2),
+       |mn AS (
+       |  SELECT source, r, swc // sw AS mean_r,
+       |    row_number() OVER (PARTITION BY source ORDER BY swc // sw ASC, r ASC) AS rna,
+       |    row_number() OVER (PARTITION BY source ORDER BY swc // sw DESC, r DESC) AS rnd
+       |  FROM ag WHERE sw > 0),
+       |ci AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_replicates,
+       |    CAST(max(CASE WHEN rna = 2 THEN mean_r END) AS BIGINT) AS boot_lo,
+       |    CAST(max(CASE WHEN rnd = 2 THEN mean_r END) AS BIGINT) AS boot_hi
+       |  FROM mn GROUP BY source),
+       |pt AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+       |  FROM documents GROUP BY source)
+       |SELECT pt.source, n_docs, mean_chars, n_replicates, boot_lo, boot_hi
+       |FROM pt JOIN ci ON pt.source = ci.source
+       |ORDER BY pt.source""".stripMargin
+  }
+
+  /** q256: Jensen–Shannon divergence of each source against the rest of
+    * the corpus (Lin 1991) — the mixture-design distance q199's total
+    * variation only bounds: JSD is the information-theoretic "how many
+    * bits does a document leak about which side it came from", symmetric,
+    * bounded in [0,1] bit, and the quantity data-mixture papers actually
+    * report. The fixed-point log2 machinery ([[withLog2fp]]) makes it
+    * EXACT-integer computable: with per-token counts a (source) and b
+    * (rest) and masses A, B, the ratio p/m = 2aB/(aB+bA) gives
+    * term_p = a·(2¹⁶ + lg(aB) − lg(aB+bA)), and
+    * JSD_fp = Σterm_p div 2A + Σterm_q div 2B at scale 2¹⁶ — zero-count
+    * cells contribute exactly their one-sided b·2¹⁶ mass (q/m = 2), the
+    * limit float code gets wrong with NaNs.
+    *
+    * The distributions are restricted (and renormalized) to the top-200
+    * corpus tokens — a FIXED-size support, so the per-source grid is
+    * bounded (|sources|×200 via a broadcast nested-loop densification,
+    * the q230 bounded-grid shape) and the three log chains run over it,
+    * never over the corpus. At 100 TB only the two token-count aggregates
+    * see data; the a·B products stay in BIGINT as long as
+    * count·mass < 2^63 — past that, shift both operands right equally
+    * (the log difference is invariant up to the shared truncation). */
+  def q256JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = graft.Caches.persist(
+      Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w")))
+    val vocab = graft.Caches.persist(
+      tk.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("w").asc).limit(200).select(col("w")))
+    val cell = graft.Caches.persist(
+      tk.join(broadcast(vocab), Seq("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("a")))
+    val corp = cell.groupBy(col("w")).agg(sum(col("a")).as("c"))
+    val wAll = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val srcs = cell.groupBy(col("source")).agg(sum(col("a")).as("at"))
+      .withColumn("bt", sum(col("at")).over(wAll) - col("at"))
+    val grid = srcs.join(broadcast(vocab), lit(true))
+      .join(cell, Seq("source", "w"), "left")
+      .join(corp, Seq("w"))
+      .select(col("source"), col("w"), coalesce(col("a"), lit(0L)).as("a"),
+        (col("c") - coalesce(col("a"), lit(0L))).as("b"), col("at"), col("bt"))
+    val logged = withLog2fp(withLog2fp(withLog2fp(
+      grid, "a * bt", "la"), "b * at", "lb"), "a * bt + b * at", "ls")
+    logged
+      .withColumn("tp", expr("CASE WHEN a > 0 THEN a * (65536 + la - ls) ELSE 0L END"))
+      .withColumn("tq", expr("CASE WHEN b > 0 THEN b * (65536 + lb - ls) ELSE 0L END"))
+      .groupBy(col("source"), col("at"), col("bt"))
+      .agg(sum(col("tp")).as("stp"), sum(col("tq")).as("stq"))
+      .select(col("source"), col("at").as("vocab_mass_src"),
+        col("bt").as("vocab_mass_rest"),
+        expr("stp div (2 * at) + stq div (2 * bt)").as("jsd_fp"))
+      .orderBy(col("source"))
+  }
+
+  def q256Oracle: String = {
+    val keep0 = Seq("source", "w", "a", "b", "at", "bt")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT source, unnest($tokensSql) AS w FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT w FROM (SELECT w, count(*) AS cw FROM tk GROUP BY w
+       |                 ORDER BY cw DESC, w LIMIT 200)),
+       |cell AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS a
+       |  FROM tk JOIN vocab USING (w) GROUP BY 1, 2),
+       |corp AS MATERIALIZED (SELECT w, CAST(sum(a) AS BIGINT) AS c FROM cell GROUP BY w),
+       |srcs AS MATERIALIZED (
+       |  SELECT source, CAST(sum(a) AS BIGINT) AS at,
+       |    CAST((SELECT sum(a) FROM cell) - sum(a) AS BIGINT) AS bt
+       |  FROM cell GROUP BY source),
+       |grid AS MATERIALIZED (
+       |  SELECT s.source, v.w, CAST(coalesce(cl.a, 0) AS BIGINT) AS a,
+       |    CAST(corp.c - coalesce(cl.a, 0) AS BIGINT) AS b, s.at, s.bt
+       |  FROM srcs s CROSS JOIN vocab v
+       |  LEFT JOIN cell cl ON cl.source = s.source AND cl.w = v.w
+       |  JOIN corp ON corp.w = v.w),
+       |${uniLog2Ctes("ja_", "grid", "a * bt", keep0)},
+       |ja2 AS (SELECT ${keep0.mkString(", ")}, lg AS la FROM ja_lg),
+       |${uniLog2Ctes("jb_", "ja2", "b * at", keep0 :+ "la")},
+       |jb2 AS (SELECT ${(keep0 :+ "la").mkString(", ")}, lg AS lb FROM jb_lg),
+       |${uniLog2Ctes("js_", "jb2", "a * bt + b * at", keep0 ++ Seq("la", "lb"))},
+       |js2 AS (SELECT ${(keep0 ++ Seq("la", "lb")).mkString(", ")}, lg AS ls FROM js_lg),
+       |terms AS (
+       |  SELECT source, at, bt,
+       |    CASE WHEN a > 0 THEN a * (65536 + la - ls) ELSE 0 END AS tp,
+       |    CASE WHEN b > 0 THEN b * (65536 + lb - ls) ELSE 0 END AS tq
+       |  FROM js2)
+       |SELECT source, at AS vocab_mass_src, bt AS vocab_mass_rest,
+       |  CAST(CAST(sum(tp) AS BIGINT) // (2 * at)
+       |     + CAST(sum(tq) AS BIGINT) // (2 * bt) AS BIGINT) AS jsd_fp
+       |FROM terms GROUP BY source, at, bt
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_js_divergence" -> (q256JsDivergence _),
+    "q253_annotator_kappa" -> (q253AnnotatorKappa _),
+    "q254_poisson_bootstrap" -> (q254PoissonBootstrap _),
     "q238_rag_chunks" -> (q238RagChunks _),
     "q231_unigram_lm_train" -> (q231UnigramLmTrain _),
     "q232_tokenizer_fertility" -> (q232TokenizerFertility _),
@@ -3381,6 +3639,9 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q256_js_divergence" -> q256Oracle,
+    "q253_annotator_kappa" -> q253Oracle,
+    "q254_poisson_bootstrap" -> q254Oracle,
     "q238_rag_chunks" -> q238Oracle,
     "q231_unigram_lm_train" -> q231Oracle,
     "q232_tokenizer_fertility" -> q232Oracle,

@@ -135,7 +135,16 @@ class PlanSpec extends SparkSpec {
       // 1-row × 1-row sketch-pair join (two 64-element bottom-k arrays)
       "q237_sketch_set_algebra",
       // q50's declared brute-force query-points × corpus scan (mining pass)
-      "q239_hard_negatives")
+      "q239_hard_negatives",
+      // 1-row broadcast log2fp(C+|V|) normalization scalar (the shared
+      // uniCostFrame shape q231/q232 carry) on the final scoring pass
+      "q247_subword_nll_filter",
+      // q50's declared brute-force broadcast query sub-vectors × corpus
+      // sub-vector scan (per-slot IVF probes at real scale)
+      "q249_maxsim_topk",
+      // |sources|-row aggregate × broadcast 200-token vocab densification
+      // (the q230 bounded-grid shape) before the JS log chains
+      "q256_js_divergence")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, sf()).queryExecution.executedPlan.toString
