@@ -1253,7 +1253,63 @@ object Events {
       |  CAST(rk AS BIGINT) AS rk
       |FROM m ORDER BY cur_type, rk""".stripMargin
 
+  /** q259: behavioral-entropy segmentation — per user, the Shannon entropy
+    * of their event-type distribution (Shannon '48), the standard
+    * diversity-of-behavior feature behind engagement segmentation and bot
+    * detection (a bot hammers one event type: H ≈ 0; an explorer spreads:
+    * H → log₂|types|). Exact integers end-to-end via the fixed-point log2
+    * ([[Text.withLog2fp]]): H_fp = Σ c·(lg n − lg c) div n at 2¹⁶, then
+    * users histogram into 1/64-bit bands — the bounded segmentation
+    * frame a campaign targets, with band population, mean activity, and
+    * mean entropy.
+    *
+    * Scale: one (user, type) hash aggregate; the per-user total is a
+    * window sum over that REDUCED frame partitioned by the scaling
+    * user_id key; the log folds are codegen'd per-row expressions; the
+    * final histogram is a ≤ ~20-key aggregate. */
+  def q259BehaviorEntropy(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      .withColumn("nu", sum(col("c")).over(wU))
+    val logged = Text.withLog2fp(Text.withLog2fp(cnt, "nu", "lgn"), "c", "lgc")
+    logged
+      .groupBy(col("user_id"), col("nu"))
+      .agg(sum(expr("c * (lgn - lgc)")).as("hsum"))
+      .withColumn("hfp", expr("hsum div nu"))
+      .groupBy(expr("hfp div 1024").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(nu) div count(1)").as("mean_events"),
+        expr("sum(hfp) div count(1)").as("mean_entropy_fp"))
+      .orderBy(col("bucket"))
+  }
+
+  def q259Oracle: String = {
+    val keep = Seq("user_id", "c", "nu")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |n AS MATERIALIZED (
+       |  SELECT user_id, c,
+       |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS nu
+       |  FROM c),
+       |${Text.uniLog2Ctes("ha_", "n", "nu", keep)},
+       |ha2 AS (SELECT ${keep.mkString(", ")}, lg AS lgn FROM ha_lg),
+       |${Text.uniLog2Ctes("hb_", "ha2", "c", keep :+ "lgn")},
+       |hb2 AS (SELECT ${(keep :+ "lgn").mkString(", ")}, lg AS lgc FROM hb_lg),
+       |h AS (
+       |  SELECT user_id, nu,
+       |    CAST(CAST(sum(c * (lgn - lgc)) AS BIGINT) // nu AS BIGINT) AS hfp
+       |  FROM hb2 GROUP BY user_id, nu)
+       |SELECT hfp // 1024 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(CAST(sum(nu) AS BIGINT) // count(*) AS BIGINT) AS mean_events,
+       |  CAST(CAST(sum(hfp) AS BIGINT) // count(*) AS BIGINT) AS mean_entropy_fp
+       |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_behavior_entropy" -> (q259BehaviorEntropy _),
     "q257_markov_transitions" -> (q257MarkovTransitions _),
     "q222_lagged_crosscov" -> (q222LaggedCrosscov _),
     "q230_t_closeness" -> (q230TCloseness _),
@@ -1281,6 +1337,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q259_behavior_entropy" -> q259Oracle,
     "q257_markov_transitions" -> q257Oracle,
     "q222_lagged_crosscov" -> q222Oracle,
     "q230_t_closeness" -> q230Oracle,

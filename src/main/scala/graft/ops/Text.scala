@@ -2903,7 +2903,7 @@ object Text {
     * final CTE `{p}lg` exposes keep + `lg`. HUGEINT keeps the mantissa
     * products exact where Spark rides BIGINT (< 2^62 by construction, so
     * values agree). */
-  private def uniLog2Ctes(p: String, src: String, x: String, keep: Seq[String]): String = {
+  private[graft] def uniLog2Ctes(p: String, src: String, x: String, keep: Seq[String]): String = {
     val kp = if (keep.isEmpty) "" else keep.mkString("", ", ", ", ")
     val head =
       s"""${p}0 AS MATERIALIZED (
@@ -3586,7 +3586,137 @@ object Text {
        |ORDER BY source""".stripMargin
   }
 
+  /** q258: stupid-backoff n-gram LM scoring (Brants et al., EMNLP 2007 —
+    * "Large Language Models in Machine Translation", THE distributed-LM
+    * recipe: no discounting, no normalization, just count ratios with a
+    * fixed 0.4 backoff factor, because at web scale the counts do the
+    * work). Trained on the even-doc_id half, scoring the odd half
+    * HELD-OUT — self-scoring would never back off (every observed n-gram
+    * is in its own model); the split is what makes the backoff ladder and
+    * the OOV tier real. Per scored position with context (w₁,w₂) and
+    * target w₃, exact 2^20 fixed point:
+    *   trigram seen:  S = c(w₁w₂w₃)·2²⁰ div c(w₁w₂)
+    *   else bigram:   S = (c(w₂w₃)·2²⁰ div c(w₂·)) · 2 div 5
+    *   else unigram:  S = (c(w₃)·2²⁰ div N) · 4 div 25
+    *   else OOV:      S = 0                        (0.4 = 2/5 exactly)
+    * Per source: tier hit-rates in ppm (the model-coverage diagnostic a
+    * backoff LM ships) and the mean score.
+    *
+    * Scale: the model is three hash aggregates over the train half; the
+    * scored position stream LEFT-joins them on their own keys — at 100 TB
+    * the n-gram tables are themselves table-sized, so these stay shuffle
+    * joins (the q169 stance). N rides the REDUCED unigram frame via a
+    * window sum (lint-conformant), never a per-position broadcast. */
+  def q258StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val base = graft.Caches.persist(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(tokens(col("text"))).as(Seq("p", "w1"))))
+    val wD = W.partitionBy(col("doc_id")).orderBy(col("p"))
+    val grams = graft.Caches.persist(
+      base.withColumn("w2", lead(col("w1"), 1).over(wD))
+        .withColumn("w3", lead(col("w1"), 2).over(wD)))
+    val train = grams.filter(col("doc_id") % 2 === 0)
+    val test = grams.filter(col("doc_id") % 2 === 1)
+      .filter(col("w3").isNotNull)
+    val tri = train.filter(col("w3").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val ctx = train.filter(col("w3").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val big = train.filter(col("w2").isNotNull)
+      .groupBy(col("w2").as("bw2"), col("w3").as("bw3")).agg(count(lit(1)).as("cb"))
+      .filter(col("bw3").isNotNull)
+    val uniCtx = train.filter(col("w2").isNotNull)
+      .groupBy(col("w2").as("uw2")).agg(count(lit(1)).as("cu"))
+    val wAllU = W.orderBy(col("uw3"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val uni = train
+      .groupBy(col("w1").as("uw3")).agg(count(lit(1)).as("c1"))
+      .withColumn("n_train", sum(col("c1")).over(wAllU))
+    test
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(big, col("w2") === col("bw2") && col("w3") === col("bw3"), "left")
+      .join(uniCtx, col("w2") === col("uw2"), "left")
+      .join(uni, col("w3") === col("uw3"), "left")
+      .withColumn("tier", expr(
+        """CASE WHEN c3 IS NOT NULL THEN 3L
+          |     WHEN cb IS NOT NULL THEN 2L
+          |     WHEN c1 IS NOT NULL THEN 1L ELSE 0L END""".stripMargin))
+      .withColumn("score", expr(
+        """CASE WHEN c3 IS NOT NULL THEN (c3 * 1048576L) div c2
+          |     WHEN cb IS NOT NULL THEN (((cb * 1048576L) div cu) * 2) div 5
+          |     WHEN c1 IS NOT NULL THEN (((c1 * 1048576L) div n_train) * 4) div 25
+          |     ELSE 0L END""".stripMargin))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_positions"),
+        expr("(sum(CASE WHEN tier = 3 THEN 1L ELSE 0L END) * 1000000L) div count(1)")
+          .as("tri_ppm"),
+        expr("(sum(CASE WHEN tier = 2 THEN 1L ELSE 0L END) * 1000000L) div count(1)")
+          .as("bi_ppm"),
+        expr("(sum(CASE WHEN tier = 1 THEN 1L ELSE 0L END) * 1000000L) div count(1)")
+          .as("uni_ppm"),
+        expr("(sum(CASE WHEN tier = 0 THEN 1L ELSE 0L END) * 1000000L) div count(1)")
+          .as("oov_ppm"),
+        expr("sum(score) div count(1)").as("mean_score_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q258Oracle: String =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, source, i - 1 AS p, toks[i] AS w1
+       |  FROM (SELECT doc_id, source, $tokensSql AS toks FROM documents) t,
+       |       unnest(range(1, len(toks) + 1)) AS u(i)),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, source, p, w1,
+       |    lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY p) AS w2,
+       |    lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY p) AS w3
+       |  FROM tk),
+       |tri AS MATERIALIZED (
+       |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+       |  FROM g WHERE doc_id % 2 = 0 AND w3 IS NOT NULL GROUP BY 1, 2, 3),
+       |ctx AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM g WHERE doc_id % 2 = 0 AND w3 IS NOT NULL GROUP BY 1, 2),
+       |big AS MATERIALIZED (
+       |  SELECT w2 AS bw2, w3 AS bw3, CAST(count(*) AS BIGINT) AS cb
+       |  FROM g WHERE doc_id % 2 = 0 AND w2 IS NOT NULL AND w3 IS NOT NULL
+       |  GROUP BY 1, 2),
+       |uctx AS MATERIALIZED (
+       |  SELECT w2 AS uw2, CAST(count(*) AS BIGINT) AS cu
+       |  FROM g WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1),
+       |uni AS MATERIALIZED (
+       |  SELECT w1 AS uw3, CAST(count(*) AS BIGINT) AS c1,
+       |    CAST(sum(count(*)) OVER () AS BIGINT) AS n_train
+       |  FROM g WHERE doc_id % 2 = 0 GROUP BY 1),
+       |scored AS (
+       |  SELECT t.source,
+       |    CASE WHEN c3 IS NOT NULL THEN 3
+       |         WHEN cb IS NOT NULL THEN 2
+       |         WHEN c1 IS NOT NULL THEN 1 ELSE 0 END AS tier,
+       |    CASE WHEN c3 IS NOT NULL THEN (c3 * 1048576) // c2
+       |         WHEN cb IS NOT NULL THEN (((cb * 1048576) // cu) * 2) // 5
+       |         WHEN c1 IS NOT NULL THEN (((c1 * 1048576) // n_train) * 4) // 25
+       |         ELSE 0 END AS score
+       |  FROM g t
+       |  LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2 AND tri.w3 = t.w3
+       |  LEFT JOIN ctx ON ctx.w1 = t.w1 AND ctx.w2 = t.w2
+       |  LEFT JOIN big ON bw2 = t.w2 AND bw3 = t.w3
+       |  LEFT JOIN uctx ON uw2 = t.w2
+       |  LEFT JOIN uni ON uw3 = t.w3
+       |  WHERE t.doc_id % 2 = 1 AND t.w3 IS NOT NULL)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_positions,
+       |  CAST((sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS tri_ppm,
+       |  CAST((sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS bi_ppm,
+       |  CAST((sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS uni_ppm,
+       |  CAST((sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm,
+       |  CAST(CAST(sum(score) AS BIGINT) // count(*) AS BIGINT) AS mean_score_fp
+       |FROM scored GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_stupid_backoff" -> (q258StupidBackoff _),
     "q256_js_divergence" -> (q256JsDivergence _),
     "q253_annotator_kappa" -> (q253AnnotatorKappa _),
     "q254_poisson_bootstrap" -> (q254PoissonBootstrap _),
@@ -3639,6 +3769,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q258_stupid_backoff" -> q258Oracle,
     "q256_js_divergence" -> q256Oracle,
     "q253_annotator_kappa" -> q253Oracle,
     "q254_poisson_bootstrap" -> q254Oracle,
