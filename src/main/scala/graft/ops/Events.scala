@@ -1308,7 +1308,160 @@ object Events {
        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** q260: Markov multi-touch attribution by removal effects (Anderl et
+    * al. 2014, the data-driven successor to last-touch heuristics): model
+    * user journeys as a first-order absorbing Markov chain (START →
+    * touchpoints → purchase-absorb or drop-off-absorb), then credit each
+    * channel by how much the chain's conversion probability FALLS when
+    * that channel is removed — removal = its transitions dropped, the
+    * lost mass flowing to the drop-off absorber (no renormalization, per
+    * the method).
+    *
+    * Journeys truncate at the FIRST purchase (post-conversion behavior is
+    * a different journey); the terminal non-converting step emits an
+    * explicit → NULL transition so every row of the matrix sums to its
+    * out-mass. Conversion probability comes from 12 unrolled
+    * value-iteration rounds v(s) ← Σ p(s,t)·v(t) at 10¹² fixed point
+    * (purchase ≡ SCALE, NULL ≡ 0) — the q117/q233 fixed-round discipline,
+    * exact integers, bit-stable under any partitioning. All five chain
+    * variants (base + 4 removals) iterate TOGETHER as one variant-tagged
+    * frame, so the 12 rounds cost 12 joins total, not 60.
+    *
+    * Scale: the corpus reduces via one user-keyed window + one pair
+    * aggregate to the bounded |states|² matrix; everything after —
+    * variant explode, 12 iterations, removal arithmetic — runs on
+    * ≤ 5·|states|² rows. At 100 TB only the journey build sees data. */
+  def q260MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pos", row_number().over(wU))
+    val firstBuy = seq0.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("pos")).as("buy_pos"))
+    val jour = seq0.join(firstBuy, Seq("user_id"), "left")
+      .filter(col("buy_pos").isNull || col("pos") <= col("buy_pos"))
+    val wJ = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+    val steps = jour
+      .withColumn("nxt", lead(col("event_type"), 1).over(wJ))
+      .select(col("user_id"), col("pos"), col("event_type"), col("nxt"))
+    // START → first event, event → next, terminal non-purchase → NULL
+    val edges = steps.filter(col("pos") === 1)
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+      .unionByName(steps.filter(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst")))
+      .unionByName(steps
+        .filter(col("nxt").isNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"), lit("NULL").as("dst")))
+    val cnt = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    val wSrc = Window.partitionBy(col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mat = cnt.withColumn("out_c", sum(col("c")).over(wSrc))
+      .select(col("src"), col("dst"), expr("(c * 1000000L) div out_c").as("p_ppm"))
+    val variants = Seq("base", "click", "view", "signup", "error")
+    val tagged = graft.Caches.trackCheckpoint(
+      mat.withColumn("variant",
+        explode(array(variants.map(lit): _*)))
+        .filter(col("variant") === "base" ||
+          (col("src") =!= col("variant") && col("dst") =!= col("variant")))
+        .localCheckpoint())
+    val states = graft.Caches.trackCheckpoint(
+      tagged.select(col("variant"), col("src").as("state")).distinct()
+        .localCheckpoint())
+    var v = states.select(col("variant"), col("state"), lit(0L).as("v"))
+    for (_ <- 1 to 12) {
+      val vNext = tagged
+        .join(v.select(col("variant"), col("state").as("dst"), col("v").as("vd")),
+          Seq("variant", "dst"), "left")
+        .withColumn("val", expr(
+          s"""CASE WHEN dst = 'purchase' THEN ${Scale}L
+             |     WHEN dst = 'NULL' THEN 0L
+             |     ELSE coalesce(vd, 0L) END""".stripMargin))
+        .groupBy(col("variant"), col("src").as("state"))
+        .agg(sum(expr("(p_ppm * val) div 1000000L")).as("v"))
+      v = graft.Caches.trackCheckpoint(
+        states.join(vNext, Seq("variant", "state"), "left")
+          .select(col("variant"), col("state"), coalesce(col("v"), lit(0L)).as("v"))
+          .localCheckpoint())
+    }
+    val pStart = v.filter(col("state") === "START")
+      .select(col("variant"), col("v").as("p_conv_scaled"))
+    val base = pStart.filter(col("variant") === "base")
+      .select(col("p_conv_scaled").as("base_scaled"))
+    pStart.filter(col("variant") =!= "base")
+      .crossJoin(broadcast(base))
+      .select(col("variant").as("channel"), col("p_conv_scaled"),
+        col("base_scaled"),
+        expr("((base_scaled - p_conv_scaled) * 1000000L) div base_scaled")
+          .as("removal_effect_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  def q260Oracle: String = {
+    val Scale = 1000000000000L
+    val iters = (1 to 12).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT st.variant, st.state, CAST(coalesce(nx.v, 0) AS BIGINT) AS v
+         |  FROM states st LEFT JOIN (
+         |    SELECT m.variant, m.src AS state,
+         |      CAST(sum((m.p_ppm * CASE WHEN m.dst = 'purchase' THEN $Scale
+         |                               WHEN m.dst = 'NULL' THEN 0
+         |                               ELSE coalesce(pv.v, 0) END) // 1000000)
+         |           AS BIGINT) AS v
+         |    FROM tagged m LEFT JOIN v${k - 1} pv
+         |      ON pv.variant = m.variant AND pv.state = m.dst
+         |    GROUP BY 1, 2) nx
+         |  ON nx.variant = st.variant AND nx.state = st.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq0 AS MATERIALIZED (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+       |  FROM events),
+       |fb AS (SELECT user_id, min(pos) AS buy_pos FROM seq0
+       |       WHERE event_type = 'purchase' GROUP BY user_id),
+       |jour AS MATERIALIZED (
+       |  SELECT s.user_id, s.event_type, s.pos
+       |  FROM seq0 s LEFT JOIN fb USING (user_id)
+       |  WHERE fb.buy_pos IS NULL OR s.pos <= fb.buy_pos),
+       |steps AS MATERIALIZED (
+       |  SELECT user_id, pos, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY pos) AS nxt
+       |  FROM jour),
+       |edges AS (
+       |  SELECT 'START' AS src, event_type AS dst FROM steps WHERE pos = 1
+       |  UNION ALL
+       |  SELECT event_type, nxt FROM steps WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type, 'NULL' FROM steps
+       |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+       |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+       |        FROM edges GROUP BY 1, 2),
+       |mat AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST((c * 1000000) // sum(c) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+       |  FROM cnt),
+       |tagged AS MATERIALIZED (
+       |  SELECT v.variant, m.src, m.dst, m.p_ppm
+       |  FROM mat m, (SELECT unnest(['base', 'click', 'view', 'signup', 'error'])
+       |               AS variant) v
+       |  WHERE v.variant = 'base'
+       |     OR (m.src <> v.variant AND m.dst <> v.variant)),
+       |states AS MATERIALIZED (
+       |  SELECT DISTINCT variant, src AS state FROM tagged),
+       |v0 AS (SELECT variant, state, CAST(0 AS BIGINT) AS v FROM states),
+       |$iters,
+       |ps AS (SELECT variant, v AS p_conv_scaled FROM v12 WHERE state = 'START'),
+       |b AS (SELECT p_conv_scaled AS base_scaled FROM ps WHERE variant = 'base')
+       |SELECT ps.variant AS channel, ps.p_conv_scaled, b.base_scaled,
+       |  CAST(((b.base_scaled - ps.p_conv_scaled) * 1000000) // b.base_scaled
+       |       AS BIGINT) AS removal_effect_ppm
+       |FROM ps CROSS JOIN b
+       |WHERE ps.variant <> 'base'
+       |ORDER BY channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_markov_attribution" -> (q260MarkovAttribution _),
     "q259_behavior_entropy" -> (q259BehaviorEntropy _),
     "q257_markov_transitions" -> (q257MarkovTransitions _),
     "q222_lagged_crosscov" -> (q222LaggedCrosscov _),
@@ -1337,6 +1490,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q260_markov_attribution" -> q260Oracle,
     "q259_behavior_entropy" -> q259Oracle,
     "q257_markov_transitions" -> q257Oracle,
     "q222_lagged_crosscov" -> q222Oracle,

@@ -142,6 +142,9 @@ class PlanSpec extends SparkSpec {
       // q50's declared brute-force broadcast query sub-vectors × corpus
       // sub-vector scan (per-slot IVF probes at real scale)
       "q249_maxsim_topk",
+      // 1-row broadcast base-chain conversion probability onto the 4-row
+      // removal frame (the q133/q142 global-scalar shape)
+      "q260_markov_attribution",
       // |sources|-row aggregate × broadcast 200-token vocab densification
       // (the q230 bounded-grid shape) before the JS log chains
       "q256_js_divergence")
