@@ -2109,6 +2109,85 @@ object Analytics {
        |FROM r WHERE i >= 5 ORDER BY quarter_index""".stripMargin
   }
 
+  /** q261: Apriori frequent 3-itemsets (Agrawal & Srikant, VLDB 1994 —
+    * the candidate-generation level q118's pairs stop before): triples of
+    * parts co-ordered in ≥ 2 baskets, mined with the Apriori plan rather
+    * than a naive 3-way self-join. The downward-closure property is the
+    * whole algorithm: a frequent triple's every sub-pair is frequent, so
+    * (1) items prune to the frequent head first, (2) pair candidates
+    * expand basket-LOCALLY from each order's sorted item array (q118's
+    * in-task generation — per-task memory is basket size², never fact
+    * volume), (3) the pair stream semi-joins the broadcast frequent-pair
+    * set on (a,b) BEFORE the third item attaches, and (4) (b,c) and (a,c)
+    * prune again before the counting shuffle — the enumeration never
+    * touches a triple whose prefix already failed. Output ships each
+    * surviving triple with its three sub-pair supports (the frame
+    * association-rule expansion at level 3 reads).
+    *
+    * Scale: the fact table is scanned once into baskets; every prune is a
+    * broadcast semi-join against HAVING-reduced frames; the only wide
+    * shuffle is the final (a,b,c) count over the pruned candidate stream. */
+  def q261AprioriTriples(s: SparkSession, dir: String): DataFrame = {
+    val minsup = 2L
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val itemSup = li.groupBy("l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("c"))
+      .filter(col("c") >= minsup)
+    val pruned = li.join(broadcast(itemSup.select(col("l_partkey"))), "l_partkey")
+    val baskets = graft.Caches.persist(
+      pruned.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) >= 2))
+    val pairStream = baskets
+      .select(col("l_orderkey"), explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS a, y AS b))))"))
+        .as("pr"))
+      .select(col("l_orderkey"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val f2 = graft.Caches.persist(
+      pairStream.groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+        .filter(col("s") >= minsup))
+    val f2b = broadcast(f2.select(col("a"), col("b")))
+    val cps = pairStream.join(f2b, Seq("a", "b"), "left_semi")
+    // third item from the basket ARRAYS (set semantics — a part split
+    // across two lines of one order counts once, q118's collect_set rule)
+    val items = baskets.select(col("l_orderkey"), explode(col("ps")).as("c"))
+    val tri = cps
+      .join(items, Seq("l_orderkey"))
+      .filter(col("c") > col("b"))
+      .join(f2b.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+      .join(f2b.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minsup)
+    tri
+      .join(f2.select(col("a"), col("b"), col("s").as("s_ab")), Seq("a", "b"))
+      .join(f2.select(col("a"), col("b").as("c"), col("s").as("s_ac")), Seq("a", "c"))
+      .join(f2.select(col("a").as("b"), col("b").as("c"), col("s").as("s_bc")), Seq("b", "c"))
+      .select(col("a").as("p_a"), col("b").as("p_b"), col("c").as("p_c"),
+        col("support"), col("s_ab"), col("s_ac"), col("s_bc"))
+      .orderBy(col("support").desc, col("p_a"), col("p_b"), col("p_c"))
+  }
+
+  val q261Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |f2 AS (
+      |  SELECT a.p AS a, b.p AS b, CAST(count(*) AS BIGINT) AS s
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |t AS (
+      |  SELECT a.p AS a, b.p AS b, c.p AS c, CAST(count(*) AS BIGINT) AS support
+      |  FROM li a
+      |  JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |  JOIN li c ON b.ok = c.ok AND b.p < c.p
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |SELECT t.a AS p_a, t.b AS p_b, t.c AS p_c, t.support,
+      |  ab.s AS s_ab, ac.s AS s_ac, bc.s AS s_bc
+      |FROM t
+      |JOIN f2 ab ON ab.a = t.a AND ab.b = t.b
+      |JOIN f2 ac ON ac.a = t.a AND ac.b = t.c
+      |JOIN f2 bc ON bc.a = t.b AND bc.b = t.c
+      |ORDER BY t.support DESC, p_a, p_b, p_c""".stripMargin
+
   /** q255: Benford first-digit audit (Benford 1938; Nigrini's fraud-
     * detection workhorse) — a data-quality gate for any financial fact
     * table: naturally-arising multi-scale amounts follow
@@ -2398,6 +2477,7 @@ object Analytics {
     "q236_holt_trend" -> (q236HoltTrend _),
     "q252_holt_winters" -> (q252HoltWinters _),
     "q255_benford_audit" -> (q255BenfordAudit _),
+    "q261_apriori_triples" -> (q261AprioriTriples _),
     "q223_twopass_quantile" -> (q223TwopassQuantile _),
     "q219_cusum_drift" -> (q219CusumDrift _),
     "q217_sql_script_fold" -> (q217SqlScriptFold _),
@@ -2449,6 +2529,7 @@ object Analytics {
     "q236_holt_trend" -> q236Oracle,
     "q252_holt_winters" -> q252Oracle,
     "q255_benford_audit" -> q255Oracle,
+    "q261_apriori_triples" -> q261Oracle,
     "q223_twopass_quantile" -> q223Oracle,
     "q219_cusum_drift" -> q219Oracle,
     "q217_sql_script_fold" -> q217Oracle,

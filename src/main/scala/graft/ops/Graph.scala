@@ -1020,7 +1020,76 @@ object Graph {
        |ORDER BY nation_id""".stripMargin
   }
 
+  /** q262: local clustering coefficient (Watts & Strogatz 1998) — q122
+    * counts the graph's triangles; this asks the per-NODE question "how
+    * interconnected is each part's co-purchase neighborhood" (2·tri(v) /
+    * deg(v)·(deg(v)−1) in exact ppm), the community-tightness feature
+    * behind substitute/complement detection. Triangles enumerate ONCE via
+    * the ordered pattern a<b<c (each triangle exactly one row) and then
+    * credit all three corners by an in-task explode — never three
+    * enumerations. Edges are the support-≥2 co-order pairs (q118's
+    * basket-local generation, no all-pairs).
+    *
+    * Scale: the triangle join is two hash joins on edge keys (the q122
+    * plan); degrees are one aggregate over the symmetrized edge list;
+    * output is TakeOrderedAndProject top-25 by coefficient. */
+  def q262ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val edges = graft.Caches.persist(
+      baskets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS a, y AS b))))"))
+        .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b")))
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"), "left_semi")
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("v"))
+      .withColumn("lcc_ppm", expr("(2 * tri * 1000000L) div (deg * (deg - 1))"))
+      .select(col("v").as("part_key"), col("deg"), col("tri"), col("lcc_ppm"))
+      .orderBy(col("lcc_ppm").desc, col("tri").desc, col("part_key").asc)
+      .limit(25)
+  }
+
+  val q262Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT a.p AS a, b.p AS b
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      |tr AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+      |corner AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS tri
+      |  FROM (SELECT x AS v FROM tr UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr)
+      |  GROUP BY v)
+      |SELECT d.v AS part_key, d.deg, c.tri,
+      |  CAST((2 * c.tri * 1000000) // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+      |FROM deg d JOIN corner c ON c.v = d.v
+      |WHERE d.deg >= 2
+      |ORDER BY lcc_ppm DESC, tri DESC, part_key ASC
+      |LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_clustering_coeff" -> (q262ClusteringCoeff _),
     "q251_hits_scores" -> (q251HitsScores _),
     "q171_lpa_communities" -> (q171LpaCommunities _),
     "q117_pagerank" -> (q117Pagerank _),
@@ -1034,6 +1103,7 @@ object Graph {
     "q234_personalized_pagerank" -> (q234PersonalizedPagerank _))
 
   def oracles: Map[String, String] = Map(
+    "q262_clustering_coeff" -> q262Oracle,
     "q251_hits_scores" -> q251Oracle,
     "q171_lpa_communities" -> q171Oracle,
     "q117_pagerank" -> q117Oracle,

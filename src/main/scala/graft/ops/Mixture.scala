@@ -664,7 +664,72 @@ object Mixture {
       |FROM documents
       |ORDER BY global_seq""".stripMargin
 
+  /** q263: rendezvous-hash shard rebalancing audit (Thaler & Ravishankar
+    * 1998, highest-random-weight hashing — the stateless sibling of
+    * consistent hashing): when a 16-shard corpus layout grows to 17
+    * shards, HRW placement (shard = argmax_s h(doc, s)) moves EXACTLY the
+    * documents whose new-shard weight wins — an expected 1/17 of the
+    * corpus — while mod-N placement reshuffles ~16/17 of it. This query
+    * measures both movement fractions on data next to the 1/17 theoretical
+    * line: the audit that justifies HRW for a 100 TB shard layout, where
+    * "moved" means re-copied bytes.
+    *
+    * Determinism: h(doc, s) is the house 60-bit md5 stream; argmax is
+    * max(struct(h, s)) — total order, no ties in practice and
+    * deterministic under them. The 17× fan-out is a pure map feeding one
+    * doc-keyed aggregate; the movement census is a second 1-row
+    * aggregate. HRW's per-doc cost is O(shards) — the reason real systems
+    * pair it with shard counts in the hundreds, not millions. */
+  def q263HrwResharding(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("sh", explode(expr("sequence(0L, 16L)")))
+      .withColumn("h", conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":"), col("sh").cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("sh") < 16, struct(col("h"), col("sh")))).as("m16"),
+        max(struct(col("h"), col("sh"))).as("m17"))
+      .select(col("doc_id"),
+        col("m16.sh").as("s16"), col("m17.sh").as("s17"))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("doc_id") % 16 =!= col("doc_id") % 17).cast("long")).as("moved_mod"),
+      sum((col("s16") =!= col("s17")).cast("long")).as("moved_hrw"))
+      .select(col("n_docs"), col("moved_mod"), col("moved_hrw"),
+        expr("(moved_mod * 1000000L) div greatest(n_docs, 1L)").as("moved_mod_ppm"),
+        expr("(moved_hrw * 1000000L) div greatest(n_docs, 1L)").as("moved_hrw_ppm"),
+        lit(1000000L / 17L).as("expected_hrw_ppm"))
+  }
+
+  val q263Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(0, 17)) AS sh FROM documents),
+      |h AS (
+      |  SELECT doc_id, sh,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+      |      || CAST(sh AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM f),
+      |pd AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN sh < 16 THEN {'h': h, 's': sh} END)['s'] AS s16,
+      |    max({'h': h, 's': sh})['s'] AS s17
+      |  FROM h GROUP BY doc_id),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN doc_id % 16 <> doc_id % 17 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS moved_mod,
+      |    CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw
+      |  FROM pd)
+      |SELECT n_docs, moved_mod, moved_hrw,
+      |  CAST((moved_mod * 1000000) // greatest(n_docs, 1) AS BIGINT) AS moved_mod_ppm,
+      |  CAST((moved_hrw * 1000000) // greatest(n_docs, 1) AS BIGINT) AS moved_hrw_ppm,
+      |  CAST(58823 AS BIGINT) AS expected_hrw_ppm
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_hrw_resharding" -> (q263HrwResharding _),
     "q240_global_sequence" -> (q240GlobalSequence _),
     "q193_shard_assign" -> (q193ShardAssign _),
     "q177_context_fit_audit" -> (q177ContextFitAudit _),
@@ -675,6 +740,7 @@ object Mixture {
     "q213_data_wall_sweep" -> (q213DataWallSweep _))
 
   val oracles: Map[String, String] = Map(
+    "q263_hrw_resharding" -> q263Oracle,
     "q240_global_sequence" -> q240Oracle,
     "q193_shard_assign" -> q193Oracle,
     "q177_context_fit_audit" -> q177Oracle,
