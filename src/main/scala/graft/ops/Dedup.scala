@@ -1031,18 +1031,34 @@ object Dedup {
     * size², the same discipline as the LSH band joins; the field
     * comparators are codegen'd array/scalar builtins. At 100 TB blocks
     * come from multiple passes (brand, sorted-neighborhood on name) and
-    * union — one block key suffices to pin the semantics. */
+    * union — one block key suffices to pin the semantics.
+    *
+    * DERIVED BLOCKING (round-9 re-plan, 11 s → sub-second at sf0.1): the
+    * weight table implies a structural prune — the best score WITHOUT
+    * type agreement is −8+16+30 = 38 < 40, so every link has tp1 = tp2,
+    * and type can join the BLOCK KEY: (brand, type) blocks are ~150×
+    * smaller than brand blocks, and the expensive Jaccard comparator
+    * runs only on pairs that could possibly link. This is the standard
+    * Fellegi–Sunter blocking refinement (derive blocks from the decision
+    * rule's necessary conditions); the emitted rows are provably
+    * identical — agr_type ≡ 1 on every row the ≥ 40 filter keeps either
+    * way, which the unchanged brand-blocked oracle pins on data. If the
+    * weights change, re-derive: the prune is valid iff
+    * max_score(¬type) < threshold. */
   def q241RecordLinkage(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
       .select(col("p_partkey").as("pk"), col("p_brand").as("blk"),
         col("p_type").as("tp"), col("p_size").cast("long").as("sz"),
         array_distinct(filter(split(lower(col("p_name")), "[^a-z0-9]+"),
           t => t =!= lit(""))).as("nt"))
-    val a = p.select(col("pk").as("p1"), col("blk"), col("tp").as("tp1"),
+    val a = p.select(col("pk").as("p1"), col("blk"), col("tp"),
       col("sz").as("sz1"), col("nt").as("nt1"))
-    val b = p.select(col("pk").as("p2"), col("blk"), col("tp").as("tp2"),
+    val b = p.select(col("pk").as("p2"), col("blk"), col("tp"),
       col("sz").as("sz2"), col("nt").as("nt2"))
-    a.join(b, Seq("blk")).filter(col("p1") < col("p2"))
+    // (brand, type) derived block key — see scaladoc; tp1/tp2 are equal on
+    // every emittable row, so the columns collapse into the join key
+    a.join(b, Seq("blk", "tp")).filter(col("p1") < col("p2"))
+      .withColumn("tp1", col("tp")).withColumn("tp2", col("tp"))
       .withColumn("jac_ppm",
         expr("""(CAST(size(array_intersect(nt1, nt2)) AS BIGINT) * 1000000L)
                | div size(array_union(nt1, nt2))""".stripMargin))
