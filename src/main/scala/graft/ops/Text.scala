@@ -3715,7 +3715,59 @@ object Text {
        |FROM scored GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q264: Good–Turing unseen-mass estimation (Good 1953; the smoothing
+    * behind Katz backoff and the standard answer to "how much probability
+    * does text we HAVEN'T seen hold") — the corpus-planning number next
+    * to q198's Heaps curve: per source, the frequency-of-frequencies
+    * frame gives p₀ = N₁/N exactly (the total mass of unseen types equals
+    * the hapax share), and the Turing discounts r* = (r+1)·N_{r+1}/N_r
+    * quantify how much observed counts over-claim. All exact integers:
+    * p₀ in ppm, discounts in 2²⁰ fixed point, NULL where N_{r+1} has no
+    * support (the regime Simple Good–Turing smooths — out of scope, the
+    * raw estimator is the operator).
+    *
+    * Scale: two chained hash aggregates (token counts → count-of-counts)
+    * and a ≤ |sources|·|r| pivot — the corpus is touched once. */
+  def q264GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("r"))
+    tc.groupBy(col("source"))
+      .agg(sum(col("r")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("r") === 3, 1L).otherwise(0L)).as("n3"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        col("n1"), col("n2"), col("n3"),
+        expr("(n1 * 1000000L) div n_tokens").as("p_unseen_ppm"),
+        expr("CASE WHEN n1 > 0 THEN (2 * n2 * 1048576L) div n1 END").as("r1_star_fp"),
+        expr("CASE WHEN n2 > 0 THEN (3 * n3 * 1048576L) div n2 END").as("r2_star_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q264Oracle: String =
+    s"""WITH tc AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS r
+       |  FROM (SELECT source, unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |ff AS (
+       |  SELECT source, CAST(sum(r) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab_size,
+       |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+       |  FROM tc GROUP BY source)
+       |SELECT source, n_tokens, vocab_size, n1, n2, n3,
+       |  CAST((n1 * 1000000) // n_tokens AS BIGINT) AS p_unseen_ppm,
+       |  CAST(CASE WHEN n1 > 0 THEN (2 * n2 * 1048576) // n1 END AS BIGINT)
+       |    AS r1_star_fp,
+       |  CAST(CASE WHEN n2 > 0 THEN (3 * n3 * 1048576) // n2 END AS BIGINT)
+       |    AS r2_star_fp
+       |FROM ff ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_good_turing" -> (q264GoodTuring _),
     "q258_stupid_backoff" -> (q258StupidBackoff _),
     "q256_js_divergence" -> (q256JsDivergence _),
     "q253_annotator_kappa" -> (q253AnnotatorKappa _),
@@ -3769,6 +3821,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q264_good_turing" -> q264Oracle,
     "q258_stupid_backoff" -> q258Oracle,
     "q256_js_divergence" -> q256Oracle,
     "q253_annotator_kappa" -> q253Oracle,

@@ -1202,7 +1202,95 @@ object Vector {
        |WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** q265: NDCG@10 retrieval evaluation (Järvelin & Kekäläinen 2002) — the
+    * metric that grades the ANN stack (q50–q53, q102, q249) as a RETRIEVAL
+    * system, not just a nearest-neighbor oracle: per probe query, the
+    * discounted cumulative gain of label-relevant results in the cosine
+    * top-10, normalized by the ideal ordering. Exact integers throughout:
+    * the rank discounts 1/log₂(rank+1) come from the SAME fixed-point log2
+    * machinery as the LM costs (gain g(r) = 2³⁶ div log2fp(r+1), so
+    * g(1) = 2²⁰ exactly), the ideal DCG is a cumulative-gain lookup at
+    * min(n_relevant, 10) — an equi-join on the 10-row discount frame, not
+    * a θ-join — and NDCG ships in ppm.
+    *
+    * Scale: the scored pass is q50's declared broadcast-queries × corpus
+    * scan (swap in the IVF probe join at real scale, metric unchanged);
+    * per-label corpus counts are one aggregate; everything after runs on
+    * |queries| rows. */
+  def q265NdcgRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    graft.functions.VectorExpressions.register(s)
+    val emb = graft.Caches.persist(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          v(col("embedding")).as("vv"))
+        .withColumn("nrm", norm(col("vv"))))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("vv").as("qv"), col("nrm").as("qn"))
+    val wR = W.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val ranked = broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("vv")) / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("qlabel"), col("rk"),
+        (col("label") === col("qlabel")).cast("long").as("rel"))
+    val gains = graft.Caches.persist(
+      Text.withLog2fp(s.range(1, 11).toDF("rk").limit(10), "rk + 1", "lg")
+        .select(col("rk"), expr("68719476736L div lg").as("g"))
+        .withColumn("cum_g", sum(col("g")).over(W.orderBy(col("rk"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))))
+    val dcg = ranked.join(broadcast(gains.select(col("rk"), col("g"))), Seq("rk"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("rel")).as("hits"), sum(expr("rel * g")).as("dcg_fp"))
+    val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    dcg
+      .join(lc, col("qlabel") === col("label"))
+      .withColumn("n_rel", col("c") - 1)
+      .withColumn("cap", least(col("n_rel"), lit(10L)))
+      .join(broadcast(gains.select(col("rk").as("cap"), col("cum_g"))), Seq("cap"))
+      .select(col("query_id"), col("qlabel").as("label"), col("n_rel"),
+        col("hits"), col("dcg_fp"), col("cum_g").as("idcg_fp"),
+        expr("(dcg_fp * 1000000L) div cum_g").as("ndcg_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val q265Oracle: String =
+    s"""WITH rks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS rk),
+       |${graft.ops.Text.uniLog2Ctes("ng_", "(SELECT rk, rk + 1 AS x FROM rks)", "x", Seq("rk"))},
+       |gains AS MATERIALIZED (
+       |  SELECT rk, 68719476736 // lg AS g,
+       |    CAST(sum(68719476736 // lg) OVER (ORDER BY rk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+       |  FROM ng_lg),
+       |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        ${vSql("embedding")} AS vv FROM embeddings),
+       |n AS (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
+       |      FROM n WHERE vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT query_id, qlabel, vec_id,
+       |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vec_id ASC) AS rk
+       |  FROM q JOIN n ON query_id <> vec_id),
+       |dcg AS (
+       |  SELECT query_id, qlabel, CAST(sum(rel) AS BIGINT) AS hits,
+       |    CAST(sum(rel * g) AS BIGINT) AS dcg_fp
+       |  FROM ranked JOIN gains USING (rk)
+       |  WHERE rk <= 10 GROUP BY 1, 2),
+       |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM n GROUP BY label)
+       |SELECT d.query_id, d.qlabel AS label, lc.c - 1 AS n_rel, d.hits, d.dcg_fp,
+       |  gains.cum_g AS idcg_fp,
+       |  CAST((d.dcg_fp * 1000000) // gains.cum_g AS BIGINT) AS ndcg_ppm
+       |FROM dcg d
+       |JOIN lc ON lc.label = d.qlabel
+       |JOIN gains ON gains.rk = least(lc.c - 1, 10)
+       |ORDER BY d.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_ndcg_retrieval" -> (q265NdcgRetrieval _),
     "q249_maxsim_topk" -> (q249MaxsimTopk _),
     "q239_hard_negatives" -> (q239HardNegatives _),
     "q226_embedding_drift" -> (q226EmbeddingDrift _),
@@ -1220,6 +1308,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q265_ndcg_retrieval" -> q265Oracle,
     "q249_maxsim_topk" -> q249Oracle,
     "q239_hard_negatives" -> q239Oracle,
     "q226_embedding_drift" -> q226Oracle,

@@ -142,6 +142,9 @@ class PlanSpec extends SparkSpec {
       // q50's declared brute-force broadcast query sub-vectors × corpus
       // sub-vector scan (per-slot IVF probes at real scale)
       "q249_maxsim_topk",
+      // q50's declared brute-force broadcast probe-queries × corpus scan
+      // (the retrieval pass being graded; IVF probes at real scale)
+      "q265_ndcg_retrieval",
       // 1-row broadcast base-chain conversion probability onto the 4-row
       // removal frame (the q133/q142 global-scalar shape)
       "q260_markov_attribution",
