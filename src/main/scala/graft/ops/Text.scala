@@ -3766,7 +3766,71 @@ object Text {
        |    AS r2_star_fp
        |FROM ff ORDER BY source""".stripMargin
 
+  /** q266: token-mass-weighted length quantiles — the corpus-planning
+    * cut the UNWEIGHTED quantiles (q223/q250) get wrong: "half the
+    * DOCUMENTS are shorter than X" and "half the TOKENS live in documents
+    * shorter than Y" differ exactly when long documents carry the mass,
+    * and packing/context-window budgets (q177/q195) are paid in tokens,
+    * not documents. Weighted p50/p90: the smallest document length v such
+    * that documents of length ≤ v carry ≥ k of the total token mass
+    * (k = (W+1) div 2 / (9W+9) div 10 — the q223 rank convention applied
+    * to weight). Ships the locating length, its exact cumulative mass,
+    * and the doc count at that length.
+    *
+    * Scale: one corpus hash aggregate onto the bounded length domain
+    * (|distinct lengths| ≤ max doc length — domain-bounded, not
+    * corpus-bounded), cumulative window + target pick on that reduced
+    * frame. */
+  def q266WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val hist = Tables.documents(s, dir)
+      .select(col("n_chars").as("v"),
+        size(tokens(col("text"))).cast("long").as("w"))
+      .groupBy(col("v"))
+      .agg(sum(col("w")).as("wv"), count(lit(1)).as("n_docs"))
+    val wOrd = W.orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    hist
+      .withColumn("cum", sum(col("wv")).over(wOrd))
+      .withColumn("tot", sum(col("wv")).over(wAll))
+      .select(col("v"), col("wv"), col("n_docs"), col("cum"), col("tot"),
+        explode(array(
+          struct(lit("wp50").as("stat"), expr("(tot + 1) div 2").as("k")),
+          struct(lit("wp90").as("stat"), expr("(9 * tot + 9) div 10").as("k")))).as("sk"))
+      .filter(col("cum") - col("wv") < col("sk.k") && col("sk.k") <= col("cum"))
+      .select(col("sk.stat").as("stat"), col("tot").as("total_tokens"),
+        col("sk.k").as("k"), col("v").as("length_chars"),
+        col("cum").as("cum_tokens"), col("n_docs").as("n_docs_at_length"))
+      .orderBy(col("stat"))
+  }
+
+  val q266Oracle: String =
+    s"""WITH d AS (
+       |  SELECT n_chars AS v, CAST(len($tokensSql) AS BIGINT) AS w
+       |  FROM documents),
+       |hist AS (
+       |  SELECT v, CAST(sum(w) AS BIGINT) AS wv, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM d GROUP BY v),
+       |c AS (
+       |  SELECT v, wv, n_docs,
+       |    CAST(sum(wv) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(wv) OVER () AS BIGINT) AS tot
+       |  FROM hist),
+       |st AS (
+       |  SELECT c.*, s.stat,
+       |    CASE s.stat WHEN 'wp50' THEN (c.tot + 1) // 2
+       |                ELSE (9 * c.tot + 9) // 10 END AS k
+       |  FROM c, (SELECT unnest(['wp50', 'wp90']) AS stat) s)
+       |SELECT stat, tot AS total_tokens, k, v AS length_chars,
+       |  cum AS cum_tokens, n_docs AS n_docs_at_length
+       |FROM st WHERE cum - wv < k AND k <= cum
+       |ORDER BY stat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_weighted_quantiles" -> (q266WeightedQuantiles _),
     "q264_good_turing" -> (q264GoodTuring _),
     "q258_stupid_backoff" -> (q258StupidBackoff _),
     "q256_js_divergence" -> (q256JsDivergence _),
@@ -3821,6 +3885,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q266_weighted_quantiles" -> q266Oracle,
     "q264_good_turing" -> q264Oracle,
     "q258_stupid_backoff" -> q258Oracle,
     "q256_js_divergence" -> q256Oracle,
