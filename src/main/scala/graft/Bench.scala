@@ -123,36 +123,45 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
         (line(identity, 3) + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(_) => () } // stdout still carries the short line
+    // Full detail goes to stdout FIRST — humans reading the complete log get
+    // everything; the driver's 2000-char tail may truncate it, which is fine
+    // because the parseable artifact is the LAST line below.
+    println(line(identity, 3))
+    Caches.releaseMemos()
     spark.stop()
     // after stop(): nothing (Spark shutdown chatter goes to stderr) prints
     // below this line on stdout.
     //
-    // SELF-SIZING: the driver parses the JSON from the LAST 2000 chars of
-    // stdout, and sbt appends a ~75-char "[success] Total time" line after
-    // us — so this line must stay ≤ ~1900 chars to survive the tail WHOLE.
-    // At 132 queries the 3-decimal form is ~1.85 KB (≈90 bytes of margin);
-    // every added query erodes it. Degrade per-query precision (3 → 2 → 1
-    // decimals) until the line fits; the full 3-decimal detail is always in
-    // bench_local.json.
-    // ladder extension (round 7, 165 queries): the "qNN" 1-decimal map is
-    // ~1.94 KB — past the budget — so two further rungs drop the 'q' from
-    // the keys (bare "NN", still unique; scripts/bench_compare.py
-    // normalizes both shapes) and shorten sf to its basename, first at 1
-    // then at 0 decimals. bench_local.json always keeps full names + 3dp.
-    val shortId  = (s: String) => s.takeWhile(_ != '_')
-    val bareId   = (s: String) => s.takeWhile(_ != '_').stripPrefix("q")
-    val sfBase   = new java.io.File(sfDir).getName
-    // final rung drops the failed ARRAY but keeps n_failed (ADVICE r7):
-    // a many-failure run must still fit the 1900-char tail — the names are
-    // on stderr (BENCH FAIL lines) and in bench_local.json; the count plus
-    // the non-zero rc carry the signal through the truncating driver tail.
-    val shortLine = (Iterator(3, 2, 1)
-      .map(dp => line(shortId, dp, cDp = 2, omitEmptyFailed = true)) ++
-      Iterator(1, 0)
-        .map(dp => line(bareId, dp, cDp = 2, omitEmptyFailed = true, sfName = sfBase)))
-      .find(_.length <= 1900)
-      .getOrElse(line(bareId, 0, cDp = 2, omitEmptyFailed = true, sfName = sfBase,
-        dropFailed = true))
+    // SELF-SIZING SUMMARY, printed LAST (VERDICT r9 item 3: at 252 queries
+    // even the bare-id 0-decimal full map overflowed the driver's 2000-char
+    // stdout tail, truncating the line's HEAD — which is where total_sec
+    // lives — so BENCH_r09.json came back "parsed": null). The old ladder
+    // degraded precision but always shipped EVERY query; growth made any
+    // full map unfittable. New contract: the headline (total, counts,
+    // canaries, failures) is non-negotiable and the queries map is
+    // best-effort — it keeps only the SLOWEST k entries that fit the 1900-
+    // char budget (the omitted ones are the sub-second tail, recoverable
+    // from bench_local.json, which always keeps full names + 3dp), with
+    // n_omitted recording the cut so a reader knows the map is partial.
+    // The line is constructed to fit, so it always survives the tail WHOLE
+    // and always parses.
+    val shortId = (s: String) => s.takeWhile(_ != '_')
+    val sfBase  = new java.io.File(sfDir).getName
+    val bySlow  = results.toSeq.sortBy { case (n, t) => (-t, n) }
+      .map { case (n, t) => "\"" + shortId(n) + "\":" + rN(t, 1) }
+    def summary(k: Int, withFailed: Boolean): String = {
+      val fj =
+        if (!withFailed || failedNames.isEmpty) ""
+        else "\"failed\":" + failedNames.map(n => "\"" + shortId(n) + "\"")
+          .mkString("[", ",", "]") + ","
+      s"""{"metric":"total_sec","value":${rN(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},$fj"canary_first":${rN(canaryFirst, 2)},"canary_last":${rN(canaryLast, 2)},"canary_shuffle_first":${rN(canaryShFirst, 2)},"canary_shuffle_last":${rN(canaryShLast, 2)},"sf":"$sfBase","n_omitted":${bySlow.size - k},"queries":${bySlow.take(k).mkString("{", ",", "}")}}"""
+    }
+    // prefer naming the failures; drop the array only if headline+array
+    // alone can't fit (the names are on stderr and in bench_local.json)
+    val shortLine =
+      (bySlow.size to 0 by -1).iterator.map(summary(_, withFailed = true))
+        .find(_.length <= 1900)
+        .getOrElse(summary(0, withFailed = false))
     println(shortLine)
     // a bench with hard failures is a failed bench — visible in rc, not just
     // in the (already-printed) JSON line

@@ -2345,7 +2345,10 @@ object Analytics {
     val itemSup = li.groupBy("l_partkey")
       .agg(countDistinct(col("l_orderkey")).as("c"))
       .filter(col("c") >= minsup)
-    val nOrders = Tables.orders(s, dir).count()
+    // ADVICE r9: the order count rides as a broadcast 1-row aggregate frame
+    // (q234's nSeeds shape), not an eager .count() — constructing the
+    // DataFrame (plan lint, explain) must not run a driver-side orders scan.
+    val nOrd = Tables.orders(s, dir).agg(count(lit(1)).as("n_ord"))
     val supB = broadcast(graft.Caches.persist(itemSup))
     val pruned = li.join(supB.select(col("l_partkey")), "l_partkey")
     val pairs = pruned.groupBy(col("l_orderkey"))
@@ -2365,10 +2368,11 @@ object Analytics {
       .select(col("r.ante").as("ante"), col("r.cons").as("cons"), col("r.support").as("support"))
       .join(supB.select(col("l_partkey").as("ante"), col("c").as("ca")), Seq("ante"))
       .join(supB.select(col("l_partkey").as("cons"), col("c").as("cc")), Seq("cons"))
+      .crossJoin(broadcast(nOrd))
     rules.select(col("ante"), col("cons"), col("support"),
         expr("(support * 1000000L) div ca").as("conf_ppm"),
-        expr(s"(support * ${nOrders}L * 1000000L) div (ca * cc)").as("lift_ppm"),
-        expr(s"(cc * 1000000L) div ${nOrders}L").as("supb_ppm"))
+        expr("(support * n_ord * 1000000L) div (ca * cc)").as("lift_ppm"),
+        expr("(cc * 1000000L) div n_ord").as("supb_ppm"))
       .withColumn("conviction_ppm",
         when(col("conf_ppm") >= 1000000L, lit(null).cast("long"))
           .otherwise(expr("((1000000L - supb_ppm) * 1000000L) div (1000000L - conf_ppm)")))

@@ -532,8 +532,18 @@ object Sketches {
           16, 10).cast("long").as("h"))
       .distinct()
     val sk = hashed.groupBy(col("event_type")).agg(minK(col("h"), -col("h")).as("mins"))
-    val a = sk.filter(col("event_type") === "purchase").select(col("mins").as("ma"))
-    val b = sk.filter(col("event_type") === "click").select(col("mins").as("mb"))
+    // Degenerate-input guard (ADVICE r9): an empty segment would DROP its
+    // row from sk, collapsing the crossJoin to 0 rows while the oracle's
+    // ungrouped array_agg subqueries still emit one row — so each segment
+    // left-joins a constant 1-row frame and an absent sketch coalesces to
+    // the EMPTY array (the oracle coalesces identically), keeping the row
+    // shape engine-identical on empty segments.
+    def seg(name: String, out: String) =
+      s.range(1).select(lit(name).as("event_type"))
+        .join(broadcast(sk), Seq("event_type"), "left")
+        .select(coalesce(col("mins"), expr("CAST(array() AS ARRAY<BIGINT>)")).as(out))
+    val a = seg("purchase", "ma")
+    val b = seg("click", "mb")
     val est = (arr: String) =>
       s"""CASE WHEN size($arr) < $k THEN CAST(size($arr) AS BIGINT)
          |ELSE CAST((${k - 1} * CAST(1152921504606846976 AS DECIMAL(38,0)))
@@ -550,13 +560,13 @@ object Sketches {
         expr(est("mb")).as("est_click"),
         expr(est("mu")).as("est_union"),
         expr(s"""(CAST(size(filter(mu, x -> array_contains(ma, x) AND array_contains(mb, x))) AS BIGINT)
-                 | * 1000000L) div size(mu)""".stripMargin).as("jaccard_ppm"),
+                 | * 1000000L) div nullif(size(mu), 0)""".stripMargin).as("jaccard_ppm"),
         expr(s"""(CAST(size(filter(mu, x -> array_contains(ma, x) AND array_contains(mb, x))) AS BIGINT)
-                 | * (${est("mu")})) div size(mu)""".stripMargin).as("est_intersection"),
+                 | * (${est("mu")})) div nullif(size(mu), 0)""".stripMargin).as("est_intersection"),
         expr(s"""(CAST(size(filter(mu, x -> array_contains(ma, x) AND NOT array_contains(mb, x))) AS BIGINT)
-                 | * (${est("mu")})) div size(mu)""".stripMargin).as("est_purchase_only"),
+                 | * (${est("mu")})) div nullif(size(mu), 0)""".stripMargin).as("est_purchase_only"),
         expr(s"""(CAST(size(filter(mu, x -> array_contains(mb, x) AND NOT array_contains(ma, x))) AS BIGINT)
-                 | * (${est("mu")})) div size(mu)""".stripMargin).as("est_click_only"))
+                 | * (${est("mu")})) div nullif(size(mu), 0)""".stripMargin).as("est_click_only"))
   }
 
   /** q250: log-bucket quantile sketch — the DDSketch idea (Masson, Rim &
@@ -1016,8 +1026,10 @@ object Sketches {
        |h AS (SELECT DISTINCT event_type,
        |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
        |      FROM ev),
-       |sa AS (SELECT list_sort(array_agg(h))[1:$k] AS ma FROM h WHERE event_type = 'purchase'),
-       |sb AS (SELECT list_sort(array_agg(h))[1:$k] AS mb FROM h WHERE event_type = 'click'),
+       |sa AS (SELECT COALESCE(list_sort(array_agg(h))[1:$k], CAST([] AS BIGINT[])) AS ma
+       |       FROM h WHERE event_type = 'purchase'),
+       |sb AS (SELECT COALESCE(list_sort(array_agg(h))[1:$k], CAST([] AS BIGINT[])) AS mb
+       |       FROM h WHERE event_type = 'click'),
        |u AS (SELECT ma, mb,
        |        list_sort(list_distinct(list_concat(ma, mb)))[1:$k] AS mu
        |      FROM sa, sb)
@@ -1027,12 +1039,12 @@ object Sketches {
        |  ${est("ma")} AS est_purchase,
        |  ${est("mb")} AS est_click,
        |  ${est("mu")} AS est_union,
-       |  CAST((CAST($common AS BIGINT) * 1000000) // len(mu) AS BIGINT) AS jaccard_ppm,
-       |  CAST((CAST($common AS BIGINT) * (${est("mu")})) // len(mu) AS BIGINT)
+       |  CAST((CAST($common AS BIGINT) * 1000000) // nullif(len(mu), 0) AS BIGINT) AS jaccard_ppm,
+       |  CAST((CAST($common AS BIGINT) * (${est("mu")})) // nullif(len(mu), 0) AS BIGINT)
        |    AS est_intersection,
-       |  CAST((CAST($aOnly AS BIGINT) * (${est("mu")})) // len(mu) AS BIGINT)
+       |  CAST((CAST($aOnly AS BIGINT) * (${est("mu")})) // nullif(len(mu), 0) AS BIGINT)
        |    AS est_purchase_only,
-       |  CAST((CAST($bOnly AS BIGINT) * (${est("mu")})) // len(mu) AS BIGINT)
+       |  CAST((CAST($bOnly AS BIGINT) * (${est("mu")})) // nullif(len(mu), 0) AS BIGINT)
        |    AS est_click_only
        |FROM u""".stripMargin
   }

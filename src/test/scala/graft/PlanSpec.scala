@@ -145,9 +145,14 @@ class PlanSpec extends SparkSpec {
       // q50's declared brute-force broadcast probe-queries × corpus scan
       // (the retrieval pass being graded; IVF probes at real scale)
       "q265_ndcg_retrieval",
+      // q265's identical scored pass (shared shape, different metrics)
+      "q268_retrieval_mrr_recall",
       // 1-row broadcast base-chain conversion probability onto the 4-row
       // removal frame (the q133/q142 global-scalar shape)
       "q260_markov_attribution",
+      // 1-row broadcast order-count frame onto the frequent-rule frame
+      // (ADVICE r9: replaces the eager .count(); the q234 nSeeds shape)
+      "q245_assoc_rules",
       // |sources|-row aggregate × broadcast 200-token vocab densification
       // (the q230 bounded-grid shape) before the JS log chains
       "q256_js_divergence")
