@@ -2473,7 +2473,130 @@ object Analytics {
       |FROM lagged WHERE rev0 IS NOT NULL
       |ORDER BY segment, yr""".stripMargin
 
+  /** q269: Bradley–Terry preference-strength fitting (Zermelo 1929 /
+    * Bradley & Terry 1952) via Hunter 2004's MM algorithm — THE model
+    * behind reward-model data curation: pairwise preference labels
+    * ("A beats B") reduce to one strength parameter per competitor, and a
+    * pipeline assembling RLHF comparison data needs exactly this fit to
+    * audit rater consistency and per-source win strength. Competitors here
+    * are document SOURCES; comparisons are deterministic: adjacent doc ids
+    * (one equi self-join — NO all-pairs), cross-source, the longer
+    * document wins (ties skipped).
+    *
+    * MM update in exact 2^20 fixed point, 8 unrolled rounds:
+    * S_i = Σ_j (n_ij·FP²) div (π_i + π_j) [DECIMAL(38)-widened],
+    * π'_i = (W_i·FP²) div S_i, then mean-normalized to FP over the
+    * |sources| frame (q251's window-sum idiom) and floored at 1 so a
+    * winless competitor can never zero a later denominator (the
+    * connectedness guard Hunter's convergence theorem assumes). All floor
+    * divisions — both engines hash-identical.
+    *
+    * Scale: the comparison stream reduces in ONE hash agg to the
+    * |sources|² win matrix; every MM round is two joins + one agg over
+    * that bounded frame, localCheckpointed (the q154/q251 iteration
+    * discipline). At 100 TB of preference pairs only the first agg
+    * touches data. */
+  def q269BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val FP = 1048576L
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val pairs = d.as("a").join(d.as("b"), expr("a.doc_id + 1 = b.doc_id"))
+      .filter(expr("a.source <> b.source AND a.n_chars <> b.n_chars"))
+      .select(
+        when(expr("a.n_chars > b.n_chars"), col("a.source"))
+          .otherwise(col("b.source")).as("winner"),
+        when(expr("a.n_chars > b.n_chars"), col("b.source"))
+          .otherwise(col("a.source")).as("loser"))
+    val m = graft.Caches.trackCheckpoint(
+      pairs.groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+        .localCheckpoint())
+    val nij = graft.Caches.trackCheckpoint(
+      m.select(col("winner").as("i"), col("loser").as("j"), col("w"))
+        .unionByName(m.select(col("loser").as("i"), col("winner").as("j"), col("w")))
+        .groupBy(col("i"), col("j")).agg(sum(col("w")).as("n"))
+        .localCheckpoint())
+    val wins = graft.Caches.trackCheckpoint(
+      m.groupBy(col("winner")).agg(sum(col("w")).as("wi"))
+        .select(col("winner").as("i"), col("wi")).localCheckpoint())
+    val wAll = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var pi = graft.Caches.trackCheckpoint(
+      nij.select(col("i")).distinct().withColumn("pi", lit(FP)).localCheckpoint())
+    for (_ <- 1 to 8) {
+      val denom = nij
+        .join(pi.select(col("i"), col("pi").as("pi_i")), Seq("i"))
+        .join(pi.select(col("i").as("j"), col("pi").as("pi_j")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr(
+          s"(CAST(n AS DECIMAL(38,0)) * $FP * $FP) div (pi_i + pi_j)")).as("s"))
+      val upd = denom.join(wins, Seq("i"), "left")
+        .select(col("i"), expr(
+          s"CAST((CAST(coalesce(wi, 0L) AS DECIMAL(38,0)) * $FP * $FP) div s AS BIGINT)")
+          .as("pn"))
+      pi = graft.Caches.trackCheckpoint(upd
+        .withColumn("tot", sum(col("pn")).over(wAll))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .select(col("i"), greatest(expr(
+          s"CAST((CAST(pn AS DECIMAL(38,0)) * cnt * $FP) div tot AS BIGINT)"),
+          lit(1L)).as("pi"))
+        .localCheckpoint())
+    }
+    val matches = nij.groupBy(col("i")).agg(sum(col("n")).as("matches"))
+    pi.join(matches, Seq("i"))
+      .join(wins, Seq("i"), "left")
+      .select(col("i").as("source"), col("matches"),
+        coalesce(col("wi"), lit(0L)).as("wins"), col("pi").as("pi_fp"))
+      .orderBy(col("pi_fp").desc, col("source").asc)
+  }
+
+  def q269Oracle: String = {
+    val FP = 1048576L
+    val rounds = (1 to 8).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT n.i,
+         |    sum((CAST(n.n AS HUGEINT) * $FP * $FP) // (pa.pi + pb.pi)) AS s
+         |  FROM nij n
+         |  JOIN pi${r - 1} pa ON n.i = pa.i
+         |  JOIN pi${r - 1} pb ON n.j = pb.i
+         |  GROUP BY 1),
+         |u$r AS MATERIALIZED (
+         |  SELECT d.i,
+         |    (CAST(coalesce(w.wi, 0) AS HUGEINT) * $FP * $FP) // d.s AS pn
+         |  FROM d$r d LEFT JOIN wins w ON d.i = w.i),
+         |pi$r AS MATERIALIZED (
+         |  SELECT i, CAST(greatest(
+         |    (CAST(pn AS HUGEINT) * (SELECT count(*) FROM u$r) * $FP)
+         |      // (SELECT sum(pn) FROM u$r), 1) AS BIGINT) AS pi
+         |  FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |p AS (
+       |  SELECT
+       |    CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS winner,
+       |    CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS loser
+       |  FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
+       |  WHERE a.source <> b.source AND a.n_chars <> b.n_chars),
+       |m AS MATERIALIZED (
+       |  SELECT winner, loser, CAST(count(*) AS BIGINT) AS w FROM p GROUP BY 1, 2),
+       |nij AS MATERIALIZED (
+       |  SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
+       |    SELECT winner AS i, loser AS j, w FROM m
+       |    UNION ALL SELECT loser, winner, w FROM m)
+       |  GROUP BY 1, 2),
+       |wins AS MATERIALIZED (
+       |  SELECT winner AS i, CAST(sum(w) AS BIGINT) AS wi FROM m GROUP BY 1),
+       |pi0 AS MATERIALIZED (
+       |  SELECT DISTINCT i, CAST($FP AS BIGINT) AS pi FROM nij),
+       |$rounds,
+       |mt AS (SELECT i, CAST(sum(n) AS BIGINT) AS matches FROM nij GROUP BY 1)
+       |SELECT pi8.i AS source, mt.matches,
+       |  CAST(coalesce(w.wi, 0) AS BIGINT) AS wins, pi8.pi AS pi_fp
+       |FROM pi8 JOIN mt ON pi8.i = mt.i LEFT JOIN wins w ON pi8.i = w.i
+       |ORDER BY pi_fp DESC, source ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_bradley_terry" -> (q269BradleyTerry _),
     "q245_assoc_rules" -> (q245AssocRules _),
     "q246_revenue_bridge" -> (q246RevenueBridge _),
     "q242_ols_two_feature" -> (q242OlsTwoFeature _),
@@ -2526,6 +2649,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q269_bradley_terry" -> q269Oracle,
     "q245_assoc_rules" -> q245Oracle,
     "q246_revenue_bridge" -> q246Oracle,
     "q242_ols_two_feature" -> q242Oracle,

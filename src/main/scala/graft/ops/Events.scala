@@ -795,6 +795,106 @@ object Events {
       |    // sum(n_rows) AS BIGINT) AS suppressed_ppm
       |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Inverse-CDF thresholds for the TRUNCATED two-sided geometric
+    * (discrete-Laplace) mechanism at α = 1/2 (ε = ln 2), 2^60 fixed point:
+    * P(Z = z) ∝ α^|z| over z ∈ [-16, 16]. Exact CDF at α = 1/2:
+    * F(z) = (2/3)·2^z for z ≤ -1, F(z) = 1 − (1/3)·2^(−z) for z ≥ 0 —
+    * thresholds are ⌊F(z)·2^60⌋, public constants computed in exact BigInt
+    * so BOTH engines invert the same uniform-from-md5 stream to the same
+    * draw (the q254 Poisson-bootstrap recipe, generalized to a signed
+    * noise law). A `def` (round-5 gotcha: object val init order). */
+  private def dpGeomCase(h: String): String = {
+    val p60 = BigInt(1) << 60
+    val ladder = (-16 to 15).map { z =>
+      val t =
+        if (z < 0) (BigInt(1) << (61 + z)) / 3
+        else {
+          val den = BigInt(3) * (BigInt(1) << z)
+          (p60 * (den - 1)) / den
+        }
+      s"WHEN $h < $t THEN ${z}"
+    }
+    ladder.mkString("CASE ", " ", " ELSE 16 END")
+  }
+
+  /** q267: ε-differentially-private noisy-count release (VERDICT r9 item
+    * 4) — the fourth rung of the privacy ladder (k-anonymity q204 →
+    * l-diversity q212 → t-closeness q230 are SYNTACTIC criteria; this is
+    * the statistical one): per-cell event counts over q204's
+    * quasi-identifier grid (event_type, day) are released with additive
+    * two-sided-geometric noise, the discrete analogue of the Laplace
+    * mechanism (Ghosh, Roughgarden & Sundararajan 2009, "Universally
+    * utility-maximizing privacy mechanisms" — the geometric mechanism is
+    * ε-DP for sensitivity-1 counts and universally optimal). Event-level
+    * adjacency (one event added/removed changes one cell count by 1 →
+    * sensitivity 1); α = exp(−ε) = 1/2, i.e. ε = ln 2 per cell. Noise is
+    * truncated to |z| ≤ 16 (tail mass 2·(1/3)·2⁻¹⁶ < 2⁻¹⁵ — the standard
+    * truncated-geometric variant, (ε, δ)-DP with δ < 2⁻¹⁵) so the draw is
+    * a bounded CASE ladder; negative noisy counts clip to 0
+    * (post-processing preserves DP).
+    *
+    * Randomness is the house deterministic stream: u = first 15 hex chars
+    * of md5("dp:" ‖ event_type ‖ ':' ‖ day) ∈ [0, 2^60), inverted through
+    * the EXACT fixed-point CDF ([[dpGeomCase]]) — both engines draw
+    * bit-identical noise, so the release audit hash-matches.
+    *
+    * Output is the release audit a governance reviewer reads: per
+    * event_type, cell count, exact vs noised totals, L1 noise mass (the
+    * realized utility cost, also in ppm of the exact total), the largest
+    * single-cell perturbation, and how many cells clipped at zero.
+    *
+    * Scale stance: one hash aggregation keyed by the quasi-identifier
+    * builds the cell frame; the noise draw is a pure per-cell map (no
+    * coordination — exactly why the geometric mechanism distributes); the
+    * audit is a second agg over the bounded |types|×|days| cell frame. */
+  def q267DpNoisyRelease(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("u", conv(substring(md5(
+        concat(lit("dp:"), col("event_type"), lit(":"), col("day").cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long"))
+      .withColumn("z", expr(dpGeomCase("u")).cast("long"))
+      .withColumn("released", greatest(col("n_rows") + col("z"), lit(0L)))
+    cells
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_rows")).as("exact_total"),
+        sum(col("released")).as("noisy_total"),
+        sum(abs(col("released") - col("n_rows"))).as("l1_noise"),
+        max(abs(col("released") - col("n_rows"))).as("max_abs_noise"),
+        sum(when(col("n_rows") + col("z") < 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_clipped"))
+      .withColumn("l1_err_ppm", expr("(l1_noise * 1000000L) div exact_total"))
+      .orderBy(col("event_type"))
+  }
+
+  def q267Oracle: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM events GROUP BY 1, 2),
+       |noised AS (
+       |  SELECT event_type, n_rows,
+       |    ${dpGeomCase("CAST('0x' || substr(md5('dp:' || event_type || ':' || CAST(day AS VARCHAR)), 1, 15) AS BIGINT)")} AS z
+       |  FROM cells),
+       |rel AS (
+       |  SELECT event_type, n_rows, z,
+       |    CAST(greatest(n_rows + z, 0) AS BIGINT) AS released
+       |  FROM noised)
+       |SELECT event_type,
+       |  CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(sum(n_rows) AS BIGINT) AS exact_total,
+       |  CAST(sum(released) AS BIGINT) AS noisy_total,
+       |  CAST(sum(abs(released - n_rows)) AS BIGINT) AS l1_noise,
+       |  CAST(max(abs(released - n_rows)) AS BIGINT) AS max_abs_noise,
+       |  CAST(sum(CASE WHEN n_rows + z < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clipped,
+       |  CAST(sum(abs(released - n_rows)) * 1000000 // sum(n_rows) AS BIGINT)
+       |    AS l1_err_ppm
+       |FROM rel GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q208: VARIANT-typed semi-structured extraction — the Spark 4 VARIANT
     * path (parse once into the binary variant encoding, then typed
     * `variant_get` / null-safe `try_variant_get` / `schema_of_variant`
@@ -1461,6 +1561,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_dp_noisy_release" -> (q267DpNoisyRelease _),
     "q260_markov_attribution" -> (q260MarkovAttribution _),
     "q259_behavior_entropy" -> (q259BehaviorEntropy _),
     "q257_markov_transitions" -> (q257MarkovTransitions _),
@@ -1490,6 +1591,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q267_dp_noisy_release" -> q267Oracle,
     "q260_markov_attribution" -> q260Oracle,
     "q259_behavior_entropy" -> q259Oracle,
     "q257_markov_transitions" -> q257Oracle,

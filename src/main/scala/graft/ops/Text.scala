@@ -1321,7 +1321,15 @@ object Text {
     * pattern — the driver never holds data), and a `localCheckpoint` to
     * keep the k-round lineage flat (round-7 gotcha: persist alone
     * re-plans the deepening chain). */
-  private def bpeTrain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+  private def bpeTrain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) =
+    // Session-scoped train-once memo (VERDICT r9 item 2): q181/q182/q195/
+    // q232 all consume this artifact; the first caller trains, the rest
+    // reuse the bit-identical dictionary frames (exact-integer trainer, so
+    // reuse ≡ retrain — pinned by the determinism sweeps). See
+    // Caches.memoize for the ownership-transfer contract.
+    graft.Caches.memoize(s, "bpeTrain", dir)(bpeTrainImpl(s, dir))
+
+  private def bpeTrainImpl(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     var words = graft.Caches.trackCheckpoint(
       Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("w"))
@@ -2977,7 +2985,13 @@ object Text {
     * only non-keyed join is the 1-row broadcast log2fp(C+|V|) scalar
     * (the q184/q197 shape). Returns (seed counts, per-EM-round counts,
     * final-round emissions). */
-  private def unigramTrain(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame], DataFrame) = {
+  private def unigramTrain(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame], DataFrame) =
+    // Session-scoped train-once memo (VERDICT r9 item 2): q231/q232/q247
+    // all consume this artifact — previously each retrained it (the
+    // judge-measured ~12-15 s of redundant bit-identical recomputation).
+    graft.Caches.memoize(s, "unigramTrain", dir)(unigramTrainImpl(s, dir))
+
+  private def unigramTrainImpl(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame], DataFrame) = {
     val wcap = graft.Caches.trackCheckpoint(
       Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("w"))
@@ -3829,7 +3843,90 @@ object Text {
        |FROM st WHERE cum - wv < k AND k <= cum
        |ORDER BY stat""".stripMargin
 
+  /** q270: Zipf-law slope audit per source (Zipf 1949; the rank-frequency
+    * power law every natural-language corpus obeys with exponent ≈ −1) —
+    * the corpus-health check next to Heaps' law (q162): a source whose
+    * log-log rank-frequency slope sits far from −1 is boilerplate-heavy
+    * (too flat: few dominant templates) or ID-like noise (too steep), the
+    * cheap distributional screen a mixture planner runs before admitting a
+    * new source. OLS of log₂(count) on log₂(rank) over each source's
+    * top-200 token ranks, everything in the house 2^16 fixed-point log2
+    * ([[withLog2fp]]): slope and intercept ship as exact integers.
+    *
+    * The per-source rank profile comes from [[graft.functions.
+    * TopKPairsAggregator]] (map-side-bounded ≤ 200 rows per source BEFORE
+    * the shuffle — never a ranking window over the vocab-scale count
+    * frame); the count MULTISET at each rank is tie-break-invariant (tied
+    * ranks carry equal counts by definition), so Spark's hash tie-break
+    * and the oracle's lexicographic one produce identical (rank, count)
+    * sequences. Sources with < 2 ranks are dropped (slope undefined).
+    *
+    * Scale: one token-count aggregate (map-side combined) is the only
+    * corpus-scale pass; the OLS runs on ≤ 200·|sources| rows. */
+  def q270ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val topK = udaf(new graft.functions.TopKPairsAggregator(200),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredKey])
+    val cell = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val ranked = cell
+      .groupBy(col("source"))
+      .agg(topK(xxhash64(col("w")), col("c")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "sk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("r"),
+        col("sk.score").as("c"))
+    val logged = withLog2fp(withLog2fp(ranked, "r", "x"), "c", "y")
+    logged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"), max(col("c")).as("top_count"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .filter(col("n_ranks") >= 2)
+      .select(col("source"), col("n_ranks"), col("top_count"), col("sx"), col("sy"),
+        expr("""CAST(((CAST(n_ranks AS DECIMAL(38,0)) * sxy
+                 - CAST(sx AS DECIMAL(38,0)) * sy) * 65536)
+                div (CAST(n_ranks AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""")
+          .as("zipf_slope_fp"))
+      .withColumn("intercept_fp", expr(
+        "(sy - (CAST(zipf_slope_fp AS DECIMAL(38,0)) * sx) div 65536) div n_ranks")
+        .cast("long"))
+      .select(col("source"), col("n_ranks"), col("top_count"),
+        col("zipf_slope_fp"), col("intercept_fp"))
+      .orderBy(col("source"))
+  }
+
+  def q270Oracle: String =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT source, unnest($tokensSql) AS w FROM documents),
+       |cell AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+       |rk AS MATERIALIZED (
+       |  SELECT source, r, c FROM (
+       |    SELECT source, c,
+       |      row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS r
+       |    FROM cell) WHERE r <= 200),
+       |${uniLog2Ctes("zx_", "rk", "r", Seq("source", "c"))},
+       |${uniLog2Ctes("zy_", "(SELECT source, lg AS x, c FROM zx_lg)", "c",
+           Seq("source", "x", "c"))},
+       |mom AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+       |    CAST(max(c) AS BIGINT) AS top_count,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(lg) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * lg) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM zy_lg GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT source, n_ranks, top_count,
+       |  CAST(((CAST(n_ranks AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 65536)
+       |       // (CAST(n_ranks AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+       |       AS BIGINT) AS zipf_slope_fp,
+       |  CAST((sy - (CAST(((CAST(n_ranks AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 65536)
+       |       // (CAST(n_ranks AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS HUGEINT)
+       |       * sx) // 65536) // n_ranks AS BIGINT) AS intercept_fp
+       |FROM mom ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_zipf_slope" -> (q270ZipfSlope _),
     "q266_weighted_quantiles" -> (q266WeightedQuantiles _),
     "q264_good_turing" -> (q264GoodTuring _),
     "q258_stupid_backoff" -> (q258StupidBackoff _),
@@ -3888,6 +3985,7 @@ object Text {
     "q266_weighted_quantiles" -> q266Oracle,
     "q264_good_turing" -> q264Oracle,
     "q258_stupid_backoff" -> q258Oracle,
+    "q270_zipf_slope" -> q270Oracle,
     "q256_js_divergence" -> q256Oracle,
     "q253_annotator_kappa" -> q253Oracle,
     "q254_poisson_bootstrap" -> q254Oracle,

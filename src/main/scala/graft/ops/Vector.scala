@@ -1289,7 +1289,80 @@ object Vector {
        |JOIN gains ON gains.rk = least(lc.c - 1, 10)
        |ORDER BY d.query_id""".stripMargin
 
+  /** q268: MRR@10 and recall@10 retrieval evaluation (VERDICT r9 item 5) —
+    * the other two numbers every retrieval paper reports next to q265's
+    * NDCG, completing the eval family: per probe query, the reciprocal of
+    * the FIRST relevant rank in the cosine top-10 (0 when none — the
+    * convention that makes MRR averageable), recall@10 = hits / total
+    * relevant corpus members, and precision@10 = hits / 10. Shares q265's
+    * scored pass verbatim (same broadcast probe-queries × corpus scan —
+    * IVF probes at real scale, metric unchanged) and needs NO log2
+    * machinery: all three metrics are exact integer ppm.
+    *
+    * Scale: one scored pass, one per-label corpus count aggregate,
+    * everything after runs on |queries| rows. */
+  def q268RetrievalMrrRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    graft.functions.VectorExpressions.register(s)
+    val emb = graft.Caches.persist(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          v(col("embedding")).as("vv"))
+        .withColumn("nrm", norm(col("vv"))))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("vv").as("qv"), col("nrm").as("qn"))
+    val wR = W.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val ranked = broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("vv")) / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("qlabel"), col("rk"),
+        (col("label") === col("qlabel")).cast("long").as("rel"))
+    val agg = ranked.groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1L, col("rk"))).as("fr"))
+    val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    agg.join(lc, col("qlabel") === col("label"))
+      .withColumn("n_rel", col("c") - 1)
+      .select(col("query_id"), col("qlabel").as("label"), col("n_rel"),
+        col("hits"),
+        coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+        expr("CASE WHEN fr IS NULL THEN 0L ELSE 1000000L div fr END").as("rr_ppm"),
+        expr("(hits * 1000000L) div nullif(n_rel, 0L)").as("recall_ppm"),
+        (col("hits") * lit(100000L)).as("precision_at10_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val q268Oracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        ${vSql("embedding")} AS vv FROM embeddings),
+       |n AS (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
+       |      FROM n WHERE vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT query_id, qlabel,
+       |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vec_id ASC) AS rk
+       |  FROM q JOIN n ON query_id <> vec_id),
+       |a AS (
+       |  SELECT query_id, qlabel, CAST(sum(rel) AS BIGINT) AS hits,
+       |    min(CASE WHEN rel = 1 THEN rk END) AS fr
+       |  FROM ranked WHERE rk <= 10 GROUP BY 1, 2),
+       |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM n GROUP BY label)
+       |SELECT a.query_id, a.qlabel AS label, lc.c - 1 AS n_rel, hits,
+       |  CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+       |  CAST(CASE WHEN fr IS NULL THEN 0 ELSE 1000000 // fr END AS BIGINT)
+       |    AS rr_ppm,
+       |  CAST((hits * 1000000) // nullif(lc.c - 1, 0) AS BIGINT) AS recall_ppm,
+       |  CAST(hits * 100000 AS BIGINT) AS precision_at10_ppm
+       |FROM a JOIN lc ON lc.label = a.qlabel
+       |ORDER BY a.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_retrieval_mrr_recall" -> (q268RetrievalMrrRecall _),
     "q265_ndcg_retrieval" -> (q265NdcgRetrieval _),
     "q249_maxsim_topk" -> (q249MaxsimTopk _),
     "q239_hard_negatives" -> (q239HardNegatives _),
@@ -1308,6 +1381,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q268_retrieval_mrr_recall" -> q268Oracle,
     "q265_ndcg_retrieval" -> q265Oracle,
     "q249_maxsim_topk" -> q249Oracle,
     "q239_hard_negatives" -> q239Oracle,

@@ -211,6 +211,39 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("Caches.memoize: builds once per (session, tag, dir), survives releaseAll, releases on releaseMemos") {
+    // the trainer-artifact contract (VERDICT r9 item 2): q231/q232/q247
+    // share one unigram training, q181/q182/q195/q232 one BPE training
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    var builds = 0
+    def build() = Caches.memoize(spark, "memo-test", dir) {
+      builds += 1
+      // register a checkpoint inside the build — ownership must TRANSFER
+      // to the memo (releaseAll after the first consumer must not
+      // unpersist what the second consumer reuses)
+      Caches.trackCheckpoint(spark.range(100).toDF("id").localCheckpoint())
+    }
+    val before = Caches.liveCountHere
+    val df1 = build()
+    assert(builds == 1)
+    // the build's registration moved off the per-query registry
+    assert(Caches.liveCountHere == before)
+    Caches.releaseAll() // a consumer finishing must not kill the artifact
+    val df2 = build()
+    assert(builds == 1, "memo rebuilt after releaseAll")
+    assert(df2.eq(df1), "memo returned a different instance")
+    assert(df2.count() == 100, "memoized frame unusable after releaseAll")
+    // a different dir is a different artifact
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-memo2").toString
+    Caches.memoize(spark, "memo-test", dir2) { builds += 1; "built" }
+    assert(builds == 2)
+    Caches.releaseMemos()
+    val df3 = build()
+    assert(builds == 3, "memo not cleared by releaseMemos")
+    assert(df3.count() == 100)
+    Caches.releaseMemos()
+  }
+
   test("no persisted RDDs or catalog entries leak across query + releaseAll cycles") {
     // regression net for the r3 leak class: persisted subplans, checkpoint
     // RDDs, per-invocation temp views, and streaming memory-sink tables
