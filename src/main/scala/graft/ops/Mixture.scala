@@ -728,7 +728,114 @@ object Mixture {
       |  CAST(58823 AS BIGINT) AS expected_hrw_ppm
       |FROM agg""".stripMargin
 
+  /** q272: Neyman labeling-budget allocation (Neyman 1934, the optimal
+    * stratified-sampling allocation) — the eval-set construction operator:
+    * a fixed human-labeling budget B spread across sources ∝ N_h·σ_h
+    * (stratum size × within-stratum spread) minimizes the variance of the
+    * stratified estimate, vs the naive proportional-to-size split. Spread
+    * here is document length; the weight is PURE INTEGER via the identity
+    * N²·var = N·Σx² − (Σx)² — so N·σ = isqrt(N·Σx² − (Σx)²) needs no
+    * division at all. isqrt = float seed → ONE exact-integer Newton step
+    * (y = (f + vv div f) div 2, which corrects any seed error up to ~f) →
+    * the house ±1 clamp (q175's recipe, hardened for the DECIMAL(38)
+    * magnitudes N·Σx² reaches at the 100 TB tier, where the float seed
+    * alone can be off by more than 1).
+    *
+    * Both the Neyman and the proportional allocation use q175's
+    * overflow-safe share decomposition + largest-remainder (Hamilton)
+    * rounding, so BOTH columns sum to exactly B = 1000 — the audit a
+    * labeling vendor invoice reconciles against. Ships both so the
+    * variance tilt (where Neyman moves labels relative to size) is
+    * readable per source.
+    *
+    * Scale: one corpus hash aggregate to the |sources| moment frame;
+    * everything after is full-frame windows over that reduced frame. */
+  def q272NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val B = 1000L
+    val wAll = Window.partitionBy()
+    val mom = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+        sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("sxx"))
+      .withColumn("vv", expr(
+        "CAST(n_docs AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      // isqrt(vv): float seed, one Newton step, exact ±1 clamp
+      .withColumn("f0", greatest(
+        floor(sqrt(col("vv").cast("double"))).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)), lit(1L).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))))
+      .withColumn("f1", expr("(f0 + vv div f0) div 2"))
+      // clamp products DECIMAL-widened: f1² passes 2^63 once vv does
+      .withColumn("w", expr(
+        """CAST(f1 - (CASE WHEN CAST(f1 AS DECIMAL(38,0)) * f1 > vv THEN 1 ELSE 0 END)
+          | + (CASE WHEN (CAST(f1 AS DECIMAL(38,0)) + 1) * (f1 + 1) <= vv THEN 1 ELSE 0 END)
+          | AS BIGINT)""".stripMargin))
+    def hamilton(in: DataFrame, wCol: String, out: String): DataFrame = {
+      val wRem = Window.orderBy(col(s"${out}_rem").desc, col("source").asc)
+      in
+        .withColumn(s"${out}_W", expr(s"greatest(sum($wCol) over (), 1L)"))
+        .withColumn(s"${out}_base", expr(
+          s"$wCol * (${B}L div ${out}_W) + ($wCol * (${B}L % ${out}_W)) div ${out}_W"))
+        .withColumn(s"${out}_rem", expr(s"($wCol * (${B}L % ${out}_W)) % ${out}_W"))
+        .withColumn(s"${out}_left", expr(s"${B}L - sum(${out}_base) over ()"))
+        .withColumn(s"${out}_rk", row_number().over(wRem))
+        .withColumn(out, col(s"${out}_base")
+          + when(col(s"${out}_rk") <= col(s"${out}_left"), 1L).otherwise(0L))
+    }
+    hamilton(hamilton(mom, "w", "alloc_neyman"), "n_docs", "alloc_proportional")
+      .select(col("source"), col("n_docs"),
+        expr("sx div n_docs").as("mean_chars"), col("w").as("neyman_weight"),
+        col("alloc_neyman"), col("alloc_proportional"))
+      .orderBy(col("source"))
+  }
+
+  val q272Oracle: String = {
+    val B = 1000L
+    def ham(src: String, w: String, out: String) =
+      s"""${out}_b AS MATERIALIZED (
+         |  SELECT *, greatest(sum($w) OVER (), 1) AS ${out}_W FROM $src),
+         |${out}_c AS MATERIALIZED (
+         |  SELECT *,
+         |    $w * ($B // ${out}_W) + ($w * ($B % ${out}_W)) // ${out}_W AS ${out}_base,
+         |    ($w * ($B % ${out}_W)) % ${out}_W AS ${out}_rem
+         |  FROM ${out}_b),
+         |${out}_d AS MATERIALIZED (
+         |  SELECT *, $B - sum(${out}_base) OVER () AS ${out}_left,
+         |    row_number() OVER (ORDER BY ${out}_rem DESC, source ASC) AS ${out}_rk
+         |  FROM ${out}_c),
+         |${out}_e AS MATERIALIZED (
+         |  SELECT *, CAST(${out}_base +
+         |    CASE WHEN ${out}_rk <= ${out}_left THEN 1 ELSE 0 END AS BIGINT) AS $out
+         |  FROM ${out}_d)""".stripMargin
+    s"""WITH mom AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+       |  FROM documents GROUP BY 1),
+       |vvt AS (
+       |  SELECT *, CAST(n_docs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vv
+       |  FROM mom),
+       |sd AS (
+       |  SELECT *, greatest(CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS HUGEINT), 1) AS f0
+       |  FROM vvt),
+       |nw AS (
+       |  SELECT *, (f0 + vv // f0) // 2 AS f1 FROM sd),
+       |wt AS MATERIALIZED (
+       |  SELECT source, n_docs, sx,
+       |    CAST(f1 - (CASE WHEN f1 * f1 > vv THEN 1 ELSE 0 END)
+       |      + (CASE WHEN (f1 + 1) * (f1 + 1) <= vv THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS w
+       |  FROM nw),
+       |${ham("wt", "w", "alloc_neyman")},
+       |${ham("alloc_neyman_e", "n_docs", "alloc_proportional")}
+       |SELECT source, n_docs, CAST(sx // n_docs AS BIGINT) AS mean_chars,
+       |  w AS neyman_weight, alloc_neyman, alloc_proportional
+       |FROM alloc_proportional_e ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_neyman_allocation" -> (q272NeymanAllocation _),
     "q263_hrw_resharding" -> (q263HrwResharding _),
     "q240_global_sequence" -> (q240GlobalSequence _),
     "q193_shard_assign" -> (q193ShardAssign _),
@@ -740,6 +847,7 @@ object Mixture {
     "q213_data_wall_sweep" -> (q213DataWallSweep _))
 
   val oracles: Map[String, String] = Map(
+    "q272_neyman_allocation" -> q272Oracle,
     "q263_hrw_resharding" -> q263Oracle,
     "q240_global_sequence" -> q240Oracle,
     "q193_shard_assign" -> q193Oracle,

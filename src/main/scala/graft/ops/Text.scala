@@ -3925,7 +3925,84 @@ object Text {
        |       * sx) // 65536) // n_ranks AS BIGINT) AS intercept_fp
        |FROM mom ORDER BY source""".stripMargin
 
+  /** q271: Unicode script-mix audit per source — the multilingual-curation
+    * screen a corpus planner runs before routing text to language-specific
+    * pipelines (and the cheap detector for script-confusable spam, where
+    * Cyrillic lookalikes sit inside Latin words): per-character class
+    * counts (Latin letters, digits, whitespace, CJK ideographs, Cyrillic,
+    * other) as exact ppm of total characters, plus the count of
+    * mixed-script documents (≥ 2 of {Latin, CJK, Cyrillic} present — the
+    * homoglyph-attack shape).
+    *
+    * Class counts are `length(regexp_replace(text, '[^class]', ''))` over
+    * the Java∩RE2 regex subset (round-5 gotcha: DuckDB needs the 'g'
+    * flag; \x{...} class ranges parse identically in both engines); both
+    * engines count code points, so the ppm hash-match bit-for-bit.
+    *
+    * Scale: one scan, pure per-row maps into one hash aggregate keyed by
+    * source — whole-stage codegen end to end, nothing but the |sources|
+    * frame leaves the scan. */
+  def q271ScriptMix(s: SparkSession, dir: String): DataFrame = {
+    def cnt(pat: String) =
+      length(regexp_replace(col("text"), "[^" + pat + "]", ""))
+    val per = Tables.documents(s, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        cnt("A-Za-z").cast("long").as("lat"),
+        cnt("0-9").cast("long").as("dig"),
+        cnt("\\t\\n\\r ").cast("long").as("spc"),
+        cnt("\\x{4e00}-\\x{9fff}").cast("long").as("cjk"),
+        cnt("\\x{0400}-\\x{04ff}").cast("long").as("cyr"))
+      .withColumn("mixed",
+        ((col("lat") > 0).cast("int") + (col("cjk") > 0).cast("int")
+          + (col("cyr") > 0).cast("int") >= 2).cast("long"))
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars_total"),
+        sum(col("lat")).as("latc"), sum(col("dig")).as("digc"),
+        sum(col("spc")).as("spcc"), sum(col("cjk")).as("cjkc"),
+        sum(col("cyr")).as("cyrc"), sum(col("mixed")).as("n_mixed_script_docs"))
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        expr("(latc * 1000000L) div nullif(n_chars_total, 0L)").as("latin_ppm"),
+        expr("(digc * 1000000L) div nullif(n_chars_total, 0L)").as("digit_ppm"),
+        expr("(spcc * 1000000L) div nullif(n_chars_total, 0L)").as("space_ppm"),
+        expr("(cjkc * 1000000L) div nullif(n_chars_total, 0L)").as("cjk_ppm"),
+        expr("((n_chars_total - latc - digc - spcc - cjkc - cyrc) * 1000000L)" +
+          " div nullif(n_chars_total, 0L)").as("other_ppm"),
+        col("n_mixed_script_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q271Oracle: String = {
+    def cnt(pat: String) =
+      s"length(regexp_replace(text, '[^$pat]', '', 'g'))"
+    s"""WITH per AS (
+       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(${cnt("A-Za-z")} AS BIGINT) AS lat,
+       |    CAST(${cnt("0-9")} AS BIGINT) AS dig,
+       |    CAST(${cnt("\\t\\n\\r ")} AS BIGINT) AS spc,
+       |    CAST(${cnt("\\x{4e00}-\\x{9fff}")} AS BIGINT) AS cjk,
+       |    CAST(${cnt("\\x{0400}-\\x{04ff}")} AS BIGINT) AS cyr
+       |  FROM documents),
+       |m AS (
+       |  SELECT *, CASE WHEN (CASE WHEN lat > 0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN cjk > 0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN cyr > 0 THEN 1 ELSE 0 END) >= 2
+       |    THEN 1 ELSE 0 END AS mixed
+       |  FROM per)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars_total,
+       |  CAST(sum(lat) * 1000000 // nullif(sum(nc), 0) AS BIGINT) AS latin_ppm,
+       |  CAST(sum(dig) * 1000000 // nullif(sum(nc), 0) AS BIGINT) AS digit_ppm,
+       |  CAST(sum(spc) * 1000000 // nullif(sum(nc), 0) AS BIGINT) AS space_ppm,
+       |  CAST(sum(cjk) * 1000000 // nullif(sum(nc), 0) AS BIGINT) AS cjk_ppm,
+       |  CAST((sum(nc) - sum(lat) - sum(dig) - sum(spc) - sum(cjk) - sum(cyr))
+       |    * 1000000 // nullif(sum(nc), 0) AS BIGINT) AS other_ppm,
+       |  CAST(sum(mixed) AS BIGINT) AS n_mixed_script_docs
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_script_mix" -> (q271ScriptMix _),
     "q270_zipf_slope" -> (q270ZipfSlope _),
     "q266_weighted_quantiles" -> (q266WeightedQuantiles _),
     "q264_good_turing" -> (q264GoodTuring _),
@@ -3985,6 +4062,7 @@ object Text {
     "q266_weighted_quantiles" -> q266Oracle,
     "q264_good_turing" -> q264Oracle,
     "q258_stupid_backoff" -> q258Oracle,
+    "q271_script_mix" -> q271Oracle,
     "q270_zipf_slope" -> q270Oracle,
     "q256_js_divergence" -> q256Oracle,
     "q253_annotator_kappa" -> q253Oracle,
