@@ -3146,16 +3146,7 @@ object Text {
     * the DP cap carry no model evidence and are excluded on both sides,
     * same as q232's fertility support. */
   def q247SubwordNllFilter(s: SparkSession, dir: String): DataFrame = {
-    val (c0, ems, lastEm) = unigramTrain(s, dir)
-    val c2 = ems(1)
-    val v2 = c2.select(col("piece"))
-      .union(c0.filter(length(col("piece")) === 1).select(col("piece")))
-      .distinct()
-      .join(c2, Seq("piece"), "left")
-      .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
-    val wnll = lastEm.join(uniCostFrame(v2), Seq("piece"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("np"), sum(col("cost")).as("nll"))
+    val wnll = uniWordNll(s, dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) <= UniMaxWordLen)
@@ -3166,6 +3157,142 @@ object Text {
       .withColumn("bits_per_piece_fp", expr("nll_total_fp div n_pieces"))
       .orderBy(col("bits_per_piece_fp").desc, col("doc_id").asc)
       .limit(25)
+  }
+
+  /** Per-WORD NLL dictionary under the trained q231 model — the final-EM
+    * cost table joined to the last Viterbi segmentation, aggregated to
+    * (word, piece count, summed −log₂ p cost at 2^16 fixed point). The
+    * scoring model q247 filters with and q273 reweights with; hoisted so
+    * both consume definitionally the same artifact (and the trainer call
+    * behind it is session-memoized anyway). */
+  private def uniWordNll(s: SparkSession, dir: String): DataFrame = {
+    val (c0, ems, lastEm) = unigramTrain(s, dir)
+    val c2 = ems(1)
+    val v2 = c2.select(col("piece"))
+      .union(c0.filter(length(col("piece")) === 1).select(col("piece")))
+      .distinct()
+      .join(c2, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
+    lastEm.join(uniCostFrame(v2), Seq("piece"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("np"), sum(col("cost")).as("nll"))
+  }
+
+  /** Fractional-bit constants for exact fixed-point pow2 — the EXP side of
+    * the [[withLog2fp]] primitive: C_k = ⌊2³⁰·2^(2⁻ᵏ)⌋, k = 1..16 (public
+    * constants, identical literals interpolated into both engines).
+    * 2^(r/65536) at scale 2³⁰ = Π_{bit k of r set} C_k with a floor-div by
+    * 2³⁰ after each multiply — every intermediate ≤ 2³¹·2³¹ < 2⁶³, so the
+    * whole fold stays in BIGINT and truncation drift is engine-identical
+    * (the mirror of the log2 mantissa-squaring argument). */
+  private[graft] val Pow2FracConsts: Seq[Long] = Seq(
+    1518500249L, 1276901416L, 1170923761L, 1121280435L, 1097253708L,
+    1085434105L, 1079572135L, 1076653033L, 1075196443L, 1074468887L,
+    1074105294L, 1073923543L, 1073832680L, 1073787251L, 1073764537L,
+    1073753180L)
+
+  /** q273: exponential domain reweighting (the DoReMi direction — Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining": upweight domains with high EXCESS LOSS under a small
+    * reference model) — the mixture operator that closes the loop between
+    * the trained LM (q231), its scoring pass (q247), and the mixture
+    * planner (q175/q113): per source, mean bits-per-piece under the
+    * trained unigram LM; excess d = mean − corpus-min (2^16 fixed point);
+    * weight w = 2^(d/65536) computed EXACTLY in integers — e = d div 65536
+    * (clamped at 30 so the shift stays in BIGINT; saturation disclosed),
+    * fractional part via the [[Pow2FracConsts]] fold — and the mixture
+    * share in ppm of Σw. T = 1 bit: one full bit of excess loss doubles a
+    * domain's sampling weight.
+    *
+    * Scale: scoring is q247's corpus-stream hash-join against the word-NLL
+    * dictionary (no broadcast assumption) into ONE source-keyed aggregate;
+    * excess/pow2/normalization are full-frame windows over the |sources|
+    * frame. The pow2 fold is one expression — O(1) plan size, codegen'd. */
+  def q273DomainReweight(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wAll = W.orderBy(col("source"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val consts = Pow2FracConsts.mkString("array(", "L, ", "L)")
+    val srcNll = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= UniMaxWordLen)
+      .join(uniWordNll(s, dir), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("np")).as("pieces"), sum(col("nll")).as("nll_fp"))
+      .withColumn("mean_nll_fp", expr("nll_fp div pieces"))
+    srcNll
+      .withColumn("excess_fp",
+        col("mean_nll_fp") - min(col("mean_nll_fp")).over(wAll))
+      .withColumn("e", expr("least(excess_fp div 65536, 30L)"))
+      .withColumn("r", expr("excess_fp % 65536"))
+      .withColumn("wfrac", expr(
+        s"""aggregate(sequence(1, 16), CAST(1073741824 AS BIGINT),
+           |  (m, k) -> CASE WHEN (r div shiftleft(CAST(1 AS BIGINT), 16 - k)) % 2 = 1
+           |            THEN (m * element_at($consts, k)) div 1073741824
+           |            ELSE m END,
+           |  m -> m)""".stripMargin))
+      .withColumn("weight_scaled",
+        expr("wfrac * shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+      .withColumn("share_ppm", expr(
+        """CAST((CAST(weight_scaled AS DECIMAL(38,0)) * 1000000)
+          | div (sum(CAST(weight_scaled AS DECIMAL(38,0)))
+          |   over (order by source rows between unbounded preceding
+          |         and unbounded following)) AS BIGINT)""".stripMargin))
+      .select(col("source"), col("pieces"), col("mean_nll_fp"),
+        col("excess_fp"), col("weight_scaled"), col("share_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def q273Oracle: String = {
+    val steps = Pow2FracConsts.zipWithIndex.map { case (c, i) =>
+      val k = i + 1
+      s"""pw$k AS MATERIALIZED (
+         |  SELECT * REPLACE ((CASE WHEN (r // ${1L << (16 - k)}) % 2 = 1
+         |    THEN (m * $c) // 1073741824 ELSE m END) AS m)
+         |  FROM pw${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $uniCteSql,
+       |v2 AS MATERIALIZED (
+       |  SELECT p.piece, CAST(coalesce(c2.c, 0) AS BIGINT) AS c
+       |  FROM (SELECT piece FROM c2
+       |        UNION SELECT piece FROM c0 WHERE length(piece) = 1) p
+       |  LEFT JOIN c2 USING (piece)),
+       |tot2 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS tc,
+       |  CAST(count(*) AS BIGINT) AS nv FROM v2),
+       |${uniLog2Ctes("gt2_", "tot2", "tc + nv", Seq.empty)},
+       |${uniLog2Ctes("pc2_", "v2", "c + 1", Seq("piece"))},
+       |cost2 AS MATERIALIZED (
+       |  SELECT piece, (SELECT lg FROM gt2_lg) - lg AS cost FROM pc2_lg),
+       |wnll AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS np, CAST(sum(cost) AS BIGINT) AS nll
+       |  FROM emall1 JOIN cost2 USING (piece) GROUP BY w),
+       |tk AS (SELECT source, unnest($tokensSql) AS w FROM documents),
+       |srcnll AS MATERIALIZED (
+       |  SELECT source, CAST(sum(np) AS BIGINT) AS pieces,
+       |    CAST(sum(nll) AS BIGINT) AS nll_fp,
+       |    CAST(CAST(sum(nll) AS BIGINT) // CAST(sum(np) AS BIGINT) AS BIGINT)
+       |      AS mean_nll_fp
+       |  FROM tk JOIN wnll ON tk.w = wnll.w
+       |  WHERE length(tk.w) <= $UniMaxWordLen
+       |  GROUP BY source),
+       |ex AS MATERIALIZED (
+       |  SELECT *, CAST(mean_nll_fp - min(mean_nll_fp) OVER () AS BIGINT)
+       |    AS excess_fp FROM srcnll),
+       |pw0 AS MATERIALIZED (
+       |  SELECT *, least(excess_fp // 65536, 30) AS e, excess_fp % 65536 AS r,
+       |    CAST(1073741824 AS BIGINT) AS m
+       |  FROM ex),
+       |$steps,
+       |wv AS MATERIALIZED (
+       |  SELECT source, pieces, mean_nll_fp, excess_fp,
+       |    CAST(m * (CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS BIGINT)
+       |      AS weight_scaled
+       |  FROM pw16)
+       |SELECT source, pieces, mean_nll_fp, excess_fp, weight_scaled,
+       |  CAST((CAST(weight_scaled AS HUGEINT) * 1000000)
+       |    // (sum(CAST(weight_scaled AS HUGEINT)) OVER ()) AS BIGINT)
+       |    AS share_ppm
+       |FROM wv ORDER BY source""".stripMargin
   }
 
   /** The unigram chain as DuckDB CTE definitions (no leading WITH) —
@@ -4002,6 +4129,7 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_domain_reweight" -> (q273DomainReweight _),
     "q271_script_mix" -> (q271ScriptMix _),
     "q270_zipf_slope" -> (q270ZipfSlope _),
     "q266_weighted_quantiles" -> (q266WeightedQuantiles _),
@@ -4062,6 +4190,7 @@ object Text {
     "q266_weighted_quantiles" -> q266Oracle,
     "q264_good_turing" -> q264Oracle,
     "q258_stupid_backoff" -> q258Oracle,
+    "q273_domain_reweight" -> q273Oracle,
     "q271_script_mix" -> q271Oracle,
     "q270_zipf_slope" -> q270Oracle,
     "q256_js_divergence" -> q256Oracle,

@@ -139,6 +139,8 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast log2fp(C+|V|) normalization scalar (the shared
       // uniCostFrame shape q231/q232 carry) on the final scoring pass
       "q247_subword_nll_filter",
+      // same shared uniCostFrame 1-row broadcast scalar, per-source grain
+      "q273_domain_reweight",
       // q50's declared brute-force broadcast query sub-vectors × corpus
       // sub-vector scan (per-slot IVF probes at real scale)
       "q249_maxsim_topk",

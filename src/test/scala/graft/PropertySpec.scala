@@ -177,6 +177,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pow2 fold inverts log2fp within the fixed-point tolerance on arbitrary values") {
+    // the q273 exp primitive against the q231 log primitive: for any
+    // x ≥ 1, reconstructing x from its 2^16 fixed-point log2 through the
+    // 2^30-scale fractional fold must land within the combined truncation
+    // budget (log2fp floors ≤ 2^-16 in the exponent; each of ≤ 16 fold
+    // multiplies floors ≤ 2^-30 of the mantissa) — relative error well
+    // under 2^-13. A wrong constant or a misindexed bit is off by ≥ 2^-16
+    // of the EXPONENT, i.e. orders of magnitude outside this band.
+    import org.apache.spark.sql.functions._
+    val consts = graft.ops.Text.Pow2FracConsts.mkString("array(", "L, ", "L)")
+    val xs = (Seq(1L, 2L, 3L, 7L, 100L, 65535L, 65536L, 1000003L) ++
+      (1 to 40).map(i => (i.toLong * 2654435761L) % 1000000000L + 1L)).distinct
+    val df = graft.ops.Text.withLog2fp(
+      spark.createDataFrame(xs.map(Tuple1(_))).toDF("x"), "x", "lg")
+      .withColumn("e", expr("lg div 65536"))
+      .withColumn("r", expr("lg % 65536"))
+      .withColumn("m", expr(
+        s"""aggregate(sequence(1, 16), CAST(1073741824 AS BIGINT),
+           |  (m, k) -> CASE WHEN (r div shiftleft(CAST(1 AS BIGINT), 16 - k)) % 2 = 1
+           |            THEN (m * element_at($consts, k)) div 1073741824
+           |            ELSE m END,
+           |  m -> m)""".stripMargin))
+      // reconstruction at scale 2^30: m · 2^e (e ≤ 30 for x ≤ 10^9)
+      .withColumn("rec", expr("m * shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+      .withColumn("target", expr("x * CAST(1073741824 AS BIGINT)"))
+    val bad = df.filter(
+      abs(col("rec") - col("target")) * 8192 > col("target")).collect()
+    assert(bad.isEmpty, bad.map(_.toString).mkString("\n"))
+  }
+
   test("q136 boundary formula: conditional-min over cum counts equals sort-position selection") {
     // boundary d = min value whose cumulative count >= ceil(d*n/10) must
     // equal the element at 1-based position ceil(d*n/10) of the fully
