@@ -909,8 +909,13 @@ object Vector {
     *
     * Exactness: q100's fixed-point discipline — coordinates scaled by 2²⁴
     * to exact longs, centroid = exact integer sum, pair dot and norms as
-    * DECIMAL(38,0) integer sums; the ONLY floats are the final
-    * correctly-rounded sqrt/divide, identical in both engines.
+    * DECIMAL(38,0) integer sums — and, since round 10, the FINAL step is
+    * exact too: cos_fp = (dot·2²⁰) div (⌊√n2a⌋·⌊√n2b⌋) with the isqrt as
+    * float seed → one exact Newton step → DECIMAL-widened ±1 clamp
+    * (q272's recipe). The previous raw-double emit diverged by 1 ULP at
+    * the sf0.1 tier, where the decimal sums pass 2^53 and the two
+    * engines' decimal→double casts round differently — caught by the
+    * round-10 full sf0.1 oracle sweep; no floats remain anywhere.
     *
     * Scale stance (100 TB): the centroid frame is |labels|·dim rows — a
     * REDUCED aggregate (one groupBy of the corpus, map-side combined); the
@@ -938,11 +943,28 @@ object Vector {
       .join(broadcast(norms.select(col("label").as("label_b"), col("n2").as("n2b"))), Seq("label_b"))
       .join(broadcast(sizes.select(col("label").as("label_a"), col("n_vecs").as("n_a"))), Seq("label_a"))
       .join(broadcast(sizes.select(col("label").as("label_b"), col("n_vecs").as("n_b"))), Seq("label_b"))
+      .withColumn("f0a", greatest(
+        floor(sqrt(col("n2a").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+        lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .withColumn("f1a", expr("(f0a + n2a div f0a) div 2"))
+      .withColumn("sa", expr(
+        """f1a - (CASE WHEN CAST(f1a AS DECIMAL(38,0)) * f1a > n2a THEN 1 ELSE 0 END)
+          | + (CASE WHEN (CAST(f1a AS DECIMAL(38,0)) + 1) * (f1a + 1) <= n2a
+          |     THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("f0b", greatest(
+        floor(sqrt(col("n2b").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+        lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .withColumn("f1b", expr("(f0b + n2b div f0b) div 2"))
+      .withColumn("sb", expr(
+        """f1b - (CASE WHEN CAST(f1b AS DECIMAL(38,0)) * f1b > n2b THEN 1 ELSE 0 END)
+          | + (CASE WHEN (CAST(f1b AS DECIMAL(38,0)) + 1) * (f1b + 1) <= n2b
+          |     THEN 1 ELSE 0 END)""".stripMargin))
       .select(col("label_a").cast("long").as("label_a"),
         col("label_b").cast("long").as("label_b"), col("n_a"), col("n_b"),
-        (col("dot").cast("double") /
-          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
-          .as("cos_centroids"))
+        expr("""CAST((dot * 1048576) div (CAST(sa AS DECIMAL(38,0)) * sb)
+               | AS BIGINT)""".stripMargin).as("cos_centroids_fp"))
       .orderBy(col("label_a"), col("label_b"))
   }
 
@@ -957,14 +979,34 @@ object Vector {
       |dots AS (
       |  SELECT a.label AS label_a, b.label AS label_b, sum(a.cj * b.cj) AS dot
       |  FROM cent a JOIN cent b ON a.j = b.j AND a.label < b.label
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2),
+      |j1 AS (
+      |  SELECT label_a, label_b, dot,
+      |    CAST(na.n2 AS HUGEINT) AS n2a, CAST(nb.n2 AS HUGEINT) AS n2b,
+      |    sa.n_vecs AS n_a, sb.n_vecs AS n_b
+      |  FROM dots
+      |  JOIN norms na ON na.label = label_a JOIN norms nb ON nb.label = label_b
+      |  JOIN sizes sa ON sa.label = label_a JOIN sizes sb ON sb.label = label_b),
+      |sd AS (
+      |  SELECT *,
+      |    greatest(CAST(floor(sqrt(CAST(n2a AS DOUBLE))) AS HUGEINT), 1) AS f0a,
+      |    greatest(CAST(floor(sqrt(CAST(n2b AS DOUBLE))) AS HUGEINT), 1) AS f0b
+      |  FROM j1),
+      |nt AS (
+      |  SELECT *, (f0a + n2a // f0a) // 2 AS f1a, (f0b + n2b // f0b) // 2 AS f1b
+      |  FROM sd),
+      |sq AS (
+      |  SELECT *,
+      |    f1a - (CASE WHEN f1a * f1a > n2a THEN 1 ELSE 0 END)
+      |      + (CASE WHEN (f1a + 1) * (f1a + 1) <= n2a THEN 1 ELSE 0 END) AS sra,
+      |    f1b - (CASE WHEN f1b * f1b > n2b THEN 1 ELSE 0 END)
+      |      + (CASE WHEN (f1b + 1) * (f1b + 1) <= n2b THEN 1 ELSE 0 END) AS srb
+      |  FROM nt)
       |SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
-      |  sa.n_vecs AS n_a, sb.n_vecs AS n_b,
-      |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-      |    AS cos_centroids
-      |FROM dots
-      |JOIN norms na ON na.label = label_a JOIN norms nb ON nb.label = label_b
-      |JOIN sizes sa ON sa.label = label_a JOIN sizes sb ON sb.label = label_b
+      |  n_a, n_b,
+      |  CAST((CAST(dot AS HUGEINT) * 1048576) // (sra * srb) AS BIGINT)
+      |    AS cos_centroids_fp
+      |FROM sq
       |ORDER BY label_a, label_b""".stripMargin
 
   /** q226: embedding-space drift monitor — per label, how far did the

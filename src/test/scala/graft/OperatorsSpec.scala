@@ -749,8 +749,10 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.length == labels * (labels - 1) / 2, "one cell per unordered label pair")
     rows.foreach { r =>
       assert(r.getAs[Long]("label_a") < r.getAs[Long]("label_b"))
-      val c = r.getAs[Double]("cos_centroids")
-      assert(c >= -1.0000001 && c <= 1.0000001, s"cosine $c out of range")
+      // 2^20 fixed point since round 10 (the raw-double emit diverged by
+      // 1 ULP across engines once the decimal sums passed 2^53 at sf0.1)
+      val c = r.getAs[Long]("cos_centroids_fp")
+      assert(c >= -1048577L && c <= 1048577L, s"cosine_fp $c out of range")
     }
     // pair sizes are consistent: every label's n is the same in every cell
     val ns = rows.flatMap(r => Seq(
