@@ -1065,7 +1065,11 @@ object Analytics {
     val itemSup = li.groupBy("l_partkey")
       .agg(countDistinct(col("l_orderkey")).as("c"))
       .filter(col("c") >= minsup)
-    val nOrders = Tables.orders(s, dir).count()
+    // VERDICT r10 item 3 (the q245/ADVICE-r9 idiom): the order count rides
+    // as a broadcast 1-row aggregate frame, not an eager .count() —
+    // constructing the DataFrame (plan lint, explain) must not run a
+    // driver-side orders scan-job before the query's own plan.
+    val nOrd = Tables.orders(s, dir).agg(count(lit(1)).as("n_ord"))
     // Frequent-item prune: itemSup is small after the HAVING (the frequent
     // head) — broadcast it into the fact scan. Item counts are NOT carried
     // through the pair shuffle (they'd widen every shuffled row and the
@@ -1091,8 +1095,9 @@ object Analytics {
       .filter(col("support") >= minsup)
       .join(supB.select(col("l_partkey").as("p1"), col("c").as("c1")), Seq("p1"))
       .join(supB.select(col("l_partkey").as("p2"), col("c").as("c2")), Seq("p2"))
+      .crossJoin(broadcast(nOrd))
       .select(col("p1"), col("p2"), col("support"),
-        expr(s"(support * ${nOrders}L * 1000000L) div (c1 * c2)").as("lift_ppm"))
+        expr("(support * n_ord * 1000000L) div (c1 * c2)").as("lift_ppm"))
       .orderBy(col("support").desc, col("p1"), col("p2"))
   }
 

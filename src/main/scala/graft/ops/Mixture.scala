@@ -771,17 +771,28 @@ object Mixture {
         """CAST(f1 - (CASE WHEN CAST(f1 AS DECIMAL(38,0)) * f1 > vv THEN 1 ELSE 0 END)
           | + (CASE WHEN (CAST(f1 AS DECIMAL(38,0)) + 1) * (f1 + 1) <= vv THEN 1 ELSE 0 END)
           | AS BIGINT)""".stripMargin))
+    // ADVICE r10 hardening, both engine and oracle: (a) the degenerate
+    // all-zero-weight case (one doc per source → every vv = 0 → every w = 0)
+    // falls back to proportional-to-size — Neyman is indifferent at zero
+    // variance, and without the fallback every base is 0, left = B, and
+    // Σalloc = |sources| ≠ B; (b) the share products run in DECIMAL(38,0) —
+    // at 100 TB magnitudes w reaches ~1e16+ and w*(B % W) would silently
+    // wrap in non-ANSI BIGINT while DuckDB raises (divergent failure modes).
+    // Quotients stay ≤ B so the LongType `div` results never overflow.
     def hamilton(in: DataFrame, wCol: String, out: String): DataFrame = {
       val wRem = Window.orderBy(col(s"${out}_rem").desc, col("source").asc)
       in
-        .withColumn(s"${out}_W", expr(s"greatest(sum($wCol) over (), 1L)"))
+        .withColumn(s"${out}_ew", expr(
+          s"CAST(CASE WHEN sum($wCol) over () = 0 THEN n_docs ELSE $wCol END AS DECIMAL(38,0))"))
+        .withColumn(s"${out}_W", expr(
+          s"greatest(sum(${out}_ew) over (), CAST(1 AS DECIMAL(38,0)))"))
         .withColumn(s"${out}_base", expr(
-          s"$wCol * (${B}L div ${out}_W) + ($wCol * (${B}L % ${out}_W)) div ${out}_W"))
-        .withColumn(s"${out}_rem", expr(s"($wCol * (${B}L % ${out}_W)) % ${out}_W"))
+          s"${out}_ew * (${B}L div ${out}_W) + (${out}_ew * (${B}L % ${out}_W)) div ${out}_W"))
+        .withColumn(s"${out}_rem", expr(s"(${out}_ew * (${B}L % ${out}_W)) % ${out}_W"))
         .withColumn(s"${out}_left", expr(s"${B}L - sum(${out}_base) over ()"))
         .withColumn(s"${out}_rk", row_number().over(wRem))
-        .withColumn(out, col(s"${out}_base")
-          + when(col(s"${out}_rk") <= col(s"${out}_left"), 1L).otherwise(0L))
+        .withColumn(out, (col(s"${out}_base")
+          + when(col(s"${out}_rk") <= col(s"${out}_left"), 1L).otherwise(0L)).cast("long"))
     }
     hamilton(hamilton(mom, "w", "alloc_neyman"), "n_docs", "alloc_proportional")
       .select(col("source"), col("n_docs"),
@@ -793,12 +804,17 @@ object Mixture {
   val q272Oracle: String = {
     val B = 1000L
     def ham(src: String, w: String, out: String) =
-      s"""${out}_b AS MATERIALIZED (
-         |  SELECT *, greatest(sum($w) OVER (), 1) AS ${out}_W FROM $src),
+      s"""${out}_a AS MATERIALIZED (
+         |  SELECT *, CAST(CASE WHEN sum($w) OVER () = 0 THEN n_docs ELSE $w END
+         |    AS HUGEINT) AS ${out}_ew
+         |  FROM $src),
+         |${out}_b AS MATERIALIZED (
+         |  SELECT *, greatest(sum(${out}_ew) OVER (), 1) AS ${out}_W FROM ${out}_a),
          |${out}_c AS MATERIALIZED (
          |  SELECT *,
-         |    $w * ($B // ${out}_W) + ($w * ($B % ${out}_W)) // ${out}_W AS ${out}_base,
-         |    ($w * ($B % ${out}_W)) % ${out}_W AS ${out}_rem
+         |    ${out}_ew * ($B // ${out}_W) + (${out}_ew * ($B % ${out}_W)) // ${out}_W
+         |      AS ${out}_base,
+         |    (${out}_ew * ($B % ${out}_W)) % ${out}_W AS ${out}_rem
          |  FROM ${out}_b),
          |${out}_d AS MATERIALIZED (
          |  SELECT *, $B - sum(${out}_base) OVER () AS ${out}_left,

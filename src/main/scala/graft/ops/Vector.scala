@@ -1403,7 +1403,241 @@ object Vector {
        |FROM a JOIN lc ON lc.label = a.qlabel
        |ORDER BY a.query_id""".stripMargin
 
+  /** q274: retrieval eval THROUGH the IVF probe join (VERDICT r10 item 1) —
+    * the same MRR@10/recall@10/precision@10 as q268, but computed over the
+    * q51 IVF candidate set (nprobe=2 of 8 centroid cells) instead of the
+    * brute-force corpus scan, reported SIDE-BY-SIDE with the brute-force
+    * numbers plus the q111-style index-recall gate (|IVF top-10 ∩ brute
+    * top-10| per query). This is the swap-in the eval family's 100 TB story
+    * rests on, executed and gated rather than asserted: the scored pass is
+    * an EQUI-join on centroid id (shuffle by cluster — the IVF layout), so
+    * its cost is ~nprobe/k of the brute scan and it never degenerates to
+    * query-points × corpus.
+    *
+    * Queries whose probes surface no relevant candidate keep a row with
+    * ivf_hits = 0 (left join + coalesce), so the gate can't overreport —
+    * the q111 discipline applied to q268's metrics. All metrics exact
+    * integer ppm. */
+  def q274IvfRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    graft.functions.VectorExpressions.register(s)
+    val emb = graft.Caches.persist(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          v(col("embedding")).as("vv"))
+        .withColumn("nrm", norm(col("vv"))))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("vv").as("qv"), col("nrm").as("qn"))
+    val wR = W.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    // --- brute-force reference pass (q268's scan, persisted: feeds both
+    // the reference metrics and the overlap gate) ---
+    val bfTop = graft.Caches.persist(
+      broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("vv")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("qlabel"), col("rk"), col("vec_id"),
+          (col("label") === col("qlabel")).cast("long").as("rel")))
+    // --- IVF probe pass (q51's index shape at k=10): assign every vector
+    // to its nearest of 8 centroids, probe each query's 2 nearest cells,
+    // rank ONLY the vectors assigned there ---
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("vv").as("cv"), col("nrm").as("cn"))
+    val simToCent = broadcast(cent).join(emb, lit(true))
+      .withColumn("csim", dot(col("cv"), col("vv")) / (col("cn") * col("nrm")))
+    val wAssign = W.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val assign = simToCent
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = simToCent
+      .filter(col("vec_id") % 100 === 0)
+      .withColumn("prn", row_number().over(wAssign))
+      .filter(col("prn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val vecsByCluster = assign.join(emb, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("label"), col("vv"), col("nrm"))
+    val ivfTop = graft.Caches.persist(
+      probes
+        .join(vecsByCluster, Seq("cid"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("vv")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          (col("label") === col("qlabel")).cast("long").as("rel")))
+    // --- metrics on both passes + the overlap gate, all on |queries| rows ---
+    val bfAgg = bfTop.groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("rel")).as("bf_hits"),
+        min(when(col("rel") === 1L, col("rk"))).as("bf_fr"),
+        count(lit(1)).as("bf_k"))
+    val ivfAgg = ivfTop.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("ivf_hits_raw"),
+        min(when(col("rel") === 1L, col("rk"))).as("ivf_fr"))
+    val overlap = bfTop.select(col("query_id"), col("vec_id"))
+      .join(ivfTop.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov_raw"))
+    val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    bfAgg
+      .join(ivfAgg, Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .join(lc, col("qlabel") === col("label"))
+      .withColumn("n_rel", col("c") - 1)
+      .withColumn("ivf_hits", coalesce(col("ivf_hits_raw"), lit(0L)))
+      .withColumn("topk_overlap", coalesce(col("ov_raw"), lit(0L)))
+      .select(col("query_id"), col("qlabel").as("label"), col("n_rel"),
+        col("bf_hits"),
+        expr("CASE WHEN bf_fr IS NULL THEN 0L ELSE 1000000L div bf_fr END").as("bf_rr_ppm"),
+        expr("(bf_hits * 1000000L) div nullif(n_rel, 0L)").as("bf_recall_ppm"),
+        col("ivf_hits"),
+        expr("CASE WHEN ivf_fr IS NULL THEN 0L ELSE 1000000L div ivf_fr END").as("ivf_rr_ppm"),
+        expr("(ivf_hits * 1000000L) div nullif(n_rel, 0L)").as("ivf_recall_ppm"),
+        col("topk_overlap"),
+        expr("(topk_overlap * 1000000L) div bf_k").as("index_recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val q274Oracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        ${vSql("embedding")} AS vv FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
+       |      FROM n WHERE vec_id % 100 = 0),
+       |bf AS MATERIALIZED (
+       |  SELECT query_id, qlabel, vec_id,
+       |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vec_id ASC) AS rk
+       |  FROM q JOIN n ON query_id <> vec_id
+       |  QUALIFY rk <= 10),
+       |cent AS (SELECT vec_id AS cid, vv AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |sim AS MATERIALIZED (
+       |  SELECT n.vec_id, cid, ${dotSql("cv", "vv")} / (cn * nrm) AS csim
+       |  FROM cent CROSS JOIN n),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS arn
+       |    FROM sim) t WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS prn
+       |    FROM sim WHERE vec_id % 100 = 0) t WHERE prn <= 2),
+       |vc AS (SELECT cid, n.vec_id, n.label, vv, nrm FROM assign JOIN n ON assign.vec_id = n.vec_id),
+       |ivf AS MATERIALIZED (
+       |  SELECT q.query_id, vc.vec_id,
+       |    CASE WHEN vc.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vc.vec_id ASC) AS rk
+       |  FROM probes JOIN vc ON probes.cid = vc.cid AND probes.query_id <> vc.vec_id
+       |  JOIN q ON probes.query_id = q.query_id
+       |  QUALIFY rk <= 10),
+       |bfa AS (
+       |  SELECT query_id, qlabel, CAST(sum(rel) AS BIGINT) AS bf_hits,
+       |    min(CASE WHEN rel = 1 THEN rk END) AS bf_fr,
+       |    CAST(count(*) AS BIGINT) AS bf_k
+       |  FROM bf GROUP BY 1, 2),
+       |iva AS (
+       |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS ivf_hits_raw,
+       |    min(CASE WHEN rel = 1 THEN rk END) AS ivf_fr
+       |  FROM ivf GROUP BY 1),
+       |ov AS (
+       |  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS ov_raw
+       |  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+       |  GROUP BY 1),
+       |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM n GROUP BY label)
+       |SELECT b.query_id, b.qlabel AS label, lc.c - 1 AS n_rel,
+       |  b.bf_hits,
+       |  CAST(CASE WHEN b.bf_fr IS NULL THEN 0 ELSE 1000000 // b.bf_fr END AS BIGINT) AS bf_rr_ppm,
+       |  CAST((b.bf_hits * 1000000) // nullif(lc.c - 1, 0) AS BIGINT) AS bf_recall_ppm,
+       |  CAST(coalesce(iva.ivf_hits_raw, 0) AS BIGINT) AS ivf_hits,
+       |  CAST(CASE WHEN iva.ivf_fr IS NULL THEN 0 ELSE 1000000 // iva.ivf_fr END AS BIGINT) AS ivf_rr_ppm,
+       |  CAST((coalesce(iva.ivf_hits_raw, 0) * 1000000) // nullif(lc.c - 1, 0) AS BIGINT) AS ivf_recall_ppm,
+       |  CAST(coalesce(ov.ov_raw, 0) AS BIGINT) AS topk_overlap,
+       |  CAST((coalesce(ov.ov_raw, 0) * 1000000) // b.bf_k AS BIGINT) AS index_recall_ppm
+       |FROM bfa b
+       |LEFT JOIN iva ON iva.query_id = b.query_id
+       |LEFT JOIN ov ON ov.query_id = b.query_id
+       |JOIN lc ON lc.label = b.qlabel
+       |ORDER BY b.query_id""".stripMargin
+
+  /** q275: MAP@10 — mean-average-precision, the last standard retrieval
+    * number next to q265's NDCG and q268's MRR/recall (VERDICT r10 item 6).
+    * AP@10 = (Σ over relevant ranks r≤10 of precision@r) / min(n_rel, 10);
+    * each precision@r is the exact floored ppm (cum_rel(r)·1e6 div r), so
+    * the sum is order-independent and engine-identical, and the final
+    * division is one more exact integer op. Shares q265/q268's scored pass
+    * verbatim (brute-force broadcast scan — IVF probes at real scale, gated
+    * by q274); everything after the top-10 filter runs on ≤10·|queries|
+    * rows. */
+  def q275MapAtK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    graft.functions.VectorExpressions.register(s)
+    val emb = graft.Caches.persist(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          v(col("embedding")).as("vv"))
+        .withColumn("nrm", norm(col("vv"))))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("vv").as("qv"), col("nrm").as("qn"))
+    val wR = W.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val wCum = W.partitionBy(col("query_id")).orderBy(col("rk"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ranked = broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("vv")) / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("qlabel"), col("rk"),
+        (col("label") === col("qlabel")).cast("long").as("rel"))
+      .withColumn("cum_rel", sum(col("rel")).over(wCum))
+    val agg = ranked.groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("rel")).as("hits"),
+        sum(when(col("rel") === 1L, expr("(cum_rel * 1000000L) div rk")))
+          .as("sum_prec_raw"))
+    val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    agg.join(lc, col("qlabel") === col("label"))
+      .withColumn("n_rel", col("c") - 1)
+      .withColumn("sum_prec_ppm", coalesce(col("sum_prec_raw"), lit(0L)))
+      .select(col("query_id"), col("qlabel").as("label"), col("n_rel"),
+        col("hits"), col("sum_prec_ppm"),
+        expr("sum_prec_ppm div nullif(least(n_rel, 10L), 0L)").as("ap_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val q275Oracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        ${vSql("embedding")} AS vv FROM embeddings),
+       |n AS (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
+       |      FROM n WHERE vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT query_id, qlabel,
+       |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vec_id ASC) AS rk
+       |  FROM q JOIN n ON query_id <> vec_id),
+       |cum AS (
+       |  SELECT *, CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rel
+       |  FROM ranked WHERE rk <= 10),
+       |a AS (
+       |  SELECT query_id, qlabel, CAST(sum(rel) AS BIGINT) AS hits,
+       |    CAST(coalesce(sum(CASE WHEN rel = 1
+       |      THEN (cum_rel * 1000000) // rk END), 0) AS BIGINT) AS sum_prec_ppm
+       |  FROM cum GROUP BY 1, 2),
+       |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM n GROUP BY label)
+       |SELECT a.query_id, a.qlabel AS label, lc.c - 1 AS n_rel, hits, sum_prec_ppm,
+       |  CAST(sum_prec_ppm // nullif(least(lc.c - 1, 10), 0) AS BIGINT) AS ap_ppm
+       |FROM a JOIN lc ON lc.label = a.qlabel
+       |ORDER BY a.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_ivf_retrieval_eval" -> (q274IvfRetrievalEval _),
+    "q275_map_at_k" -> (q275MapAtK _),
     "q268_retrieval_mrr_recall" -> (q268RetrievalMrrRecall _),
     "q265_ndcg_retrieval" -> (q265NdcgRetrieval _),
     "q249_maxsim_topk" -> (q249MaxsimTopk _),
@@ -1423,6 +1657,8 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q274_ivf_retrieval_eval" -> q274Oracle,
+    "q275_map_at_k" -> q275Oracle,
     "q268_retrieval_mrr_recall" -> q268Oracle,
     "q265_ndcg_retrieval" -> q265Oracle,
     "q249_maxsim_topk" -> q249Oracle,

@@ -23,6 +23,16 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    // mode "unique" (VERDICT r10 item 2): replica i > 0 gets UNIQUE document
+    // payloads — every token suffixed with the replica tag ("dog" → "dogr3",
+    // lowercase-alnum so it survives Text.tokens), which makes every 5-gram
+    // shingle replica-local. Near-dup pair output then stays ~K× the base
+    // corpus's pairs (each replica reproduces its own internal near-dups,
+    // none across replicas) — the regime REAL 100 TB growth has, vs the
+    // default shifted-key mode where every doc gains K-1 exact near-copies
+    // (the adversarial pair-output blow-up tier). n_chars is recomputed so
+    // length-derived features stay consistent with the new text.
+    val unique = args.lift(3).contains("unique")
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,15 +48,25 @@ object ScaleUp {
         case n: Number => n.longValue() + 1L
       }
 
-    def replicate(t: String, shifted: Seq[(String, Long)]): Unit = {
+    def replicate(t: String, shifted: Seq[(String, Long)],
+        payload: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val copies = (0 until k).map { i =>
-        shifted.foldLeft(base) { case (df, (c, span)) =>
+        payload(shifted.foldLeft(base) { case (df, (c, span)) =>
           df.withColumn(c, col(c) + lit(i * span))
-        }
+        }, i)
       }
       copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+
+    // unique-mode payload transform: replica 0 keeps the original corpus
+    // verbatim (it stays a subset); replicas i > 0 get replica-tagged tokens.
+    def uniqueDocText(df: DataFrame, i: Int): DataFrame =
+      if (!unique || i == 0) df
+      else df
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"r$i"))), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
 
     // ONE shared span for the linked pair, taken from the parent table:
     // independently-computed maxima diverge whenever trailing orders have
@@ -57,9 +77,11 @@ object ScaleUp {
     replicate("orders", Seq("o_orderkey" -> orderSpan))
     replicate("lineitem", Seq("l_orderkey" -> orderSpan))
     replicate("events", Seq("event_id" -> maxPlus1("events", "event_id")))
-    replicate("documents", Seq("doc_id" -> maxPlus1("documents", "doc_id")))
+    replicate("documents", Seq("doc_id" -> maxPlus1("documents", "doc_id")),
+      uniqueDocText)
     replicate("embeddings", Seq("vec_id" -> maxPlus1("embeddings", "vec_id")))
-    println(s"[scaleup] wrote ${k}x of $src to $dst")
+    println(s"[scaleup] wrote ${k}x of $src to $dst" +
+      (if (unique) " (unique document payloads)" else ""))
     spark.stop()
   }
 }

@@ -149,12 +149,22 @@ class PlanSpec extends SparkSpec {
       "q265_ndcg_retrieval",
       // q265's identical scored pass (shared shape, different metrics)
       "q268_retrieval_mrr_recall",
+      // embeds q268's brute-force pass as the REFERENCE the IVF probe
+      // path is gated against (the q111 shape at k=10); the IVF side
+      // itself is the equi-join on centroid id — no BNLJ of its own
+      // beyond the 8-row broadcast centroid assignment
+      "q274_ivf_retrieval_eval",
+      // q265/q268's identical scored pass (shared shape, MAP metric)
+      "q275_map_at_k",
       // 1-row broadcast base-chain conversion probability onto the 4-row
       // removal frame (the q133/q142 global-scalar shape)
       "q260_markov_attribution",
       // 1-row broadcast order-count frame onto the frequent-rule frame
       // (ADVICE r9: replaces the eager .count(); the q234 nSeeds shape)
       "q245_assoc_rules",
+      // same 1-row broadcast order-count frame onto the frequent-pair
+      // frame (VERDICT r10 item 3: q118 ports the q245 fix)
+      "q118_basket_pairs",
       // |sources|-row aggregate × broadcast 200-token vocab densification
       // (the q230 bounded-grid shape) before the JS log chains
       "q256_js_divergence")
