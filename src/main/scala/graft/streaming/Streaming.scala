@@ -44,6 +44,18 @@ object Streaming {
     java.nio.file.Files.createTempDirectory(root, "graft-ckpt-")
   }
 
+  /** State-store metrics of the most recent [[drainBounded]] run on this
+    * thread: (operatorName, peak numRowsTotal across micro-batches, total
+    * numRowsRemoved, micro-batches observed) per stateful operator. Probe
+    * surface for `tools.StreamProbe` (VERDICT r10 item 7 — grounding the
+    * bounded-state claims with measured state sizes at the 10× tier); the
+    * driver-contract queries never read it. Thread-local for the same
+    * multi-tenant reason as [[graft.Caches]]. */
+  private[graft] val lastRunStateMetrics =
+    new ThreadLocal[Seq[(String, Long, Long, Long)]] {
+      override def initialValue(): Seq[(String, Long, Long, Long)] = Seq.empty
+    }
+
   /** Start `build`'s streaming query checkpointed to [[scratchCheckpoint]],
     * drain it with `processAllAvailable`, stop it, and delete the scratch
     * dir — the shared lifecycle of every bounded run. */
@@ -52,7 +64,15 @@ object Streaming {
     try {
       val q = build(ckpt.toString).start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally {
+        val ops = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        lastRunStateMetrics.set(ops.groupBy(_.operatorName).toSeq.sortBy(_._1)
+          .map { case (n, xs) =>
+            (n, xs.map(_.numRowsTotal).max, xs.map(_.numRowsRemoved).sum,
+              xs.length.toLong)
+          })
+        q.stop()
+      }
     } finally {
       // scratch cleanup; best-effort (tmpfs evaporates on reboot anyway)
       import scala.jdk.CollectionConverters._

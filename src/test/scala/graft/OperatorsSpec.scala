@@ -1753,4 +1753,71 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Long]("bpe_fertility_fp") >= 1048576L)
     }
   }
+
+  test("q272 degenerate all-zero Neyman weights: fallback keeps both allocations summing to B") {
+    // ADVICE r10: one doc per source → every N·Σx²−(Σx)² = 0 → every Neyman
+    // weight 0; without the proportional fallback the Hamilton pass hands
+    // +1 to EVERY source and Σalloc = |sources| ≠ B.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-neyman0").toString
+    (1 to 7).map(i => (i.toLong, s"text $i", "en", s"src$i", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Mixture.q272NeymanAllocation(spark, dir).collect()
+    Caches.releaseAll()
+    assert(out.length == 7)
+    assert(out.forall(_.getAs[Long]("neyman_weight") == 0L))
+    assert(out.map(_.getAs[Long]("alloc_neyman")).sum == 1000L)
+    assert(out.map(_.getAs[Long]("alloc_proportional")).sum == 1000L)
+  }
+
+  test("q274 IVF eval: brute columns reproduce q268 exactly; gate and metric bounds hold") {
+    val ivf = ops.Vector.q274IvfRetrievalEval(spark, sf()).collect()
+    Caches.releaseAll()
+    val ref = ops.Vector.q268RetrievalMrrRecall(spark, sf()).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("rr_ppm"), r.getAs[Long]("recall_ppm"))).toMap
+    Caches.releaseAll()
+    assert(ivf.nonEmpty && ivf.length == ref.size)
+    ivf.foreach { r =>
+      // shared-pass law: the brute-force reference columns ARE q268's metrics
+      val (hits, rr, rec) = ref(r.getAs[Long]("query_id"))
+      assert(r.getAs[Long]("bf_hits") == hits && r.getAs[Long]("bf_rr_ppm") == rr &&
+        r.getAs[Long]("bf_recall_ppm") == rec, s"brute/q268 divergence: $r")
+      // gate bounds: overlap within both top-10 lists; ppm metrics in range
+      val ov = r.getAs[Long]("topk_overlap")
+      assert(ov >= 0L && ov <= 10L)
+      assert(r.getAs[Long]("index_recall_ppm") >= 0L &&
+        r.getAs[Long]("index_recall_ppm") <= 1000000L)
+      assert(r.getAs[Long]("ivf_hits") >= 0L && r.getAs[Long]("ivf_hits") <= 10L)
+      // an IVF hit list is a subset of a 10-list: recall can't exceed brute's
+      // 10-bounded ceiling semantics, and rr_ppm is a reciprocal-rank ppm
+      assert(r.getAs[Long]("ivf_rr_ppm") <= 1000000L)
+    }
+  }
+
+  test("q275 MAP: AP bounds and consistency with q268 hits") {
+    val map = ops.Vector.q275MapAtK(spark, sf()).collect()
+    Caches.releaseAll()
+    val ref = ops.Vector.q268RetrievalMrrRecall(spark, sf()).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("hits")).toMap
+    Caches.releaseAll()
+    assert(map.nonEmpty && map.length == ref.size)
+    map.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      // same scored pass, same hit count as q268
+      assert(hits == ref(r.getAs[Long]("query_id")), s"hits/q268 divergence: $r")
+      val sp = r.getAs[Long]("sum_prec_ppm")
+      val ap = r.getAs[Long]("ap_ppm")
+      // each precision@r term is ≤ 1e6 and > 0, so 0 ≤ sum ≤ hits·1e6;
+      // AP normalizes by min(n_rel, 10) ≥ hits, so AP ≤ 1e6
+      assert(sp >= 0L && sp <= hits * 1000000L)
+      assert(ap >= 0L && ap <= 1000000L)
+      if (hits == 0L) assert(sp == 0L && ap == 0L)
+      // a query whose rank-1 result is relevant has precision@1 = 1, so
+      // sum_prec ≥ 1e6 exactly when MRR's first_rel_rank == 1; weaker
+      // direction checked via monotonicity: sum_prec ≥ hits ppm-floor terms
+      assert(sp >= hits * 100000L) // worst case: all hits at rank 10
+    }
+  }
 }
