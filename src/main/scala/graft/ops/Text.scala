@@ -4128,7 +4128,110 @@ object Text {
        |FROM m GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q276: cross-entropy-difference document selection (Moore & Lewis, ACL
+    * 2010 — "Intelligent Selection of Language Model Training Data", THE
+    * classic data-selection recipe; Mindermann '22's RHO-loss is its modern
+    * per-point descendant): score every document by how much cheaper its
+    * tokens are under an IN-DOMAIN language model than under the GENERAL
+    * corpus model, and keep each source's top scorers. This is the
+    * document-level selection step that closes the loop q273 opens at the
+    * domain level — DoReMi decides how much of each source to take, this
+    * decides WHICH documents.
+    *
+    * Models are unsmoothed unigram MLEs (every token of a source's doc has
+    * count ≥ 1 in both the source and the corpus table by construction, so
+    * no smoothing mass is needed): per token, cost_general = log2(N_g) −
+    * log2(C_g(t)), cost_domain = log2(N_s) − log2(C_s(t)), all in the house
+    * exact 2¹⁶ fixed-point log2. The per-doc mean-excess
+    *   excess = (Σ lg C_s − Σ lg C_g) div n_tok + (lg N_g − lg N_s)
+    * uses the exact integer identity floor((a + K·n)/n) = K + floor(a/n):
+    * the second term is constant within a source, so the window RANKS on
+    * the first (computed before any join — the lint-clean Aggregate-input
+    * window) and the displayed score adds the constant after the rank.
+    * Positive excess = domain-typical content the general model finds
+    * surprising (Moore–Lewis keeps it); ~zero = generic text.
+    *
+    * Scale: one corpus tokenize pass feeding two count aggregates (vocab-
+    * and vocab×source-sized — table-scale at 100 TB, the q169/q258
+    * shuffle-join stance, never broadcast); log2 is evaluated on the COUNT
+    * TABLES (vocab rows), not per token instance; the selection window runs
+    * over the doc-level Aggregate; the |sources| totals frame broadcasts
+    * onto the ≤ 3·|sources| survivors. */
+  def q276ExcessLossSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val tok = graft.Caches.persist(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("t")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cg = withLog2fp(tok.groupBy(col("t")).agg(count(lit(1)).as("cg")),
+      "cg", "lg_cg")
+    val cs = withLog2fp(tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs")),
+      "cs", "lg_cs")
+    // |sources| totals frame: N_s per source, N_g as a window sum over it —
+    // no scalar cross-join anywhere
+    val ns = withLog2fp(withLog2fp(
+      tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        .withColumn("ng", sum(col("ns")).over(W.partitionBy())),
+      "ns", "lg_ns"), "ng", "lg_ng")
+    val docAgg = tok
+      .join(cs.select(col("source"), col("t"), col("lg_cs")), Seq("source", "t"))
+      .join(cg.select(col("t"), col("lg_cg")), Seq("t"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lg_cg")).as("slg_cg"), sum(col("lg_cs")).as("slg_cs"))
+      .withColumn("pre_fp", expr("(slg_cs - slg_cg) div n_tokens"))
+    val wSel = W.partitionBy(col("source"))
+      .orderBy(col("pre_fp").desc, col("doc_id").asc)
+    docAgg
+      .withColumn("rk", row_number().over(wSel).cast("long"))
+      .filter(col("rk") <= 3)
+      .join(broadcast(ns.select(col("source"), col("lg_ns"), col("lg_ng"))), Seq("source"))
+      .select(col("source"), col("rk"), col("doc_id"), col("n_tokens"),
+        expr("(n_tokens * lg_ng - slg_cg) div n_tokens").as("gen_cost_fp"),
+        expr("(n_tokens * lg_ns - slg_cs) div n_tokens").as("dom_cost_fp"),
+        expr("pre_fp + (lg_ng - lg_ns)").as("excess_fp"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q276Oracle: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, source, unnest($tokensSql) AS t FROM documents),
+       |cg0 AS (SELECT t, CAST(count(*) AS BIGINT) AS cg FROM tok GROUP BY t),
+       |${uniLog2Ctes("cg_", "cg0", "cg", Seq("t"))},
+       |cs0 AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cs
+       |        FROM tok GROUP BY source, t),
+       |${uniLog2Ctes("cs_", "cs0", "cs", Seq("source", "t"))},
+       |ns0 AS (SELECT source, CAST(count(*) AS BIGINT) AS ns,
+       |          CAST(sum(count(*)) OVER () AS BIGINT) AS ng
+       |        FROM tok GROUP BY source),
+       |${uniLog2Ctes("ns_", "ns0", "ns", Seq("source", "ng"))},
+       |nsr AS (SELECT source, ng, lg AS lg_ns FROM ns_lg),
+       |${uniLog2Ctes("ng_", "nsr", "ng", Seq("source", "lg_ns"))},
+       |nst AS (SELECT source, lg_ns, lg AS lg_ng FROM ng_lg),
+       |da AS MATERIALIZED (
+       |  SELECT tok.doc_id, tok.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(cgl.lg) AS BIGINT) AS slg_cg,
+       |    CAST(sum(csl.lg) AS BIGINT) AS slg_cs
+       |  FROM tok
+       |  JOIN cs_lg csl ON tok.source = csl.source AND tok.t = csl.t
+       |  JOIN cg_lg cgl ON tok.t = cgl.t
+       |  GROUP BY tok.doc_id, tok.source),
+       |rk AS (
+       |  SELECT *, (slg_cs - slg_cg) // n_tokens AS pre_fp,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY (slg_cs - slg_cg) // n_tokens DESC, doc_id ASC) AS rk
+       |  FROM da QUALIFY rk <= 3)
+       |SELECT r.source, CAST(r.rk AS BIGINT) AS rk, r.doc_id, r.n_tokens,
+       |  CAST((r.n_tokens * n.lg_ng - r.slg_cg) // r.n_tokens AS BIGINT)
+       |    AS gen_cost_fp,
+       |  CAST((r.n_tokens * n.lg_ns - r.slg_cs) // r.n_tokens AS BIGINT)
+       |    AS dom_cost_fp,
+       |  CAST(r.pre_fp + (n.lg_ng - n.lg_ns) AS BIGINT) AS excess_fp
+       |FROM rk r JOIN nst n ON n.source = r.source
+       |ORDER BY r.source, r.rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_excess_loss_select" -> (q276ExcessLossSelect _),
     "q273_domain_reweight" -> (q273DomainReweight _),
     "q271_script_mix" -> (q271ScriptMix _),
     "q270_zipf_slope" -> (q270ZipfSlope _),
@@ -4187,6 +4290,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q276_excess_loss_select" -> q276Oracle,
     "q266_weighted_quantiles" -> q266Oracle,
     "q264_good_turing" -> q264Oracle,
     "q258_stupid_backoff" -> q258Oracle,
