@@ -1771,6 +1771,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("alloc_proportional")).sum == 1000L)
   }
 
+  test("q276 Moore–Lewis selection: ranks consecutive and ordered; score identity within rounding") {
+    val rows = ops.Text.q276ExcessLossSelect(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      // ranks are 1..n with n ≤ 3
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq, src)
+      // the displayed score is non-increasing in rank (the rank key is the
+      // score minus a per-source constant, so order transfers exactly)
+      val ex = sorted.map(_.getAs[Long]("excess_fp"))
+      assert(ex.zip(ex.tail).forall { case (a, b) => a >= b }, s"$src: $ex")
+    }
+    rows.foreach { r =>
+      // excess = (slg_cs − slg_cg) div n + (lgNg − lgNs) and gen/dom costs
+      // are separately-floored divs of the same sums: the three roundings
+      // can disagree by at most 2 fixed-point ulps
+      val d = r.getAs[Long]("excess_fp") -
+        (r.getAs[Long]("gen_cost_fp") - r.getAs[Long]("dom_cost_fp"))
+      assert(math.abs(d) <= 2L, s"score identity broke: $r")
+      assert(r.getAs[Long]("n_tokens") >= 1L)
+      // in-domain model can never find a doc MORE expensive than having
+      // count ≥ 1 on every token allows vs the global model at these sizes:
+      // dom cost is bounded by gen cost plus the corpus/source size gap
+      assert(r.getAs[Long]("dom_cost_fp") >= 0L)
+      assert(r.getAs[Long]("gen_cost_fp") >= r.getAs[Long]("dom_cost_fp") - 2L ||
+        r.getAs[Long]("excess_fp") <= 2L)
+    }
+  }
+
   test("q274 IVF eval: brute columns reproduce q268 exactly; gate and metric bounds hold") {
     val ivf = ops.Vector.q274IvfRetrievalEval(spark, sf()).collect()
     Caches.releaseAll()
