@@ -69,6 +69,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topkaggregator") || p.toLowerCase.contains("partial_"), p)
   }
 
+  test("q117: PageRank plan construction runs zero Graph-side Spark jobs (VERDICT r11 item 4)") {
+    // The node count rides as a broadcast 1-row aggregate frame, so
+    // building the unrolled 5-iteration plan must submit no jobs from
+    // Graph code — the eager-scalar idiom (.count() at construction) is
+    // retired repo-wide. Parquet footer/schema-inference jobs from the
+    // table reads are tolerated (every query construction has those);
+    // what's pinned is that no job's call site lands in Graph.scala.
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        sites.add(Option(j.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = ops.Graph.q117Pagerank(spark, sf())
+      df.queryExecution.logical // force analysis, no action
+      Thread.sleep(1000) // listener bus is async; construction-time jobs
+      // run synchronously, so their onJobStart is already enqueued by now
+      val offending = sites.toArray.map(_.toString)
+        .filter(s => s.contains("Graph.scala") || s.startsWith("count at"))
+      assert(offending.isEmpty, s"plan construction submitted Graph-side jobs: ${offending.mkString(", ")}")
+      assert(df.count() > 0)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Caches.releaseAll()
+    }
+  }
+
   test("plan lint: no accidental cartesian or nested-loop joins across ALL queries") {
     // BroadcastNestedLoop is legitimate only where a query intentionally
     // scans query-points × corpus (brute-force ANN), probes with a
@@ -84,8 +114,12 @@ class PlanSpec extends SparkSpec {
       "q142_rolling_bitmap",
       // Layout.normalized attaches a 1-row broadcast min/max bounds frame
       "q152_layout_pruning",
-      // per-iteration 1-row broadcast dangling-mass share
+      // per-iteration 1-row broadcast dangling-mass share + the 1-row
+      // broadcast node-count frame (VERDICT r11 item 4: replaces the
+      // construction-time .count(); the q234 nSeeds shape)
       "q154_pagerank_dangling",
+      // 1-row broadcast node-count frame (same r11 item 4 shape)
+      "q117_pagerank",
       // 1-row broadcast (mn,mx,tot) stats frame + 8-row broadcast boundary
       // probe (v <= b_k) — both bounded-constant sides by construction
       "q162_equidepth_histogram",
