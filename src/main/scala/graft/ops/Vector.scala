@@ -1443,7 +1443,11 @@ object Vector {
     // --- IVF probe pass (q51's index shape at k=10): assign every vector
     // to its nearest of 8 centroids, probe each query's 2 nearest cells,
     // rank ONLY the vectors assigned there ---
-    val cent = emb.filter(col("vec_id") < 8)
+    // ADVICE r11: centroid seeds are the 8 SMALLEST vec_ids (data-derived,
+    // TakeOrderedAndProject), not a hardcoded `vec_id < 8` — a filtered or
+    // re-keyed corpus can't silently yield an empty centroid set and a
+    // plausible-looking 0% index recall. Identical ids (0–7) on this data.
+    val cent = emb.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("cid"), col("vv").as("cv"), col("nrm").as("cn"))
     val simToCent = broadcast(cent).join(emb, lit(true))
       .withColumn("csim", dot(col("cv"), col("vv")) / (col("cn") * col("nrm")))
@@ -1513,7 +1517,7 @@ object Vector {
        |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vec_id ASC) AS rk
        |  FROM q JOIN n ON query_id <> vec_id
        |  QUALIFY rk <= 10),
-       |cent AS (SELECT vec_id AS cid, vv AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |cent AS (SELECT vec_id AS cid, vv AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 8),
        |sim AS MATERIALIZED (
        |  SELECT n.vec_id, cid, ${dotSql("cv", "vv")} / (cn * nrm) AS csim
        |  FROM cent CROSS JOIN n),
@@ -1635,7 +1639,237 @@ object Vector {
        |FROM a JOIN lc ON lc.label = a.qlabel
        |ORDER BY a.query_id""".stripMargin
 
+  private val TIvfK = 8 // trained-IVF cells (q277); probes 2 of 8
+
+  /** q277: retrieval eval through a TRAINED IVF index (VERDICT r11 items
+    * 1+5) — q274 executes the IVF eval path but its centroids are arbitrary
+    * seed vectors (the 8 smallest vec_ids, untrained); this query trains
+    * the 8-cell codebook with q110's exact fixed-point Lloyd recurrence
+    * (2 iterations, 2¹² quantization, truncating integer means — identical
+    * in both engines), assigns and probes by the SAME exact integer L2
+    * distance, and reports NDCG@10 and MAP@10 — the two metrics q274
+    * doesn't carry — on the brute and IVF passes SIDE-BY-SIDE, plus the
+    * q111 index-recall gate. This is the number a real IVF deployment
+    * quotes: recall at a fixed probe fraction under a trained codebook.
+    *
+    * Scale: training is q110's two-shuffle-per-iteration loop over a
+    * K·Dim broadcast codebook; the IVF scoring pass is an equi-join on
+    * trained cell id (~nprobe/k of the corpus); the brute pass is the
+    * declared q50 reference being graded against. All metrics exact
+    * integer ppm (the q265 log2 gain machinery, the q275 floored
+    * precision sums). */
+  def q277TrainedIvfEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    graft.functions.VectorExpressions.register(s)
+    val emb = graft.Caches.persist(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          v(col("embedding")).as("vv"))
+        .withColumn("nrm", norm(col("vv"))))
+    // k-means training plane: one explode at the 2^12 training scale
+    // (q110's representation; q156 carries both scales the same way)
+    val xk = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * KmFP, 0).cast("long").as("xk")))
+    // seeds: the TIvfK smallest vec_ids — data-derived (ADVICE r11: never
+    // empty on a filtered/re-keyed corpus), TakeOrderedAndProject not a
+    // global sort
+    val seeds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(TIvfK)
+    def dists(c: DataFrame): DataFrame =
+      xk.join(broadcast(c), Seq("j"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("xk") - col("cq")) * (col("xk") - col("cq"))).as("d2"))
+    val wA = W.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    def nearest(d: DataFrame): DataFrame =
+      d.withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    var cent = xk.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("j"), col("xk").as("cq"))
+    for (_ <- 1 to KmIters) {
+      val a = nearest(dists(cent))
+      cent = xk.join(a, Seq("vec_id"))
+        .groupBy(col("cid"), col("j"))
+        .agg(expr("sum(xk) div count(1)").as("cq")) // exact truncating mean
+    }
+    // trained-cell distances feed BOTH the corpus assignment and the
+    // query probes — persisted so the two consumers share one pass
+    val dist = graft.Caches.persist(dists(cent))
+    val assign = nearest(dist)
+    val probes = dist.filter(col("vec_id") % 100 === 0)
+      .withColumn("prn", row_number().over(wA)).filter(col("prn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("vv").as("qv"), col("nrm").as("qn"))
+    val wR = W.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val wCum = W.partitionBy(col("query_id")).orderBy(col("rk"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val bfTop = graft.Caches.persist(
+      broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("vv")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("qlabel"), col("rk"), col("vec_id"),
+          (col("label") === col("qlabel")).cast("long").as("rel")))
+    val vecsByCluster = assign.join(emb, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("label"), col("vv"), col("nrm"))
+    val ivfTop = graft.Caches.persist(
+      probes.join(vecsByCluster, Seq("cid"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("vv")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          (col("label") === col("qlabel")).cast("long").as("rel")))
+    // q265's exact-integer gain table: g(r) = 2^36 div log2fp(r+1)
+    val gains = graft.Caches.persist(
+      Text.withLog2fp(s.range(1, 11).toDF("rk").limit(10), "rk + 1", "lg")
+        .select(col("rk"), expr("68719476736L div lg").as("g"))
+        .withColumn("cum_g", sum(col("g")).over(W.orderBy(col("rk"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))))
+    val bfM = bfTop
+      .withColumn("cum_rel", sum(col("rel")).over(wCum))
+      .join(broadcast(gains.select(col("rk"), col("g"))), Seq("rk"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(coalesce(sum(expr("rel * g")), lit(0L)).as("bf_dcg_fp"),
+        coalesce(sum(when(col("rel") === 1L,
+          expr("(cum_rel * 1000000L) div rk"))), lit(0L)).as("bf_sp_ppm"),
+        count(lit(1)).as("bf_k"))
+    val ivfM = ivfTop
+      .withColumn("cum_rel", sum(col("rel")).over(wCum))
+      .join(broadcast(gains.select(col("rk"), col("g"))), Seq("rk"))
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(expr("rel * g")), lit(0L)).as("ivf_dcg_raw"),
+        coalesce(sum(when(col("rel") === 1L,
+          expr("(cum_rel * 1000000L) div rk"))), lit(0L)).as("ivf_sp_raw"))
+    val overlap = bfTop.select(col("query_id"), col("vec_id"))
+      .join(ivfTop.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov_raw"))
+    val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    bfM
+      .join(ivfM, Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .join(lc, col("qlabel") === col("label"))
+      .withColumn("n_rel", col("c") - 1)
+      .withColumn("cap", least(col("n_rel"), lit(10L)))
+      .join(broadcast(gains.select(col("rk").as("cap"), col("cum_g"))), Seq("cap"))
+      .select(col("query_id"), col("qlabel").as("label"), col("n_rel"),
+        expr("(bf_dcg_fp * 1000000L) div cum_g").as("bf_ndcg_ppm"),
+        expr("(coalesce(ivf_dcg_raw, 0L) * 1000000L) div cum_g").as("ivf_ndcg_ppm"),
+        expr("bf_sp_ppm div nullif(least(n_rel, 10L), 0L)").as("bf_ap_ppm"),
+        expr("coalesce(ivf_sp_raw, 0L) div nullif(least(n_rel, 10L), 0L)").as("ivf_ap_ppm"),
+        coalesce(col("ov_raw"), lit(0L)).as("topk_overlap"),
+        expr("(coalesce(ov_raw, 0L) * 1000000L) div bf_k").as("index_recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val q277Oracle: String = {
+    def distCte(t: Int, centCte: String): String =
+      s"""tdist$t AS MATERIALIZED (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xk - c.cq) * (x.xk - c.cq)) AS BIGINT) AS d2
+         |  FROM xk x JOIN $centCte c ON x.j = c.j
+         |  GROUP BY 1, 2),
+         |tasg$t AS MATERIALIZED (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM tdist$t) t WHERE rn = 1)""".stripMargin
+    def centCte(t: Int): String =
+      s"""tcent$t AS MATERIALIZED (
+         |  SELECT a.cid, x.j, CAST(sum(x.xk) AS BIGINT) // count(*) AS cq
+         |  FROM xk x JOIN tasg$t a USING (vec_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      distCte(t, if (t == 1) "tcent0" else s"tcent${t - 1}") + ",\n" + centCte(t)
+    }.mkString(",\n")
+    s"""WITH xk AS MATERIALIZED (
+       |  SELECT vec_id, j,
+       |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xk
+       |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+       |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $TIvfK),
+       |tcent0 AS (SELECT vec_id AS cid, j, xk AS cq FROM xk
+       |           WHERE vec_id IN (SELECT vec_id FROM seeds)),
+       |$iters,
+       |${distCte(KmIters + 1, s"tcent$KmIters")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS prn
+       |    FROM tdist${KmIters + 1} WHERE vec_id % 100 = 0) t WHERE prn <= 2),
+       |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        ${vSql("embedding")} AS vv FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
+       |      FROM n WHERE vec_id % 100 = 0),
+       |bf AS MATERIALIZED (
+       |  SELECT query_id, qlabel, vec_id,
+       |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vec_id ASC) AS rk
+       |  FROM q JOIN n ON query_id <> vec_id
+       |  QUALIFY rk <= 10),
+       |vc AS (SELECT a.cid, n.vec_id, n.label, vv, nrm
+       |       FROM tasg${KmIters + 1} a JOIN n ON a.vec_id = n.vec_id),
+       |ivf AS MATERIALIZED (
+       |  SELECT q.query_id, vc.vec_id,
+       |    CASE WHEN vc.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dotSql("qv", "vv")} / (qn * nrm) DESC, vc.vec_id ASC) AS rk
+       |  FROM probes JOIN vc ON probes.cid = vc.cid AND probes.query_id <> vc.vec_id
+       |  JOIN q ON probes.query_id = q.query_id
+       |  QUALIFY rk <= 10),
+       |rks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS rk),
+       |${graft.ops.Text.uniLog2Ctes("tg_", "(SELECT rk, rk + 1 AS x FROM rks)", "x", Seq("rk"))},
+       |gains AS MATERIALIZED (
+       |  SELECT rk, 68719476736 // lg AS g,
+       |    CAST(sum(68719476736 // lg) OVER (ORDER BY rk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+       |  FROM tg_lg),
+       |bfc AS (
+       |  SELECT *, CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rel
+       |  FROM bf),
+       |ivfc AS (
+       |  SELECT *, CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rel
+       |  FROM ivf),
+       |bfa AS (
+       |  SELECT query_id, qlabel,
+       |    CAST(coalesce(sum(rel * g), 0) AS BIGINT) AS bf_dcg_fp,
+       |    CAST(coalesce(sum(CASE WHEN rel = 1
+       |      THEN (cum_rel * 1000000) // rk END), 0) AS BIGINT) AS bf_sp_ppm,
+       |    CAST(count(*) AS BIGINT) AS bf_k
+       |  FROM bfc JOIN gains USING (rk) GROUP BY 1, 2),
+       |iva AS (
+       |  SELECT query_id,
+       |    CAST(coalesce(sum(rel * g), 0) AS BIGINT) AS ivf_dcg_raw,
+       |    CAST(coalesce(sum(CASE WHEN rel = 1
+       |      THEN (cum_rel * 1000000) // rk END), 0) AS BIGINT) AS ivf_sp_raw
+       |  FROM ivfc JOIN gains USING (rk) GROUP BY 1),
+       |ov AS (
+       |  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS ov_raw
+       |  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+       |  GROUP BY 1),
+       |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM n GROUP BY label)
+       |SELECT b.query_id, b.qlabel AS label, lc.c - 1 AS n_rel,
+       |  CAST((b.bf_dcg_fp * 1000000) // gains.cum_g AS BIGINT) AS bf_ndcg_ppm,
+       |  CAST((coalesce(iva.ivf_dcg_raw, 0) * 1000000) // gains.cum_g AS BIGINT) AS ivf_ndcg_ppm,
+       |  CAST(b.bf_sp_ppm // nullif(least(lc.c - 1, 10), 0) AS BIGINT) AS bf_ap_ppm,
+       |  CAST(coalesce(iva.ivf_sp_raw, 0) // nullif(least(lc.c - 1, 10), 0) AS BIGINT) AS ivf_ap_ppm,
+       |  CAST(coalesce(ov.ov_raw, 0) AS BIGINT) AS topk_overlap,
+       |  CAST((coalesce(ov.ov_raw, 0) * 1000000) // b.bf_k AS BIGINT) AS index_recall_ppm
+       |FROM bfa b
+       |LEFT JOIN iva ON iva.query_id = b.query_id
+       |LEFT JOIN ov ON ov.query_id = b.query_id
+       |JOIN lc ON lc.label = b.qlabel
+       |JOIN gains ON gains.rk = least(lc.c - 1, 10)
+       |ORDER BY b.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_trained_ivf_eval" -> (q277TrainedIvfEval _),
     "q274_ivf_retrieval_eval" -> (q274IvfRetrievalEval _),
     "q275_map_at_k" -> (q275MapAtK _),
     "q268_retrieval_mrr_recall" -> (q268RetrievalMrrRecall _),
@@ -1657,6 +1891,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q277_trained_ivf_eval" -> q277Oracle,
     "q274_ivf_retrieval_eval" -> q274Oracle,
     "q275_map_at_k" -> q275Oracle,
     "q268_retrieval_mrr_recall" -> q268Oracle,

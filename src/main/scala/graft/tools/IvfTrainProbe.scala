@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe for the trained-IVF question (VERDICT r11 item 1): does
+  * k-means training lift index recall at a fixed probe fraction?
+  *
+  * On the driver's synthetic embeddings the answer is measurably "no
+  * structure to learn": same-label mean cosine is ~0.0008 vs ~0.0000 for
+  * different labels (isotropic by construction), so trained and untrained
+  * codebooks both hover near the geometric baseline and neither can
+  * "materially" beat the other. To show the trained path DOES win when
+  * structure exists — the regime a real corpus is in — this probe PLANTS
+  * cluster structure (the planted-skew AQE test's idiom applied to
+  * embeddings): each vector is shifted toward a deterministic per-label
+  * direction, `e'[j] = e[j] + α·u(label)[j]`, with u derived by integer
+  * hashing (no RNG, reproducible), then both q274 (untrained seed
+  * centroids) and q277 (q110-trained exact fixed-point k-means) run on the
+  * planted corpus and report index recall vs the brute top-10.
+  *
+  * Usage: `IvfTrainProbe <srcSfDir> <workDir> [alpha100]` — alpha100 is the
+  * shift strength ×100 (default 8 → α=0.08; per-dim values are ~N(0,1)-ish
+  * scaled, so α=0.08 over 64 dims gives same-label cosine ≈ 0.3). Prints
+  * one JSON line and leaves the planted replica in workDir.
+  */
+object IvfTrainProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/sfplanted")
+    val alpha = args.lift(2).map(_.toInt).getOrElse(8) / 100.0
+    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // plant: u(label)[j] = hash-derived value in [-0.5, 0.5) — the same
+    // multiplicative-hash constants as the skew-planting tests
+    val planted = spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("embedding", expr(
+        s"""transform(embedding, (x, j0) -> CAST(x +
+           |  $alpha * (CAST(pmod(label * 73856093 + (j0 + 1) * 19349663, 1000)
+           |            AS DOUBLE) / 1000.0 - 0.5) AS FLOAT))""".stripMargin))
+    planted.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
+    def recall(name: String): (Double, Double) = {
+      val df = graft.SparkEntry.queries(name)(spark, work)
+      val r = df.agg(avg(col("index_recall_ppm")).as("ir"),
+        avg(col(if (name.contains("q277")) "ivf_ndcg_ppm" else "ivf_recall_ppm")).as("m2"))
+        .head()
+      graft.Caches.releaseAll()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // structure check: mean same-label vs cross-label cosine on the replica
+    val structSql = spark.read.parquet(s"$work/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vv"))
+    val n = structSql.withColumn("nrm",
+      sqrt(aggregate(transform(col("vv"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val pairs = n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.label") === col("b.label")).as("same"),
+        (aggregate(zip_with(col("a.vv"), col("b.vv"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / (col("a.nrm") * col("b.nrm"))).as("cs"))
+      .groupBy("same").agg(avg(col("cs")).as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val (untrained, _) = recall("q274_ivf_retrieval_eval")
+    val (trained, _) = recall("q277_trained_ivf_eval")
+    println(f"""{"metric":"ivf_trained_probe","src":"$src","alpha":$alpha%.2f,""" +
+      f""""same_label_cos":${pairs.getOrElse(true, 0.0)}%.4f,""" +
+      f""""cross_label_cos":${pairs.getOrElse(false, 0.0)}%.4f,""" +
+      f""""untrained_index_recall_ppm":$untrained%.0f,""" +
+      f""""trained_index_recall_ppm":$trained%.0f}""")
+    spark.stop()
+  }
+}

@@ -61,11 +61,17 @@ object ScaleUp {
 
     // unique-mode payload transform: replica 0 keeps the original corpus
     // verbatim (it stays a subset); replicas i > 0 get replica-tagged tokens.
+    // ADVICE r11: the tag is applied per ALNUM RUN, not per whitespace word —
+    // a word-level suffix detaches from intra-word punctuation after
+    // Text.tokens ("don't" → tokens "don", "tr3"), leaking un-tagged tokens
+    // across replicas. Tagging every [A-Za-z0-9]+ run makes the
+    // replica-local-shingle guarantee alphabet-independent (case preserved,
+    // so case-derived quality features are untouched).
     def uniqueDocText(df: DataFrame, i: Int): DataFrame =
       if (!unique || i == 0) df
       else df
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"r$i"))), " "))
+        .withColumn("text",
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1r$i"))
         .withColumn("n_chars", length(col("text")).cast("long"))
 
     // ONE shared span for the linked pair, taken from the parent table:

@@ -1850,4 +1850,29 @@ class OperatorsSpec extends SparkSpec {
       assert(sp >= hits * 100000L) // worst case: all hits at rank 10
     }
   }
+
+  test("q277 trained-IVF eval: brute NDCG/AP reproduce q265/q275 exactly; gate bounds hold") {
+    val t = ops.Vector.q277TrainedIvfEval(spark, sf()).collect()
+    Caches.releaseAll()
+    val ndcg = ops.Vector.q265NdcgRetrieval(spark, sf()).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("ndcg_ppm")).toMap
+    Caches.releaseAll()
+    val ap = ops.Vector.q275MapAtK(spark, sf()).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("ap_ppm")).toMap
+    Caches.releaseAll()
+    assert(t.nonEmpty && t.length == ndcg.size)
+    t.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      // shared-pass law: the brute reference columns ARE q265's NDCG and
+      // q275's AP — the trained-IVF query grades against the same numbers
+      assert(r.getAs[Long]("bf_ndcg_ppm") == ndcg(qid), s"brute/q265 divergence: $r")
+      assert(r.getAs[Long]("bf_ap_ppm") == ap(qid), s"brute/q275 divergence: $r")
+      val ov = r.getAs[Long]("topk_overlap")
+      assert(ov >= 0L && ov <= 10L)
+      Seq("bf_ndcg_ppm", "ivf_ndcg_ppm", "bf_ap_ppm", "ivf_ap_ppm",
+        "index_recall_ppm").foreach { c =>
+        assert(r.getAs[Long](c) >= 0L && r.getAs[Long](c) <= 1000000L, s"$c out of range: $r")
+      }
+    }
+  }
 }

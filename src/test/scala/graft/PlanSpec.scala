@@ -190,6 +190,9 @@ class PlanSpec extends SparkSpec {
       "q274_ivf_retrieval_eval",
       // q265/q268's identical scored pass (shared shape, MAP metric)
       "q275_map_at_k",
+      // embeds the same brute-force reference pass as q274, graded against
+      // the trained-k-means IVF equi-join side (VERDICT r11 items 1+5)
+      "q277_trained_ivf_eval",
       // 1-row broadcast base-chain conversion probability onto the 4-row
       // removal frame (the q133/q142 global-scalar shape)
       "q260_markov_attribution",
