@@ -4230,7 +4230,179 @@ object Text {
        |FROM rk r JOIN nst n ON n.source = r.source
        |ORDER BY r.source, r.rk""".stripMargin
 
+  /** q278: cross-source quantile normalization of a per-document score —
+    * the Bolstad '03 microarray recipe applied where a curation pipeline
+    * needs it: a raw score's meaning drifts across sources (one crawl's
+    * length distribution is another's tail), so each source's scores are
+    * mapped onto the POOLED corpus distribution at the same quantile,
+    * after which ONE global cutoff treats every source fairly (the
+    * cross-source calibration step before a q180-style tier threshold).
+    *
+    * Scale stance: everything runs on DISTINCT-VALUE frames, never
+    * per-document state. Per-source rank structure is groupBy(source,
+    * score) + a cumulative window over the |sources|×|distinct scores|
+    * frame; the pooled quantile function is the same shape globally (its
+    * window orders |distinct scores| rows — the q162 bounded-frame
+    * argument, NOT a corpus sort). A tied group's midrank m = cb+(cnt+1)/2
+    * gives source quantile q = (2m−1)/(2n) ∈ (0,1), and the pooled order
+    * statistic index k = ceil(q·N) is exact integer arithmetic — the
+    * (2cb+cnt)·N product rides DECIMAL(38,0) (HUGEINT in the oracle)
+    * because 2N² passes 2^63 around N = 2^31 documents. The k → pooled
+    * score lookup is a range probe (lo ≤ k ≤ hi) into the BROADCAST
+    * pooled frame, bounded by |distinct scores|. The calibration property
+    * — per-source normalized means collapse toward the pooled mean — is
+    * pinned in exact 10⁶ fixed point. */
+  def q278QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("score"))
+    val wCum = W.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val srcDist = d.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("ns", sum(col("cnt")).over(W.partitionBy(col("source"))))
+      .withColumn("n_total", sum(col("cnt")).over(W.partitionBy()))
+    val pooled = d.groupBy(col("score")).agg(count(lit(1)).as("cnt_g"))
+      .withColumn("cbg", coalesce(sum(col("cnt_g")).over(
+        W.orderBy(col("score")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("score").as("norm_score"),
+        (col("cbg") + 1).as("lo"), (col("cbg") + col("cnt_g")).as("hi"))
+    srcDist
+      .withColumn("k",
+        expr("(CAST(2*cb + cnt AS DECIMAL(38,0)) * n_total + 2*ns - 1) div (2*ns)"))
+      .join(broadcast(pooled), col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("score") * col("cnt")).as("sum_raw"),
+        sum(col("norm_score") * col("cnt")).as("sum_norm"))
+      .select(col("source"), col("n_docs"), col("sum_raw"), col("sum_norm"),
+        expr("(sum_raw * 1000000) div n_docs").as("mean_raw_fp"),
+        expr("(sum_norm * 1000000) div n_docs").as("mean_norm_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q278Oracle: String =
+    """WITH d AS (SELECT source, n_chars AS score FROM documents),
+      |sd AS (SELECT source, score, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM d GROUP BY source, score),
+      |sc AS (
+      |  SELECT source, score, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS ns,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+      |  FROM sd),
+      |pd AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt_g FROM d GROUP BY score),
+      |pc AS (
+      |  SELECT score AS norm_score,
+      |    CAST(coalesce(sum(cnt_g) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS lo,
+      |    CAST(coalesce(sum(cnt_g) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt_g AS BIGINT) AS hi
+      |  FROM pd),
+      |kk AS (
+      |  SELECT source, score, cnt,
+      |    CAST((CAST(2*cb + cnt AS HUGEINT) * n_total + 2*ns - 1) // (2*ns) AS BIGINT) AS k
+      |  FROM sc),
+      |m AS (
+      |  SELECT kk.source, kk.score, kk.cnt, pc.norm_score
+      |  FROM kk JOIN pc ON kk.k >= pc.lo AND kk.k <= pc.hi)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |  CAST(sum(score*cnt) AS BIGINT) AS sum_raw,
+      |  CAST(sum(norm_score*cnt) AS BIGINT) AS sum_norm,
+      |  CAST(CAST(sum(score*cnt) AS BIGINT) * 1000000
+      |       // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS mean_raw_fp,
+      |  CAST(CAST(sum(norm_score*cnt) AS BIGINT) * 1000000
+      |       // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS mean_norm_fp
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  /** q280: exact trimmed and winsorized per-source means — the robust
+    * location statistics (Tukey's trimmed mean; winsorization per Hastings
+    * et al. '47) a curation dashboard reports next to the raw mean, because
+    * a handful of concatenation-bug monsters or empty stubs drags a
+    * source's raw mean score arbitrarily far while the 10%-trimmed and
+    * winsorized means stay put — the robust/raw GAP is itself the outlier
+    * alarm (the q124 MAD idea at the reporting level).
+    *
+    * Same scale stance as q278: the corpus reduces to the
+    * |sources|×|distinct scores| count frame; rank structure is one
+    * cumulative window over it. Trimming drops the bottom/top ⌊n/10⌋
+    * DOCUMENTS exactly — a tied value group occupying ranks [cb+1, cb+cnt]
+    * keeps max(0, min(hi, cb+cnt) − max(lo, cb)) copies, so Σkept ≡
+    * n − 2⌊n/10⌋ by construction (ties split exactly, no interpolation).
+    * The winsor boundaries are the order statistics at ranks lo+1 and hi,
+    * read off the SAME frame by conditional aggregate — no second pass,
+    * no sort. All means in exact 10⁶ fixed point. */
+  def q280RobustMeans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wCum = W.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val sd = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("score"))
+      .groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("source"))))
+      .withColumn("lo", expr("n div 10"))
+      .withColumn("hi", col("n") - expr("n div 10"))
+      .withColumn("kept",
+        greatest(lit(0L), least(col("hi"), col("cb") + col("cnt")) -
+          greatest(col("lo"), col("cb"))))
+    sd.groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_docs"),
+        sum(col("score") * col("cnt")).as("sum_raw"),
+        sum(col("score") * col("kept")).as("sum_trim"),
+        sum(col("kept")).as("n_kept"),
+        max(expr("CASE WHEN cb < lo + 1 AND lo + 1 <= cb + cnt THEN score END"))
+          .as("p10_score"),
+        max(expr("CASE WHEN cb < hi AND hi <= cb + cnt THEN score END"))
+          .as("p90_score"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("p10_score"), col("p90_score"),
+        expr("(sum_raw * 1000000) div n_docs").as("mean_raw_fp"),
+        expr("(sum_trim * 1000000) div n_kept").as("mean_trim_fp"),
+        expr("((sum_trim + (n_docs div 10) * (p10_score + p90_score)) * 1000000)" +
+          " div (n_kept + 2 * (n_docs div 10))").as("mean_winsor_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q280Oracle: String =
+    """WITH sd AS (
+      |  SELECT source, n_chars AS score, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY source, n_chars),
+      |cf AS (
+      |  SELECT source, score, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM sd),
+      |kf AS (
+      |  SELECT source, score, cnt, cb, n, n // 10 AS lo, n - n // 10 AS hi,
+      |    greatest(0, least(n - n // 10, cb + cnt) - greatest(n // 10, cb)) AS kept
+      |  FROM cf),
+      |ag AS (
+      |  SELECT source,
+      |    CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |    CAST(sum(score * cnt) AS BIGINT) AS sum_raw,
+      |    CAST(sum(score * kept) AS BIGINT) AS sum_trim,
+      |    CAST(sum(kept) AS BIGINT) AS n_kept,
+      |    CAST(max(CASE WHEN cb < lo + 1 AND lo + 1 <= cb + cnt THEN score END) AS BIGINT)
+      |      AS p10_score,
+      |    CAST(max(CASE WHEN cb < hi AND hi <= cb + cnt THEN score END) AS BIGINT)
+      |      AS p90_score
+      |  FROM kf GROUP BY source)
+      |SELECT source, n_docs, n_kept, p10_score, p90_score,
+      |  CAST((sum_raw * 1000000) // n_docs AS BIGINT) AS mean_raw_fp,
+      |  CAST((sum_trim * 1000000) // n_kept AS BIGINT) AS mean_trim_fp,
+      |  CAST(((sum_trim + (n_docs // 10) * (p10_score + p90_score)) * 1000000)
+      |    // (n_kept + 2 * (n_docs // 10)) AS BIGINT) AS mean_winsor_fp
+      |FROM ag ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_robust_means" -> (q280RobustMeans _),
+    "q278_quantile_normalize" -> (q278QuantileNormalize _),
     "q276_excess_loss_select" -> (q276ExcessLossSelect _),
     "q273_domain_reweight" -> (q273DomainReweight _),
     "q271_script_mix" -> (q271ScriptMix _),
@@ -4290,6 +4462,8 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q280_robust_means" -> q280Oracle,
+    "q278_quantile_normalize" -> q278Oracle,
     "q276_excess_loss_select" -> q276Oracle,
     "q266_weighted_quantiles" -> q266Oracle,
     "q264_good_turing" -> q264Oracle,

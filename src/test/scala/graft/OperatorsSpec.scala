@@ -1801,6 +1801,81 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q278 quantile normalization: doc conservation, pooled-range bounds, spread shrinks") {
+    val rows = ops.Text.q278QuantileNormalize(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty)
+    val stats = Tables.documents(spark, sf())
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx")).head()
+    // every document lands in exactly one (source, score) group → one row
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == stats.getAs[Long]("n"))
+    rows.foreach { r =>
+      // normalized scores are pooled order statistics, so per-source means
+      // live inside the pooled score range
+      val m = r.getAs[Long]("mean_norm_fp")
+      assert(m >= stats.getAs[Long]("mn") * 1000000L &&
+        m <= stats.getAs[Long]("mx") * 1000000L, s"mean out of pooled range: $r")
+      assert(r.getAs[Long]("sum_norm") >= 0L && r.getAs[Long]("n_docs") >= 1L)
+    }
+    // the calibration property on this corpus: mapping every source onto
+    // the pooled quantile function pulls per-source means together —
+    // cross-source spread of the normalized means is no wider than raw
+    val rawMeans = rows.map(_.getAs[Long]("mean_raw_fp"))
+    val normMeans = rows.map(_.getAs[Long]("mean_norm_fp"))
+    assert(normMeans.max - normMeans.min <= rawMeans.max - rawMeans.min,
+      s"normalization widened the cross-source spread: raw=${rawMeans.max - rawMeans.min} norm=${normMeans.max - normMeans.min}")
+  }
+
+  test("q279 LSH planner: S-curve monotone in b and r, ppm bounds, q46 plan flagged once") {
+    val rows = ops.Dedup.q279LshBandPlanner(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty)
+    val byPlan = rows.map(r => (r.getAs[Long]("b"), r.getAs[Long]("r")) -> r).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sigs") == r.getAs[Long]("b") * r.getAs[Long]("r"))
+      Seq("miss_hi_ppm", "fire_lo_ppm", "loss_ppm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 1000000L, s"$c out of ppm range: $r")
+      }
+    }
+    // exactly one plan is q46's 4 bands × 2 rows
+    assert(rows.count(_.getAs[Long]("is_q46_plan") == 1L) == 1)
+    assert(byPlan((4L, 2L)).getAs[Long]("is_q46_plan") == 1L)
+    // S-curve laws under floored fixed point (non-strict): more bands can
+    // only raise detection (miss falls, fire rises); more rows per band can
+    // only lower it (miss rises, fire falls)
+    byPlan.foreach { case ((b, r), row) =>
+      byPlan.get((b + 1, r)).foreach { nb =>
+        assert(nb.getAs[Long]("miss_hi_ppm") <= row.getAs[Long]("miss_hi_ppm"), s"b-mono miss ($b,$r)")
+        assert(nb.getAs[Long]("fire_lo_ppm") >= row.getAs[Long]("fire_lo_ppm"), s"b-mono fire ($b,$r)")
+      }
+      byPlan.get((b, r + 1)).foreach { nr =>
+        assert(nr.getAs[Long]("miss_hi_ppm") >= row.getAs[Long]("miss_hi_ppm"), s"r-mono miss ($b,$r)")
+        assert(nr.getAs[Long]("fire_lo_ppm") <= row.getAs[Long]("fire_lo_ppm"), s"r-mono fire ($b,$r)")
+      }
+    }
+  }
+
+  test("q280 robust means: trim count identity, boundary ordering, means inside boundaries") {
+    val rows = ops.Text.q280RobustMeans(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      // tie-exact trimming: kept docs ≡ n − 2⌊n/10⌋ by construction
+      assert(r.getAs[Long]("n_kept") == n - 2 * (n / 10), s"trim identity: $r")
+      val (p10, p90) = (r.getAs[Long]("p10_score"), r.getAs[Long]("p90_score"))
+      assert(p10 <= p90, s"boundaries inverted: $r")
+      // every kept (and winsorized) value lies in [p10, p90], so both
+      // floored means do too (±1 fixed-point ulp from the div)
+      Seq("mean_trim_fp", "mean_winsor_fp").foreach { c =>
+        val m = r.getAs[Long](c)
+        assert(m >= p10 * 1000000L - 1 && m <= p90 * 1000000L + 1, s"$c outside boundaries: $r")
+      }
+    }
+  }
+
   test("q274 IVF eval: brute columns reproduce q268 exactly; gate and metric bounds hold") {
     val ivf = ops.Vector.q274IvfRetrievalEval(spark, sf()).collect()
     Caches.releaseAll()

@@ -158,6 +158,14 @@ class PlanSpec extends SparkSpec {
       // ≤|domain|-row broadcast global-value frame densifying the bounded
       // (QI-cell × sensitive-value) grid (the q162 boundary-probe argument)
       "q230_t_closeness",
+      // order-statistic range probe (lo ≤ k ≤ hi) into the broadcast
+      // |distinct scores| pooled-quantile frame (the q162 bounded-frame
+      // boundary-probe argument)
+      "q278_quantile_normalize",
+      // fixed 40-doc probe pair enumeration (da < db on the broadcast
+      // ≤40-row size frame — the q200 fixed-benchmark argument) + the
+      // |grid|×|bins| ≈ 69×10 planner cross onto broadcast 10-row bins
+      "q279_lsh_band_planner",
       // 1-row broadcast log2fp(C+|V|) normalization scalar onto the vocab
       // frame, once per EM round (the q184/q197 shape)
       "q231_unigram_lm_train",
