@@ -1161,8 +1161,10 @@ object Dedup {
           .as("miss_hi_ppm"),
         sum(expr(s"CASE WHEN bin = 2 THEN (p * 1000000) div $Scale END"))
           .as("fire_lo_ppm"),
+        // greatest(…, 1) tolerates the empty-corpus probe (all bin masses
+        // zero — EmptyDataSpec); on any real corpus Σw = |pairs| > 0
         expr(s"(sum(CASE WHEN bin >= 5 THEN w * ($Scale - p) ELSE w * p END)" +
-          s" * 1000000) div (sum(w) * $Scale)").as("loss_ppm"))
+          s" * 1000000) div greatest(sum(w) * $Scale, 1)").as("loss_ppm"))
       .select(col("b"), col("r"), (col("b") * col("r")).as("n_sigs"),
         col("miss_hi_ppm"), col("fire_lo_ppm"), col("loss_ppm"),
         when(col("b") === 4 && col("r") === 2, 1L).otherwise(0L).as("is_q46_plan"))
@@ -1214,7 +1216,7 @@ object Dedup {
       |  CAST(sum(CASE WHEN bin = 2 THEN p * 1000000 // 1048576 END) AS BIGINT)
       |    AS fire_lo_ppm,
       |  CAST(sum(CASE WHEN bin >= 5 THEN w * (1048576 - p) ELSE w * p END) * 1000000
-      |    // (sum(w) * 1048576) AS BIGINT) AS loss_ppm,
+      |    // greatest(sum(w) * 1048576, 1) AS BIGINT) AS loss_ppm,
       |  CAST(CASE WHEN b = 4 AND r = 2 THEN 1 ELSE 0 END AS BIGINT) AS is_q46_plan
       |FROM pf GROUP BY b, r
       |ORDER BY loss_ppm, b, r""".stripMargin
