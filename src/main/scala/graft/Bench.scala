@@ -1,6 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** NOISE CANARY (VERDICT r5 item 3): a fixed, data-independent probe —
+    * sum(id·c) over 2^30 codegen'd range rows, no I/O, no shuffle reduction
+    * beyond one stage. Median of 3 after a JIT-warmup pass (sensitive to
+    * sustained contention, robust to a single blip). Quiet-host band
+    * ~0.22–0.35 s (README bench history). Object-level so the canary
+    * pre-gate (`tools.CanaryGate`, VERDICT r12 item 1) probes the same
+    * numbers the bench artifact reports. */
+  def canaryCpu(spark: SparkSession): Double = {
+    val ts = (0 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // pmod keeps the running sum < 2^50 — ANSI mode faults a raw
+      // sum(id·c) overflow at this row count
+      spark.range(1L << 30).selectExpr("sum(pmod(id * 2654435761, 1000003))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.drop(1) // first call is JIT warmup
+    ts.sorted.apply(1)
+  }
+
+  /** I/O+SHUFFLE CANARY (VERDICT r6 item 4): the CPU canary sat inside its
+    * quiet band both rounds the comparable subset read ~+40%, because
+    * sum-over-range exercises codegen only — real queries lose time on the
+    * shuffle write/read + page-cache path. This probe hash-exchanges a
+    * fixed 10M-row frame carrying a 32-byte md5 payload (≈hundreds of MB
+    * of shuffle file traffic through the local disks) and re-aggregates,
+    * so neighbor contention on I/O registers. Median of 3 after a warmup
+    * pass. Quiet-host band ~0.9–1.3 s (README bench history). */
+  def canaryShuffleIo(spark: SparkSession): Double = {
+    val ts = (0 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(10L * 1000 * 1000)
+        .selectExpr("pmod(id * 2654435761, 1000003) as k", "md5(cast(id as string)) as s")
+        .groupBy("k").agg(org.apache.spark.sql.functions.max("s").as("m"))
+        .selectExpr("sum(crc32(m))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.drop(1)
+    ts.sorted.apply(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -25,44 +64,12 @@ object Bench {
     // profiled r1). Per-query minimum over 3 passes measures plan cost,
     // which is the thing a scheduling decision at 100 TB would be based on.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    // NOISE CANARY (VERDICT r5 item 3): a fixed, data-independent probe
-    // timed before and after the sweep — sum(id·c) over 2^30 codegen'd
-    // range rows, no I/O, no shuffle reduction beyond one stage. Median of
-    // 3 (sensitive to sustained contention, robust to a single blip).
-    // Quiet-host reference is recorded in README's bench history; an
-    // elevated canary marks the whole run contention-affected, so a future
-    // round can separate host noise from plan regressions mechanically
-    // instead of by judge re-run (r5's 90.3 s was +40% noise).
-    def canary(): Double = {
-      val ts = (0 to 3).map { i =>
-        val t0 = System.nanoTime()
-        // pmod keeps the running sum < 2^50 — ANSI mode faults a raw
-        // sum(id·c) overflow at this row count
-        spark.range(1L << 30).selectExpr("sum(pmod(id * 2654435761, 1000003))").collect()
-        (System.nanoTime() - t0) / 1e9
-      }.drop(1) // first call is JIT warmup
-      ts.sorted.apply(1)
-    }
-    // I/O+SHUFFLE CANARY (VERDICT r6 item 4): the CPU canary sat inside its
-    // quiet band both rounds the comparable subset read ~+40%, because
-    // sum-over-range exercises codegen only — real queries lose time on the
-    // shuffle write/read + page-cache path. This probe hash-exchanges a fixed
-    // 10M-row frame carrying a 32-byte md5 payload (≈hundreds of MB of
-    // shuffle file traffic through the local disks) and re-aggregates, so
-    // neighbor contention on I/O registers. Median of 3 after a warmup pass,
-    // same as the CPU probe. Quiet-host bands for both live in README's
-    // bench-history notes.
-    def canaryShuffle(): Double = {
-      val ts = (0 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(10L * 1000 * 1000)
-          .selectExpr("pmod(id * 2654435761, 1000003) as k", "md5(cast(id as string)) as s")
-          .groupBy("k").agg(org.apache.spark.sql.functions.max("s").as("m"))
-          .selectExpr("sum(crc32(m))").collect()
-        (System.nanoTime() - t0) / 1e9
-      }.drop(1)
-      ts.sorted.apply(1)
-    }
+    // canaries timed before and after the sweep — see the object-level
+    // scaladoc; an elevated canary marks the whole run contention-affected,
+    // and tools.CanaryGate refuses to even start a recorded run on a loud
+    // host (VERDICT r12 item 1).
+    def canary(): Double = canaryCpu(spark)
+    def canaryShuffle(): Double = canaryShuffleIo(spark)
     val canaryFirst  = canary()
     val canaryShFirst = canaryShuffle()
     // FAIL LOUD (VERDICT r6 item 3): a query whose body throws must not

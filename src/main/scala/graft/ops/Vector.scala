@@ -1868,7 +1868,147 @@ object Vector {
        |ORDER BY b.query_id""".stripMargin
   }
 
+  /** q281: TRAINED product-quantization codebooks (VERDICT r12 item 3) —
+    * q102's IVF-PQ encodes residuals against an UNTRAINED stand-in codebook
+    * (the PqK smallest vec_ids' residuals); this query feeds those same
+    * residuals through q110's exact fixed-point Lloyd recurrence PER
+    * SUBSPACE (8 blocks × 8 dims, 16 codes each, 2 iterations, 2¹²
+    * quantization, truncating integer means — identical in both engines)
+    * and reports the quantization distortion training buys, per block:
+    * SSE under the seed codebook (exactly what q102's untrained codes pay)
+    * vs SSE under the trained codebook, improvement in ppm. Training
+    * starts FROM the seed codebook, so Lloyd's monotone descent bounds
+    * sse_trained ≤ sse_seed + KmIters·n·PqDims (the integer-truncation
+    * slack: a truncated mean is off the exact mean by < 1 per coordinate) —
+    * a law OperatorsSpec pins; the real-corpus win on planted structure is
+    * quantified by IvfTrainProbe's α grid.
+    *
+    * Scale stance: q110's two-shuffle iteration with a block key — assign
+    * is an equi-join on (block, j) against a BROADCAST codebook (8·16·8
+    * rows) with partial-aggregated argmin per (vec, block); update is a
+    * hash agg per (block, code, j). The corpus is touched once per
+    * iteration, never pairwise. All arithmetic exact int64 at the 2¹²
+    * training scale; the ppm improvement rides DECIMAL(38,0)/HUGEINT
+    * (sse·10⁶ passes 2⁶³ on large corpora). */
+  def q281TrainedPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val xk = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        expr("j0 div " + PqDims).as("block"),
+        round(col("x").cast("double") * KmFP, 0).cast("long").as("xk")))
+    // coarse quantize against the UNTRAINED stand-in cells (q102's shape,
+    // data-derived seeds) — the residual plane the PQ training operates on
+    val cseeds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(IvfCells)
+    val coarse = xk.join(broadcast(cseeds), Seq("vec_id"))
+      .select(col("vec_id").as("ccid"), col("j"), col("xk").as("cq"))
+    val wC = W.partitionBy(col("vec_id")).orderBy(col("cd2").asc, col("ccid").asc)
+    val assign = xk.join(broadcast(coarse), Seq("j"))
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(sum((col("xk") - col("cq")) * (col("xk") - col("cq"))).as("cd2"))
+      .withColumn("rn", row_number().over(wC)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"))
+    val resid = graft.Caches.persist(
+      xk.join(assign, Seq("vec_id"))
+        .join(broadcast(coarse), Seq("ccid", "j"))
+        .select(col("vec_id"), col("j"), col("block"),
+          (col("xk") - col("cq")).as("rq")))
+    // per-subspace Lloyd from the seed codebook (the PqK smallest vec_ids'
+    // residuals — q102's untrained codebook, data-derived)
+    val pseeds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(PqK)
+    def dists(c: DataFrame): DataFrame =
+      resid.join(broadcast(c), Seq("block", "j"))
+        .groupBy(col("vec_id"), col("block"), col("pcid"))
+        .agg(sum((col("rq") - col("pq")) * (col("rq") - col("pq"))).as("d2"))
+    val wP = W.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("d2").asc, col("pcid").asc)
+    def nearest(d: DataFrame): DataFrame =
+      d.withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("block"), col("pcid"), col("d2"))
+    var cent = resid.join(broadcast(pseeds), Seq("vec_id"))
+      .select(col("block"), col("vec_id").as("pcid"), col("j"), col("rq").as("pq"))
+    var seedAsg: DataFrame = null
+    for (t <- 1 to KmIters) {
+      val a = graft.Caches.persist(nearest(dists(cent)))
+      if (t == 1) seedAsg = a // assignment under the seed codebook
+      cent = resid.join(a.select(col("vec_id"), col("block"), col("pcid")),
+          Seq("vec_id", "block"))
+        .groupBy(col("block"), col("pcid"), col("j"))
+        .agg(expr("sum(rq) div count(1)").as("pq")) // exact truncating mean
+    }
+    val seedSse = seedAsg.groupBy(col("block"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sse_seed"))
+    val trainedSse = nearest(dists(cent)).groupBy(col("block"))
+      .agg(sum(col("d2")).as("sse_trained"))
+    seedSse.join(trainedSse, Seq("block"))
+      .select(col("block").cast("long").as("block"), col("n_vecs"),
+        col("sse_seed"), col("sse_trained"),
+        expr("CAST((CAST(sse_seed - sse_trained AS DECIMAL(38,0)) * 1000000)" +
+          " div nullif(sse_seed, 0) AS BIGINT)").as("improvement_ppm"))
+      .orderBy(col("block"))
+  }
+
+  val q281Oracle: String = {
+    def pdistCte(t: Int, centCte: String): String =
+      s"""pdist$t AS MATERIALIZED (
+         |  SELECT r.vec_id, r.block, p.pcid,
+         |    CAST(sum((r.rq - p.pq) * (r.rq - p.pq)) AS BIGINT) AS d2
+         |  FROM resid r JOIN $centCte p ON r.block = p.block AND r.j = p.j
+         |  GROUP BY 1, 2, 3),
+         |pasg$t AS MATERIALIZED (
+         |  SELECT vec_id, block, pcid, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, block
+         |      ORDER BY d2 ASC, pcid ASC) AS rn
+         |    FROM pdist$t) t WHERE rn = 1)""".stripMargin
+    def pcentCte(t: Int): String =
+      s"""pcent$t AS MATERIALIZED (
+         |  SELECT a.block, a.pcid, r.j, CAST(sum(r.rq) AS BIGINT) // count(*) AS pq
+         |  FROM resid r JOIN pasg$t a ON r.vec_id = a.vec_id AND r.block = a.block
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      pdistCte(t, if (t == 1) "pcent0" else s"pcent${t - 1}") + ",\n" + pcentCte(t)
+    }.mkString(",\n")
+    s"""WITH xk AS MATERIALIZED (
+       |  SELECT vec_id, j, CAST((j - 1) // $PqDims AS BIGINT) AS block,
+       |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xk
+       |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+       |cseeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IvfCells),
+       |ccent AS (SELECT vec_id AS ccid, j, xk AS cq FROM xk
+       |          WHERE vec_id IN (SELECT vec_id FROM cseeds)),
+       |cdist AS (
+       |  SELECT x.vec_id, c.ccid, sum((x.xk - c.cq) * (x.xk - c.cq)) AS cd2
+       |  FROM xk x JOIN ccent c ON x.j = c.j GROUP BY 1, 2),
+       |casg AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cd2 ASC, ccid ASC) AS rn FROM cdist) t WHERE rn = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT x.vec_id, x.j, x.block, x.xk - c.cq AS rq
+       |  FROM xk x JOIN casg a ON x.vec_id = a.vec_id
+       |  JOIN ccent c ON a.ccid = c.ccid AND x.j = c.j),
+       |pseeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |pcent0 AS MATERIALIZED (
+       |  SELECT block, vec_id AS pcid, j, rq AS pq FROM resid
+       |  WHERE vec_id IN (SELECT vec_id FROM pseeds)),
+       |$iters,
+       |${pdistCte(KmIters + 1, s"pcent$KmIters")},
+       |seed AS (
+       |  SELECT block, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(d2) AS BIGINT) AS sse_seed
+       |  FROM pasg1 GROUP BY 1),
+       |tr AS (
+       |  SELECT block, CAST(sum(d2) AS BIGINT) AS sse_trained
+       |  FROM pasg${KmIters + 1} GROUP BY 1)
+       |SELECT s.block, s.n_vecs, s.sse_seed, t.sse_trained,
+       |  CAST((CAST(s.sse_seed - t.sse_trained AS HUGEINT) * 1000000)
+       |    // nullif(s.sse_seed, 0) AS BIGINT) AS improvement_ppm
+       |FROM seed s JOIN tr t USING (block) ORDER BY block""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_trained_pq_distortion" -> (q281TrainedPqDistortion _),
     "q277_trained_ivf_eval" -> (q277TrainedIvfEval _),
     "q274_ivf_retrieval_eval" -> (q274IvfRetrievalEval _),
     "q275_map_at_k" -> (q275MapAtK _),
@@ -1891,6 +2031,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q281_trained_pq_distortion" -> q281Oracle,
     "q277_trained_ivf_eval" -> q277Oracle,
     "q274_ivf_retrieval_eval" -> q274Oracle,
     "q275_map_at_k" -> q275Oracle,

@@ -138,7 +138,9 @@ object StatefulSessions {
     try {
       q.processAllAvailable()
     } finally {
-      q.stop()
+      // same capture+stop as drainBounded, so the RocksDB-backed state
+      // curve is probe-readable (VERDICT r12 item 5)
+      Streaming.captureProgressAndStop(q)
       import scala.jdk.CollectionConverters._
       try java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))

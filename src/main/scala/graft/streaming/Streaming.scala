@@ -89,16 +89,54 @@ object Streaming {
     new ThreadLocal[Option[Int]] { override def initialValue(): Option[Int] = None }
 
   /** Per-batch state trace of the most recent [[drainBounded]] run:
-    * (batchId, operator key, numRowsTotal, numRowsRemoved) per stateful
-    * operator per micro-batch — the state CURVE a paced replay produces
-    * (rise to the watermark horizon, then plateau while eviction tracks
-    * ingest), which is the bounded-state claim in one picture. Always
-    * recorded (the source data is already in recentProgress); only probes
-    * read it. */
+    * (batchId, operator key, numRowsTotal, numRowsRemoved,
+    * numRowsDroppedByWatermark) per stateful operator per micro-batch — the
+    * state CURVE a paced replay produces (rise to the watermark horizon,
+    * then plateau while eviction tracks ingest), which is the bounded-state
+    * claim in one picture; the dropped column is the store-side late-data
+    * accounting an out-of-order replay exercises (VERDICT r12 item 4).
+    * Always recorded (the source data is already in recentProgress); only
+    * probes read it. */
   private[graft] val lastRunStateTrace =
-    new ThreadLocal[Seq[(Long, String, Long, Long)]] {
-      override def initialValue(): Seq[(Long, String, Long, Long)] = Seq.empty
+    new ThreadLocal[Seq[(Long, String, Long, Long, Long)]] {
+      override def initialValue(): Seq[(Long, String, Long, Long, Long)] = Seq.empty
     }
+
+  /** Capture a finished bounded query's progress into
+    * [[lastRunStateTrace]] / [[lastRunStateMetrics]], then ALWAYS stop it —
+    * a failed retention check must not leak a running query whose scratch
+    * checkpoint the caller is about to delete (ADVICE r12). Shared by
+    * [[drainBounded]] and the q125 stateful-API drain so the RocksDB path
+    * produces the same probe-readable state curve. */
+  private[streaming] def captureProgressAndStop(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try {
+      val progress = q.recentProgress.toSeq
+      // recentProgress is a ring of ProgressRetention entries. A run of
+      // exactly ProgressRetention batches that dropped nothing is fine
+      // (ADVICE r12): the ring is only provably overrun when it is full
+      // AND the earliest retained batchId is past the fresh-checkpoint
+      // first batch (id 0) — i.e. batches fell off the front.
+      val ids = progress.map(_.batchId)
+      val overrun = ids.length >= ProgressRetention && ids.min > 0
+      require(!overrun,
+        s"streaming progress retention overrun (${ids.length} batches " +
+          s"retained, ids ${ids.min}..${ids.max}): state metrics would " +
+          "silently under-report peak state; raise ProgressRetention")
+      lastRunStateTrace.set(progress.flatMap(p =>
+        p.stateOperators.toSeq.zipWithIndex.map { case (o, i) =>
+          (p.batchId, s"${o.operatorName}#$i", o.numRowsTotal, o.numRowsRemoved,
+            o.numRowsDroppedByWatermark)
+        }))
+      val ops = progress.flatMap(_.stateOperators.toSeq.zipWithIndex)
+      lastRunStateMetrics.set(ops.groupBy { case (o, i) => (i, o.operatorName) }
+        .toSeq.sortBy(_._1)
+        .map { case ((i, n), xs) =>
+          (s"$n#$i", xs.map(_._1.numRowsTotal).max,
+            xs.map(_._1.numRowsRemoved).sum, xs.length.toLong)
+        })
+    } finally q.stop()
+  }
 
   /** Start `build`'s streaming query checkpointed to [[scratchCheckpoint]],
     * drain it with `processAllAvailable`, stop it, and delete the scratch
@@ -108,25 +146,7 @@ object Streaming {
     try {
       val q = build(ckpt.toString).start()
       try q.processAllAvailable()
-      finally {
-        val progress = q.recentProgress.toSeq
-        require(progress.length < ProgressRetention,
-          s"streaming progress retention overrun (${progress.length} batches " +
-            s">= $ProgressRetention retained): state metrics would silently " +
-            "under-report peak state; raise ProgressRetention")
-        lastRunStateTrace.set(progress.flatMap(p =>
-          p.stateOperators.toSeq.zipWithIndex.map { case (o, i) =>
-            (p.batchId, s"${o.operatorName}#$i", o.numRowsTotal, o.numRowsRemoved)
-          }))
-        val ops = progress.flatMap(_.stateOperators.toSeq.zipWithIndex)
-        lastRunStateMetrics.set(ops.groupBy { case (o, i) => (i, o.operatorName) }
-          .toSeq.sortBy(_._1)
-          .map { case ((i, n), xs) =>
-            (s"$n#$i", xs.map(_._1.numRowsTotal).max,
-              xs.map(_._1.numRowsRemoved).sum, xs.length.toLong)
-          })
-        q.stop()
-      }
+      finally captureProgressAndStop(q)
     } finally {
       // scratch cleanup; best-effort (tmpfs evaporates on reboot anyway)
       import scala.jdk.CollectionConverters._
@@ -738,6 +758,45 @@ object Streaming {
       |    AND ((us // 3600000000) + 1) * 3600000000 <= (SELECT w FROM wm)
       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_counted
       |FROM e""".stripMargin
+
+  /** Probe-only (`tools.StreamProbe --paced N --late D`): the q166
+    * late-data ACCOUNTING applied to an out-of-order paced replay. Runs the
+    * standard 1-hour-watermarked hourly count aggregation in update mode
+    * over `dir`'s events (one file per micro-batch under the paced
+    * [[probeMaxFilesPerTrigger]] override) and returns one audit row
+    * `(n_total, n_counted, n_late_dropped)`:
+    *
+    *   - `n_counted` = Σ over windows of the FINAL aggregate state (max n
+    *     per window across update emissions) — the portable accounting,
+    *     because for streaming aggregations Spark filters late rows BEFORE
+    *     partial aggregation and `numRowsDroppedByWatermark` reads 0
+    *     (q166 finding 1; joins report store-side drops, aggs don't).
+    *   - `n_late_dropped` = n_total − n_counted.
+    *
+    * The probe compares this measured loss against the analytic per-batch
+    * prediction it derives from the chunk arrival order with q166's pinned
+    * cutoff arithmetic (late filter in batch b uses the ms-floored max
+    * event time of batches ≤ b−2, minus the 1 h horizon; a row is dropped
+    * iff its hour-window END ≤ that watermark — q166 finding 2, the lagged
+    * protocol). Never on the driver contract path. */
+  private[graft] def probeLateHourlyAudit(outer: SparkSession, dir: String): DataFrame =
+      withStateParallelism(outer, 4) { s =>
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val name = s"graft_late_probe_${counter.incrementAndGet()}"
+    val src = graft.Tables.canonicalTs(eventsFileStream(s, dir, rawSchema))
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    drainBounded(ckpt => agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", ckpt))
+    // update-mode sink appends every emission; max(n) per window = final state
+    val counted = drainSink(s, name)
+      .groupBy(col("window")).agg(max(col("n")).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("c")).collect()(0).getLong(0)
+    val total = s.read.parquet(s"$dir/events.parquet").count()
+    import s.implicits._
+    Seq((total, counted, total - counted))
+      .toDF("n_total", "n_counted", "n_late_dropped")
+  }
 
   /** q168: streaming dedup within watermark — `dropDuplicatesWithinWatermark`
     * as an oracle-certified operator, with its THREE boundary rules pinned

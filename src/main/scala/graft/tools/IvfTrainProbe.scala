@@ -40,13 +40,23 @@ object IvfTrainProbe {
            |            AS DOUBLE) / 1000.0 - 0.5) AS FLOAT))""".stripMargin))
     planted.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
-    def recall(name: String): (Double, Double) = {
+    def recall(name: String): (Double, Double, Double) = {
+      val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, work)
       val r = df.agg(avg(col("index_recall_ppm")).as("ir"),
         avg(col(if (name.contains("q277")) "ivf_ndcg_ppm" else "ivf_recall_ppm")).as("m2"))
         .head()
       graft.Caches.releaseAll()
-      (r.getDouble(0), r.getDouble(1))
+      (r.getDouble(0), r.getDouble(1), (System.nanoTime() - t0) / 1e9)
+    }
+    // trained-PQ quantization distortion (VERDICT r12 item 3): corpus-total
+    // SSE under q102's untrained seed codebook vs the q281-trained one
+    def pqDistortion(): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = graft.SparkEntry.queries("q281_trained_pq_distortion")(spark, work)
+        .agg(sum(col("sse_seed")).as("s"), sum(col("sse_trained")).as("t")).head()
+      graft.Caches.releaseAll()
+      (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
     }
     // structure check: mean same-label vs cross-label cosine on the replica
     val structSql = spark.read.parquet(s"$work/embeddings.parquet")
@@ -61,13 +71,20 @@ object IvfTrainProbe {
           lit(0.0), (a, x) => a + x) / (col("a.nrm") * col("b.nrm"))).as("cs"))
       .groupBy("same").agg(avg(col("cs")).as("m")).collect()
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
-    val (untrained, _) = recall("q274_ivf_retrieval_eval")
-    val (trained, _) = recall("q277_trained_ivf_eval")
+    val (untrained, _, secU) = recall("q274_ivf_retrieval_eval")
+    val (trained, _, secT) = recall("q277_trained_ivf_eval")
+    val (sseSeed, sseTrained, secPq) = pqDistortion()
+    val pqImp =
+      if (sseSeed > 0) (BigInt(sseSeed - sseTrained) * 1000000 / BigInt(sseSeed)).toLong
+      else 0L
     println(f"""{"metric":"ivf_trained_probe","src":"$src","alpha":$alpha%.2f,""" +
       f""""same_label_cos":${pairs.getOrElse(true, 0.0)}%.4f,""" +
       f""""cross_label_cos":${pairs.getOrElse(false, 0.0)}%.4f,""" +
       f""""untrained_index_recall_ppm":$untrained%.0f,""" +
-      f""""trained_index_recall_ppm":$trained%.0f}""")
+      f""""trained_index_recall_ppm":$trained%.0f,""" +
+      f""""untrained_sec":$secU%.1f,"trained_sec":$secT%.1f,""" +
+      f""""pq_sse_seed":$sseSeed,"pq_sse_trained":$sseTrained,""" +
+      f""""pq_improvement_ppm":$pqImp,"pq_sec":$secPq%.1f}""")
     spark.stop()
   }
 }

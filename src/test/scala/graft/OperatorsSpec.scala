@@ -1818,13 +1818,47 @@ class OperatorsSpec extends SparkSpec {
         m <= stats.getAs[Long]("mx") * 1000000L, s"mean out of pooled range: $r")
       assert(r.getAs[Long]("sum_norm") >= 0L && r.getAs[Long]("n_docs") >= 1L)
     }
-    // the calibration property on this corpus: mapping every source onto
-    // the pooled quantile function pulls per-source means together —
-    // cross-source spread of the normalized means is no wider than raw
+    // calibration smoke, CORPUS-DEPENDENT (ADVICE r12): strict
+    // spread-contraction is a property of this generator's corpus, not an
+    // invariant of quantile normalization (sources with near-equal raw
+    // means but different rank structures can widen after mapping), so the
+    // check carries a tolerance tied to the pooled distribution — spread
+    // may not GROW by more than a tenth of the pooled score range.
     val rawMeans = rows.map(_.getAs[Long]("mean_raw_fp"))
     val normMeans = rows.map(_.getAs[Long]("mean_norm_fp"))
-    assert(normMeans.max - normMeans.min <= rawMeans.max - rawMeans.min,
-      s"normalization widened the cross-source spread: raw=${rawMeans.max - rawMeans.min} norm=${normMeans.max - normMeans.min}")
+    val pooledRangeFp =
+      (stats.getAs[Long]("mx") - stats.getAs[Long]("mn")) * 1000000L
+    assert(normMeans.max - normMeans.min <=
+        rawMeans.max - rawMeans.min + pooledRangeFp / 10L,
+      s"normalization widened the cross-source spread beyond tolerance: " +
+        s"raw=${rawMeans.max - rawMeans.min} norm=${normMeans.max - normMeans.min}")
+  }
+
+  test("logBucketScore: continuous scores enter q278 through a bounded monotone grid") {
+    // a ~|corpus|-cardinality positive score (distinct per document —
+    // the float-perplexity shape q278's precondition warns about)
+    val d = Tables.documents(spark, sf())
+      .select(expr("n_chars * 1000003 + pmod(doc_id, 997) + 1").as("score"))
+    val q = d.select(col("score"), ops.Text.logBucketScore("score").as("qs"))
+    val pairs = q.distinct().collect()
+      .map(r => (r.getAs[Long]("score"), r.getAs[Long]("qs"))).sortBy(_._1)
+    val nRaw = pairs.map(_._1).distinct.length
+    val nQ = pairs.map(_._2).distinct.length
+    // the pooled frame stays GRID-bounded: ≤ 8 cells per octave of the
+    // score range, never corpus-scale (here raw cardinality ≈ |docs|)
+    assert(nRaw > 50, s"fixture too small to exercise cardinality: $nRaw")
+    assert(nQ <= 8 * 63, s"grid exceeded the global bound: $nQ")
+    assert(nQ * 5 < nRaw, s"grid did not compress: $nQ vs $nRaw")
+    pairs.foreach { case (x, b) =>
+      // lower-bound representative with the 12.5% relative-error law:
+      // b ≤ x and x − b < x/8 (exact integers)
+      assert(b <= x && 8L * (x - b) < x, s"error law broke at ($x, $b)")
+    }
+    // monotone non-decreasing in the raw score
+    pairs.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "grid not monotone")
+      case _ => ()
+    }
   }
 
   test("q279 LSH planner: S-curve monotone in b and r, ppm bounds, q46 plan flagged once") {
@@ -1842,6 +1876,35 @@ class OperatorsSpec extends SparkSpec {
     // exactly one plan is q46's 4 bands × 2 rows
     assert(rows.count(_.getAs[Long]("is_q46_plan") == 1L) == 1)
     assert(byPlan((4L, 2L)).getAs[Long]("is_q46_plan") == 1L)
+    // VERDICT r12 item 2 — q46's parameters tied to the planner's output.
+    // The analytic columns are corpus-independent, so these pins hold at
+    // every sf. Within q46's own signature budget (n_sigs ≤ 8), (4,2) is
+    // the UNIQUE plan passing both analytic design gates (miss@0.75 ≤ 5%,
+    // fire@0.25 ≤ 25%); every within-budget plan with lower miss is r=1
+    // with fire ≥ 50% (the candidate-explosion regime a 100 TB dedup
+    // cannot afford); and any plan that analytically dominates (4,2) on
+    // both gates costs ≥ 21 signatures (≥ 2.6× the budget). The
+    // data-weighted loss argmin is NOT binding on this corpus — the fixed
+    // 40-doc probe carries no should-detect mass, so zero-loss plans with
+    // 76–90% miss "win" the data term (README "LSH band plan" row).
+    val q46row = byPlan((4L, 2L))
+    val within = rows.filter(_.getAs[Long]("n_sigs") <= 8L)
+    val gatePass = within.filter(r => r.getAs[Long]("miss_hi_ppm") <= 50000L &&
+      r.getAs[Long]("fire_lo_ppm") <= 250000L)
+    assert(gatePass.map(r => (r.getAs[Long]("b"), r.getAs[Long]("r"))).toSeq
+      == Seq((4L, 2L)), "the budgeted gate-passing plan is no longer unique")
+    within.filter(_.getAs[Long]("miss_hi_ppm") < q46row.getAs[Long]("miss_hi_ppm"))
+      .foreach { r =>
+        assert(r.getAs[Long]("r") == 1L &&
+          r.getAs[Long]("fire_lo_ppm") > 500000L,
+          s"a budgeted lower-miss plan without the r=1 fire blow-up: $r")
+      }
+    rows.filter(r =>
+        r.getAs[Long]("miss_hi_ppm") <= q46row.getAs[Long]("miss_hi_ppm") &&
+        r.getAs[Long]("fire_lo_ppm") <= q46row.getAs[Long]("fire_lo_ppm") &&
+        r.getAs[Long]("is_q46_plan") == 0L)
+      .foreach(r => assert(r.getAs[Long]("n_sigs") >= 21L,
+        s"a cheap analytic dominator of (4,2) appeared: $r"))
     // S-curve laws under floored fixed point (non-strict): more bands can
     // only raise detection (miss falls, fire rises); more rows per band can
     // only lower it (miss rises, fire falls)
@@ -1853,6 +1916,30 @@ class OperatorsSpec extends SparkSpec {
       byPlan.get((b, r + 1)).foreach { nr =>
         assert(nr.getAs[Long]("miss_hi_ppm") >= row.getAs[Long]("miss_hi_ppm"), s"r-mono miss ($b,$r)")
         assert(nr.getAs[Long]("fire_lo_ppm") <= row.getAs[Long]("fire_lo_ppm"), s"r-mono fire ($b,$r)")
+      }
+    }
+  }
+
+  test("q281 trained PQ: Lloyd descent within truncation slack, exact ppm identity") {
+    val rows = ops.Vector.q281TrainedPqDistortion(spark, sf()).collect()
+    Caches.releaseAll()
+    // one row per subspace block (8 blocks × 8 dims over the 64-dim corpus)
+    assert(rows.length == 8, s"expected 8 PQ blocks, got ${rows.length}")
+    val ns = rows.map(_.getAs[Long]("n_vecs")).distinct
+    assert(ns.length == 1, s"blocks disagree on corpus size: ${ns.toSeq}")
+    rows.foreach { r =>
+      val (n, seed, trained) = (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("sse_seed"), r.getAs[Long]("sse_trained"))
+      assert(seed >= 0L && trained >= 0L)
+      // Lloyd monotone descent from the seed codebook, up to the integer-
+      // truncation slack: each of the KmIters=2 update steps can lift SSE
+      // by < n·PqDims (truncated mean off the exact mean by < 1/coord)
+      assert(trained <= seed + 2L * n * 8L, s"descent law broke: $r")
+      // ppm column is exactly the floored identity (BigInt — sse·10⁶ can
+      // pass 2⁶³, which is why the query rides DECIMAL(38,0))
+      if (seed > 0L) {
+        val want = (BigInt(seed - trained) * 1000000 / BigInt(seed)).toLong
+        assert(r.getAs[Long]("improvement_ppm") == want, s"ppm identity: $r")
       }
     }
   }
