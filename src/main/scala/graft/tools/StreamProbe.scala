@@ -83,6 +83,12 @@ object StreamProbe {
     val out = Files.createTempDirectory(Paths.get("/tmp"), "graft-paced-")
     val evDir = out.resolve("events.parquet")
     Files.createDirectories(evDir)
+    // paced mode rewrites ONLY events; stream-static queries (q77) also
+    // read dimension tables from the run dir — symlink the siblings in
+    listDir(Paths.get(dir))
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        p.getFileName.toString != "events.parquet")
+      .foreach(p => Files.createSymbolicLink(out.resolve(p.getFileName), p))
     // canonicalTs first so the ordering key is real event time regardless
     // of the generator's ts encoding; chunks are written with the canonical
     // ts (the queries' own canonicalTs pass is a no-op on it).
@@ -211,6 +217,7 @@ object StreamProbe {
         val fn = registry(name)
         val t0 = System.nanoTime()
         try {
+          try {
           val rows = fn(spark, runDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           val st = graft.streaming.Streaming.lastRunStateMetrics.get()
@@ -223,6 +230,13 @@ object StreamProbe {
             s"""[$b,"$op",$tot,$rem,$drop]"""
           }.mkString("[", ",", "]")
           (name, f"""{"sec":$sec%.1f,"rows":$rows,"state":$stJson,"trace":$trJson}""")
+          } catch {
+            // one failing query must not void the others' evidence
+            case scala.util.control.NonFatal(e) =>
+              (name, s"""{"error":"${e.getClass.getSimpleName}: ${
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160)
+                  .replace("\\", "\\\\").replace("\"", "'")}"}""")
+          }
         } finally {
           // per-query cleanup even when a query fails mid-loop (ADVICE r12)
           graft.streaming.Streaming.lastRunStateMetrics.remove()
