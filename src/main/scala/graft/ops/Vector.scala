@@ -2007,7 +2007,247 @@ object Vector {
        |FROM seed s JOIN tr t USING (block) ORDER BY block""".stripMargin
   }
 
+  /** q282: the FULLY-TRAINED IVF-PQ index, evaluated end-to-end — the
+    * production ANN shape with both halves trained: q277's Lloyd-trained
+    * coarse codebook (8 cells, 2 iterations, 2¹² fixed point) chooses the
+    * cells, residuals against the TRAINED centroids feed q281's Lloyd-
+    * trained per-subspace PQ codebooks (8 blocks × 16 codes), candidates
+    * from the nprobe=2 probed cells are scored by asymmetric distance
+    * (sum of LUT entries at their codes — no raw-vector reads at query
+    * time), and the index's top-10 is graded against the EXACT integer-L2
+    * brute top-10 on the same 2¹² plane: per query, candidate-set size,
+    * top-k overlap, and recall@10 in exact floored ppm. This is the
+    * number an IVF-PQ deployment actually ships (FAISS-style: train
+    * coarse, train PQ on residuals, probe, ADC) — q102 executes the same
+    * topology untrained, q277/q281 train each half in isolation.
+    *
+    * Scale stance: both training loops are the q110 two-shuffle iteration
+    * against broadcast codebooks (8·64 and 8·16·8 rows); the ADC probe
+    * touches only probed-cell candidates via an equi-join on (cell, block,
+    * code) against a BROADCAST query LUT (|queries|·nprobe·64 rows); the
+    * brute pass is the declared grading reference (|queries| ≪ corpus,
+    * queries broadcast). Every distance, argmin, mean, and rank is exact
+    * int64 at the 2¹² training scale, so the DuckDB oracle hash-matches
+    * bit-for-bit. */
+  def q282TrainedIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val xk = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        expr("j0 div " + PqDims).as("block"),
+        round(col("x").cast("double") * KmFP, 0).cast("long").as("xk")))
+    // coarse codebook: q277's trained recurrence (data-derived seeds)
+    val cseeds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(IvfCells)
+    def cdists(c: DataFrame): DataFrame =
+      xk.join(broadcast(c), Seq("j"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("xk") - col("cq")) * (col("xk") - col("cq"))).as("d2"))
+    val wA = W.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    def cnearest(d: DataFrame): DataFrame =
+      d.withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    var cent = xk.join(broadcast(cseeds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("j"), col("xk").as("cq"))
+    for (_ <- 1 to KmIters) {
+      val a = cnearest(cdists(cent))
+      cent = xk.join(a, Seq("vec_id"))
+        .groupBy(col("cid"), col("j"))
+        .agg(expr("sum(xk) div count(1)").as("cq")) // exact truncating mean
+    }
+    val centP = graft.Caches.persist(
+      cent.select(col("cid").as("ccid"), col("j"), col("cq")))
+    val cdist = graft.Caches.persist(cdists(centP.select(
+      col("ccid").as("cid"), col("j"), col("cq"))))
+    val casg = graft.Caches.persist(
+      cnearest(cdist).select(col("vec_id"), col("cid").as("ccid")))
+    val probes = cdist.filter(col("vec_id") % 100 === 0)
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("ccid"))
+    // residuals against the TRAINED coarse centroids
+    val resid = graft.Caches.persist(
+      xk.join(casg, Seq("vec_id"))
+        .join(broadcast(centP), Seq("ccid", "j"))
+        .select(col("vec_id"), col("j"), col("block"),
+          (col("xk") - col("cq")).as("rq")))
+    // PQ codebooks: q281's trained recurrence on these residuals
+    val pseeds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(PqK)
+    def pdists(c: DataFrame): DataFrame =
+      resid.join(broadcast(c), Seq("block", "j"))
+        .groupBy(col("vec_id"), col("block"), col("pcid"))
+        .agg(sum((col("rq") - col("pq")) * (col("rq") - col("pq"))).as("d2"))
+    val wP = W.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("d2").asc, col("pcid").asc)
+    def pnearest(d: DataFrame): DataFrame =
+      d.withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("block"), col("pcid"))
+    var pcent = resid.join(broadcast(pseeds), Seq("vec_id"))
+      .select(col("block"), col("vec_id").as("pcid"), col("j"), col("rq").as("pq"))
+    for (_ <- 1 to KmIters) {
+      val a = pnearest(pdists(pcent))
+      pcent = resid.join(a, Seq("vec_id", "block"))
+        .groupBy(col("block"), col("pcid"), col("j"))
+        .agg(expr("sum(rq) div count(1)").as("pq"))
+    }
+    val pcentP = graft.Caches.persist(pcent)
+    val codes = pnearest(pdists(pcentP)) // trained one-byte codes
+    // query ADC: residual vs EACH probed cell -> LUT -> sum at codes
+    val qresid = xk.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("j"), col("block"), col("xk"))
+      .join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(centP), Seq("ccid", "j"))
+      .select(col("query_id"), col("ccid"), col("j"), col("block"),
+        (col("xk") - col("cq")).as("qrq"))
+    val lut = qresid.join(broadcast(pcentP), Seq("block", "j"))
+      .groupBy(col("query_id"), col("ccid"), col("block"), col("pcid"))
+      .agg(sum((col("qrq") - col("pq")) * (col("qrq") - col("pq"))).as("qd2"))
+    val wTop = W.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    val ivfTop = graft.Caches.persist(
+      casg.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("ccid", "block", "pcid"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd2")).as("approx_d2"))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id")))
+    // brute exact-L2 reference on the same 2^12 plane
+    val qfull = xk.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("j"), col("xk").as("qx"))
+    val wB = W.partitionBy(col("query_id")).orderBy(col("bd2").asc, col("vec_id").asc)
+    val bfTop = graft.Caches.persist(
+      xk.join(broadcast(qfull), Seq("j"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum((col("qx") - col("xk")) * (col("qx") - col("xk"))).as("bd2"))
+        .withColumn("rk", row_number().over(wB)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id")))
+    val ov = bfTop.join(ivfTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+    val bfk = bfTop.groupBy(col("query_id")).agg(count(lit(1)).as("bf_k"))
+    // candidate-set size: probed cells' populations minus self (a query's
+    // rn=1 cell is its own assigned cell, so self is always a candidate)
+    val cellSz = casg.groupBy(col("ccid")).agg(count(lit(1)).as("csz"))
+    val ncand = probes.join(cellSz, Seq("ccid"))
+      .groupBy(col("query_id")).agg((sum(col("csz")) - 1L).as("n_cand"))
+    bfk
+      .join(ov, Seq("query_id"), "left")
+      .join(ncand, Seq("query_id"))
+      .select(col("query_id"), col("n_cand"), col("bf_k"),
+        coalesce(col("ov"), lit(0L)).as("topk_overlap"),
+        expr("(coalesce(ov, 0L) * 1000000) div bf_k").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val q282Oracle: String = {
+    def cIter(t: Int, centCte: String): String =
+      s"""c2dist$t AS MATERIALIZED (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xk - c.cq) * (x.xk - c.cq)) AS BIGINT) AS d2
+         |  FROM xk x JOIN $centCte c ON x.j = c.j
+         |  GROUP BY 1, 2),
+         |c2asg$t AS MATERIALIZED (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, cid ASC) AS rn FROM c2dist$t) t WHERE rn = 1)""".stripMargin
+    def cCent(t: Int): String =
+      s"""c2cent$t AS MATERIALIZED (
+         |  SELECT a.cid, x.j, CAST(sum(x.xk) AS BIGINT) // count(*) AS cq
+         |  FROM xk x JOIN c2asg$t a USING (vec_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    val cIters = (1 to KmIters).map { t =>
+      cIter(t, if (t == 1) "c2cent0" else s"c2cent${t - 1}") + ",\n" + cCent(t)
+    }.mkString(",\n")
+    def pIter(t: Int, centCte: String): String =
+      s"""p2dist$t AS MATERIALIZED (
+         |  SELECT r.vec_id, r.block, p.pcid,
+         |    CAST(sum((r.rq - p.pq) * (r.rq - p.pq)) AS BIGINT) AS d2
+         |  FROM resid r JOIN $centCte p ON r.block = p.block AND r.j = p.j
+         |  GROUP BY 1, 2, 3),
+         |p2asg$t AS MATERIALIZED (
+         |  SELECT vec_id, block, pcid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, block
+         |      ORDER BY d2 ASC, pcid ASC) AS rn FROM p2dist$t) t WHERE rn = 1)""".stripMargin
+    def pCent(t: Int): String =
+      s"""p2cent$t AS MATERIALIZED (
+         |  SELECT a.block, a.pcid, r.j, CAST(sum(r.rq) AS BIGINT) // count(*) AS pq
+         |  FROM resid r JOIN p2asg$t a ON r.vec_id = a.vec_id AND r.block = a.block
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    val pIters = (1 to KmIters).map { t =>
+      pIter(t, if (t == 1) "p2cent0" else s"p2cent${t - 1}") + ",\n" + pCent(t)
+    }.mkString(",\n")
+    val T = KmIters + 1
+    s"""WITH xk AS MATERIALIZED (
+       |  SELECT vec_id, j, CAST((j - 1) // $PqDims AS BIGINT) AS block,
+       |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xk
+       |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+       |cseeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IvfCells),
+       |c2cent0 AS (SELECT vec_id AS cid, j, xk AS cq FROM xk
+       |            WHERE vec_id IN (SELECT vec_id FROM cseeds)),
+       |$cIters,
+       |${cIter(T, s"c2cent$KmIters")},
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cid AS ccid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, cid ASC) AS prn
+       |    FROM c2dist$T WHERE vec_id % 100 = 0) t WHERE prn <= $IvfProbes),
+       |resid AS MATERIALIZED (
+       |  SELECT x.vec_id, x.j, x.block, x.xk - c.cq AS rq
+       |  FROM xk x JOIN c2asg$T a ON x.vec_id = a.vec_id
+       |  JOIN c2cent$KmIters c ON a.cid = c.cid AND x.j = c.j),
+       |pseeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |p2cent0 AS MATERIALIZED (
+       |  SELECT block, vec_id AS pcid, j, rq AS pq FROM resid
+       |  WHERE vec_id IN (SELECT vec_id FROM pseeds)),
+       |$pIters,
+       |${pIter(T, s"p2cent$KmIters")},
+       |qresid AS MATERIALIZED (
+       |  SELECT x.vec_id AS query_id, pr.ccid, x.j, x.block, x.xk - c.cq AS qrq
+       |  FROM xk x JOIN probes pr ON x.vec_id = pr.query_id
+       |  JOIN c2cent$KmIters c ON pr.ccid = c.cid AND x.j = c.j),
+       |lut AS MATERIALIZED (
+       |  SELECT query_id, q.ccid, q.block, p.pcid,
+       |    CAST(sum((q.qrq - p.pq) * (q.qrq - p.pq)) AS BIGINT) AS qd2
+       |  FROM qresid q JOIN p2cent$KmIters p ON q.block = p.block AND q.j = p.j
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT l.query_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY l.query_id
+       |        ORDER BY sum(l.qd2) ASC, a.vec_id ASC) AS rk
+       |    FROM c2asg$T a
+       |    JOIN p2asg$T k ON a.vec_id = k.vec_id
+       |    JOIN lut l ON a.cid = l.ccid AND k.block = l.block AND k.pcid = l.pcid
+       |    WHERE l.query_id <> a.vec_id
+       |    GROUP BY l.query_id, a.vec_id) t(query_id, vec_id, rk)
+       |  WHERE rk <= 10),
+       |bf AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY sum((q.xk - x.xk) * (q.xk - x.xk)) ASC, x.vec_id ASC) AS rk
+       |    FROM xk x JOIN xk q ON x.j = q.j
+       |    WHERE q.vec_id % 100 = 0 AND q.vec_id <> x.vec_id
+       |    GROUP BY q.vec_id, x.vec_id) t(query_id, vec_id, rk)
+       |  WHERE rk <= 10),
+       |ov AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS ov
+       |       FROM bf JOIN adc ON bf.query_id = adc.query_id AND bf.vec_id = adc.vec_id
+       |       GROUP BY 1),
+       |bfk AS (SELECT query_id, CAST(count(*) AS BIGINT) AS bf_k FROM bf GROUP BY 1),
+       |csz AS (SELECT cid, CAST(count(*) AS BIGINT) AS csz FROM c2asg$T GROUP BY 1),
+       |nc AS (SELECT query_id, CAST(sum(csz) - 1 AS BIGINT) AS n_cand
+       |       FROM probes JOIN csz ON probes.ccid = csz.cid GROUP BY 1)
+       |SELECT b.query_id, nc.n_cand, b.bf_k,
+       |  CAST(coalesce(ov.ov, 0) AS BIGINT) AS topk_overlap,
+       |  CAST((coalesce(ov.ov, 0) * 1000000) // b.bf_k AS BIGINT) AS recall_ppm
+       |FROM bfk b
+       |LEFT JOIN ov ON ov.query_id = b.query_id
+       |JOIN nc ON nc.query_id = b.query_id
+       |ORDER BY b.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_trained_ivfpq_recall" -> (q282TrainedIvfPqRecall _),
     "q281_trained_pq_distortion" -> (q281TrainedPqDistortion _),
     "q277_trained_ivf_eval" -> (q277TrainedIvfEval _),
     "q274_ivf_retrieval_eval" -> (q274IvfRetrievalEval _),
@@ -2031,6 +2271,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q282_trained_ivfpq_recall" -> q282Oracle,
     "q281_trained_pq_distortion" -> q281Oracle,
     "q277_trained_ivf_eval" -> q277Oracle,
     "q274_ivf_retrieval_eval" -> q274Oracle,

@@ -1944,6 +1944,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q282 trained IVF-PQ: recall identity, overlap bounds, candidate-set sanity") {
+    val rows = ops.Vector.q282TrainedIvfPqRecall(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, bfk, ov, rec) = (r.getAs[Long]("n_cand"), r.getAs[Long]("bf_k"),
+        r.getAs[Long]("topk_overlap"), r.getAs[Long]("recall_ppm"))
+      assert(bfk >= 1L && bfk <= 10L, s"brute k out of range: $r")
+      assert(ov >= 0L && ov <= bfk, s"overlap exceeds brute k: $r")
+      // the index can only return candidates it probed
+      assert(ov <= nc, s"overlap exceeds candidate set: $r")
+      // nprobe=2 of 8 cells: candidates are a strict subset of the corpus
+      assert(nc >= 0L, s"negative candidate set: $r")
+      assert(rec == ov * 1000000L / bfk, s"recall identity broke: $r")
+    }
+  }
+
   test("q280 robust means: trim count identity, boundary ordering, means inside boundaries") {
     val rows = ops.Text.q280RobustMeans(spark, sf()).collect()
     Caches.releaseAll()
