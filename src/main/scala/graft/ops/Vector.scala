@@ -2112,15 +2112,21 @@ object Vector {
         .agg(sum(col("qd2")).as("approx_d2"))
         .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
         .select(col("query_id"), col("vec_id")))
-    // brute exact-L2 reference on the same 2^12 plane
-    val qfull = xk.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("j"), col("xk").as("qx"))
+    // brute exact-L2 reference on the same 2^12 plane — the q50 broadcast
+    // query × corpus scan with a codegen'd integer array fold (the exploded
+    // j-join formulation computes identical values but pays a 64× shuffle
+    // fan-out and dominated the bench wall at 9.3 s; this shape reads the
+    // corpus once per query batch, no shuffle before the top-k window)
+    val eint = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, " +
+        s"x -> CAST(round(CAST(x AS DOUBLE) * $KmFP) AS BIGINT))").as("xv")))
+    val qv = eint.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("xv").as("qxv"))
     val wB = W.partitionBy(col("query_id")).orderBy(col("bd2").asc, col("vec_id").asc)
     val bfTop = graft.Caches.persist(
-      xk.join(broadcast(qfull), Seq("j"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum((col("qx") - col("xk")) * (col("qx") - col("xk"))).as("bd2"))
+      broadcast(qv).join(eint, col("query_id") =!= col("vec_id"))
+        .withColumn("bd2", expr("aggregate(zip_with(qxv, xv, " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
         .withColumn("rk", row_number().over(wB)).filter(col("rk") <= 10)
         .select(col("query_id"), col("vec_id")))
     val ov = bfTop.join(ivfTop, Seq("query_id", "vec_id"))

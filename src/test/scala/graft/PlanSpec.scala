@@ -201,6 +201,10 @@ class PlanSpec extends SparkSpec {
       // embeds the same brute-force reference pass as q274, graded against
       // the trained-k-means IVF equi-join side (VERDICT r11 items 1+5)
       "q277_trained_ivf_eval",
+      // q50's declared brute-force broadcast query × corpus scan as the
+      // exact integer-L2 grading reference for the fully-trained IVF-PQ;
+      // the index side is equi-joins on (cell) and (cell, block, code)
+      "q282_trained_ivfpq_recall",
       // 1-row broadcast base-chain conversion probability onto the 4-row
       // removal frame (the q133/q142 global-scalar shape)
       "q260_markov_attribution",
