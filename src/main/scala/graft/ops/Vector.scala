@@ -43,6 +43,28 @@ object Vector {
   private def norm(a: Column): Column = sqrt(dot(a, a))
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** Fixed retrieval-eval probe set (VERDICT r13 item 1): the [[EvalProbeK]]
+    * smallest vec_ids ≡ 0 (mod 100). An eval benchmark does not grow with
+    * the training corpus (the q200 fixed-20-doc argument, `ops/Text.scala`):
+    * the previous corpus-share slice (`vec_id % 100 = 0` with no cap) made
+    * the brute grading reference O(corpus²/100) — q277 measured 676.5 s at
+    * the 1 M-vector tier — while this fixed K-query frame keeps it
+    * O(K·corpus). TakeOrderedAndProject (no global sort), ≤ K rows, always
+    * broadcast. On the test tiers (≤ 10⁴ vectors) every mod-100 id fits
+    * under the cap, so results are unchanged vs the old slice; at the 100×
+    * replica tier it pins 100 queries instead of 10⁴. Applies to the eval
+    * METRIC family (q265/q268/q274/q275/q277/q282) — q50/q51/q102 keep
+    * corpus-share semantics because the brute/IVF top-k OPERATOR itself is
+    * their declared surface. */
+  private[graft] val EvalProbeK = 100
+  private def evalProbeIds(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .filter(col("vec_id") % 100 === 0)
+      .orderBy(col("vec_id")).limit(EvalProbeK)
+  /** DuckDB twin of [[evalProbeIds]] — splice as a CTE named `pids`. */
+  private val pidsSql: String =
+    s"pids AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT $EvalProbeK)"
+
   /** Brute-force cosine top-k: the ~1% of vectors with `vec_id % 100 = 0`
     * are the query set (broadcast); each scans the full corpus once
     * (BroadcastNestedLoopJoin) and keeps its 10 nearest by cosine. */
@@ -1267,7 +1289,7 @@ object Vector {
         .select(col("vec_id"), col("label").cast("long").as("label"),
           v(col("embedding")).as("vv"))
         .withColumn("nrm", norm(col("vv"))))
-    val q = emb.filter(col("vec_id") % 100 === 0)
+    val q = emb.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vv").as("qv"), col("nrm").as("qn"))
     val wR = W.partitionBy(col("query_id"))
@@ -1299,7 +1321,8 @@ object Vector {
   }
 
   val q265Oracle: String =
-    s"""WITH rks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS rk),
+    s"""WITH $pidsSql,
+       |rks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS rk),
        |${graft.ops.Text.uniLog2Ctes("ng_", "(SELECT rk, rk + 1 AS x FROM rks)", "x", Seq("rk"))},
        |gains AS MATERIALIZED (
        |  SELECT rk, 68719476736 // lg AS g,
@@ -1310,7 +1333,7 @@ object Vector {
        |        ${vSql("embedding")} AS vv FROM embeddings),
        |n AS (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
-       |      FROM n WHERE vec_id % 100 = 0),
+       |      FROM n WHERE vec_id IN (SELECT vec_id FROM pids)),
        |ranked AS (
        |  SELECT query_id, qlabel, vec_id,
        |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
@@ -1351,7 +1374,7 @@ object Vector {
         .select(col("vec_id"), col("label").cast("long").as("label"),
           v(col("embedding")).as("vv"))
         .withColumn("nrm", norm(col("vv"))))
-    val q = emb.filter(col("vec_id") % 100 === 0)
+    val q = emb.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vv").as("qv"), col("nrm").as("qn"))
     val wR = W.partitionBy(col("query_id"))
@@ -1378,11 +1401,12 @@ object Vector {
   }
 
   val q268Oracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    s"""WITH $pidsSql,
+       |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
        |        ${vSql("embedding")} AS vv FROM embeddings),
        |n AS (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
-       |      FROM n WHERE vec_id % 100 = 0),
+       |      FROM n WHERE vec_id IN (SELECT vec_id FROM pids)),
        |ranked AS (
        |  SELECT query_id, qlabel,
        |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
@@ -1426,7 +1450,7 @@ object Vector {
         .select(col("vec_id"), col("label").cast("long").as("label"),
           v(col("embedding")).as("vv"))
         .withColumn("nrm", norm(col("vv"))))
-    val q = emb.filter(col("vec_id") % 100 === 0)
+    val q = emb.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vv").as("qv"), col("nrm").as("qn"))
     val wR = W.partitionBy(col("query_id"))
@@ -1457,7 +1481,7 @@ object Vector {
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("cid"))
     val probes = simToCent
-      .filter(col("vec_id") % 100 === 0)
+      .join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .withColumn("prn", row_number().over(wAssign))
       .filter(col("prn") <= 2)
       .select(col("vec_id").as("query_id"), col("cid"))
@@ -1505,11 +1529,12 @@ object Vector {
   }
 
   val q274Oracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    s"""WITH $pidsSql,
+       |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
        |        ${vSql("embedding")} AS vv FROM embeddings),
        |n AS MATERIALIZED (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
-       |      FROM n WHERE vec_id % 100 = 0),
+       |      FROM n WHERE vec_id IN (SELECT vec_id FROM pids)),
        |bf AS MATERIALIZED (
        |  SELECT query_id, qlabel, vec_id,
        |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
@@ -1528,7 +1553,7 @@ object Vector {
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS prn
-       |    FROM sim WHERE vec_id % 100 = 0) t WHERE prn <= 2),
+       |    FROM sim WHERE vec_id IN (SELECT vec_id FROM pids)) t WHERE prn <= 2),
        |vc AS (SELECT cid, n.vec_id, n.label, vv, nrm FROM assign JOIN n ON assign.vec_id = n.vec_id),
        |ivf AS MATERIALIZED (
        |  SELECT q.query_id, vc.vec_id,
@@ -1584,7 +1609,7 @@ object Vector {
         .select(col("vec_id"), col("label").cast("long").as("label"),
           v(col("embedding")).as("vv"))
         .withColumn("nrm", norm(col("vv"))))
-    val q = emb.filter(col("vec_id") % 100 === 0)
+    val q = emb.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vv").as("qv"), col("nrm").as("qn"))
     val wR = W.partitionBy(col("query_id"))
@@ -1613,11 +1638,12 @@ object Vector {
   }
 
   val q275Oracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    s"""WITH $pidsSql,
+       |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
        |        ${vSql("embedding")} AS vv FROM embeddings),
        |n AS (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
-       |      FROM n WHERE vec_id % 100 = 0),
+       |      FROM n WHERE vec_id IN (SELECT vec_id FROM pids)),
        |ranked AS (
        |  SELECT query_id, qlabel,
        |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
@@ -1697,10 +1723,10 @@ object Vector {
     // query probes — persisted so the two consumers share one pass
     val dist = graft.Caches.persist(dists(cent))
     val assign = nearest(dist)
-    val probes = dist.filter(col("vec_id") % 100 === 0)
+    val probes = dist.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .withColumn("prn", row_number().over(wA)).filter(col("prn") <= 2)
       .select(col("vec_id").as("query_id"), col("cid"))
-    val q = emb.filter(col("vec_id") % 100 === 0)
+    val q = emb.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vv").as("qv"), col("nrm").as("qn"))
     val wR = W.partitionBy(col("query_id"))
@@ -1785,7 +1811,8 @@ object Vector {
     val iters = (1 to KmIters).map { t =>
       distCte(t, if (t == 1) "tcent0" else s"tcent${t - 1}") + ",\n" + centCte(t)
     }.mkString(",\n")
-    s"""WITH xk AS MATERIALIZED (
+    s"""WITH $pidsSql,
+       |xk AS MATERIALIZED (
        |  SELECT vec_id, j,
        |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xk
        |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
@@ -1797,12 +1824,13 @@ object Vector {
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS prn
-       |    FROM tdist${KmIters + 1} WHERE vec_id % 100 = 0) t WHERE prn <= 2),
+       |    FROM tdist${KmIters + 1}
+       |    WHERE vec_id IN (SELECT vec_id FROM pids)) t WHERE prn <= 2),
        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
        |        ${vSql("embedding")} AS vv FROM embeddings),
        |n AS MATERIALIZED (SELECT vec_id, label, vv, ${normSql("vv")} AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, label AS qlabel, vv AS qv, nrm AS qn
-       |      FROM n WHERE vec_id % 100 = 0),
+       |      FROM n WHERE vec_id IN (SELECT vec_id FROM pids)),
        |bf AS MATERIALIZED (
        |  SELECT query_id, qlabel, vec_id,
        |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
@@ -2061,7 +2089,7 @@ object Vector {
       col("ccid").as("cid"), col("j"), col("cq"))))
     val casg = graft.Caches.persist(
       cnearest(cdist).select(col("vec_id"), col("cid").as("ccid")))
-    val probes = cdist.filter(col("vec_id") % 100 === 0)
+    val probes = cdist.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .withColumn("rn", row_number().over(wA)).filter(col("rn") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("cid").as("ccid"))
     // residuals against the TRAINED coarse centroids
@@ -2093,7 +2121,7 @@ object Vector {
     val pcentP = graft.Caches.persist(pcent)
     val codes = pnearest(pdists(pcentP)) // trained one-byte codes
     // query ADC: residual vs EACH probed cell -> LUT -> sum at codes
-    val qresid = xk.filter(col("vec_id") % 100 === 0)
+    val qresid = xk.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("j"), col("block"), col("xk"))
       .join(broadcast(probes), Seq("query_id"))
       .join(broadcast(centP), Seq("ccid", "j"))
@@ -2120,7 +2148,7 @@ object Vector {
     val eint = graft.Caches.persist(Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, " +
         s"x -> CAST(round(CAST(x AS DOUBLE) * $KmFP) AS BIGINT))").as("xv")))
-    val qv = eint.filter(col("vec_id") % 100 === 0)
+    val qv = eint.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("xv").as("qxv"))
     val wB = W.partitionBy(col("query_id")).orderBy(col("bd2").asc, col("vec_id").asc)
     val bfTop = graft.Caches.persist(
@@ -2183,7 +2211,8 @@ object Vector {
       pIter(t, if (t == 1) "p2cent0" else s"p2cent${t - 1}") + ",\n" + pCent(t)
     }.mkString(",\n")
     val T = KmIters + 1
-    s"""WITH xk AS MATERIALIZED (
+    s"""WITH $pidsSql,
+       |xk AS MATERIALIZED (
        |  SELECT vec_id, j, CAST((j - 1) // $PqDims AS BIGINT) AS block,
        |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xk
        |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
@@ -2196,7 +2225,8 @@ object Vector {
        |  SELECT vec_id AS query_id, cid AS ccid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY d2 ASC, cid ASC) AS prn
-       |    FROM c2dist$T WHERE vec_id % 100 = 0) t WHERE prn <= $IvfProbes),
+       |    FROM c2dist$T
+       |    WHERE vec_id IN (SELECT vec_id FROM pids)) t WHERE prn <= $IvfProbes),
        |resid AS MATERIALIZED (
        |  SELECT x.vec_id, x.j, x.block, x.xk - c.cq AS rq
        |  FROM xk x JOIN c2asg$T a ON x.vec_id = a.vec_id
@@ -2233,7 +2263,7 @@ object Vector {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY sum((q.xk - x.xk) * (q.xk - x.xk)) ASC, x.vec_id ASC) AS rk
        |    FROM xk x JOIN xk q ON x.j = q.j
-       |    WHERE q.vec_id % 100 = 0 AND q.vec_id <> x.vec_id
+       |    WHERE q.vec_id IN (SELECT vec_id FROM pids) AND q.vec_id <> x.vec_id
        |    GROUP BY q.vec_id, x.vec_id) t(query_id, vec_id, rk)
        |  WHERE rk <= 10),
        |ov AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS ov
