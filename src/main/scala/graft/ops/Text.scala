@@ -4274,11 +4274,23 @@ object Text {
     * fixed point (e.g. `graft.Exact.cents` / 10⁶ ppm) by the caller; zero
     * and negative values pass through unchanged (rank structure below the
     * grid floor is already degenerate). `c` is the column NAME — the grid
-    * is a SQL expression over it, codegen-friendly, no UDF. */
+    * is a SQL expression over it, codegen-friendly, no UDF.
+    *
+    * Overflow discipline (ADVICE r13): for e ≥ 3 the algebra
+    * (8x div 2^e)·2^e ⁄ 8 reduces EXACTLY to (x div 2^(e−3))·2^(e−3)
+    * (8 = 2³ divides 2^e cleanly, and the +7 ceiling vanishes because
+    * m·2^(e−3) is already integral) — divide-before-multiply, so the
+    * full BIGINT domain works: the largest intermediate is
+    * m·2^(e−3) ≤ 15·2^59 < 2^63. The x < 8 leg keeps the literal
+    * ⌈m·2^e/8⌉ form (x·8 ≤ 56, no overflow). */
   def logBucketScore(c: String): Column = expr(
-    s"""CASE WHEN $c <= 0 THEN $c ELSE
+    s"""CASE WHEN $c <= 0 THEN $c
+       |WHEN $c < 8 THEN
        |  ((($c * 8) div shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1))
        |    * shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1) + 7) div 8
+       |ELSE
+       |  ($c div shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 4))
+       |    * shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 4)
        |END""".stripMargin)
 
   def q278QuantileNormalize(s: SparkSession, dir: String): DataFrame = {

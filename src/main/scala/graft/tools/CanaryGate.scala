@@ -10,12 +10,26 @@ package graft.tools
   *
   * Usage: `CanaryGate [maxShuffle] [maxCpu]` — defaults 1.3 / 0.45
   * (the quiet bands from README's bench history, upper edges). Prints one
-  * JSON line either way; exit 0 = quiet, exit 1 = loud.
+  * JSON line either way; exit 0 = quiet, exit 1 = loud, exit 2 = bad args.
+  *
+  * Malformed thresholds FAIL LOUD (ADVICE r13): a tool that gates whether
+  * bench evidence may be recorded must not silently substitute a looser
+  * default band for a typo'd argument.
   */
 object CanaryGate {
+  private def numArg(args: Array[String], i: Int, default: Double): Double =
+    args.lift(i) match {
+      case None => default
+      case Some(a) => a.toDoubleOption.getOrElse {
+        System.err.println(
+          s"CanaryGate: non-numeric threshold '$a'. Usage: CanaryGate [maxShuffle] [maxCpu]")
+        sys.exit(2)
+      }
+    }
+
   def main(args: Array[String]): Unit = {
-    val maxShuffle = args.headOption.flatMap(_.toDoubleOption).getOrElse(1.3)
-    val maxCpu = args.lift(1).flatMap(_.toDoubleOption).getOrElse(0.45)
+    val maxShuffle = numArg(args, 0, 1.3)
+    val maxCpu = numArg(args, 1, 0.45)
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cpu = graft.Bench.canaryCpu(spark)

@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   * late-data accounting mid-run. With D > 0 the chunk ARRIVAL order is a
   * bounded-displacement permutation of event-time order: within each
   * consecutive block of D+1 chunks the time-earliest chunk arrives LAST
-  * (displacement exactly D positions; every other chunk moves one position
-  * earlier). Its rows land behind a watermark the later chunks already
+  * (displacement D positions, except the final block when n is not a
+  * multiple of D+1, where the truncated block's earliest chunk is displaced
+  * blockLen−1 < D; every other chunk moves one position earlier). Its rows land behind a watermark the later chunks already
   * advanced, so the joins report store-side `numRowsDroppedByWatermark > 0`
   * per batch (recorded in the trace), and the probe additionally runs the
   * q166-style hourly-aggregation audit whose measured loss

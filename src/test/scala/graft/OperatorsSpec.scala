@@ -1859,6 +1859,22 @@ class OperatorsSpec extends SparkSpec {
       case Array(a, b) => assert(a <= b, "grid not monotone")
       case _ => ()
     }
+    // full-BIGINT domain (ADVICE r13: the x*8 form overflowed past 2^60;
+    // the divide-before-multiply leg must hold the same laws to Long.Max)
+    import spark.implicits._
+    val extremes = Seq(1L, 7L, 8L, 9L, (1L << 60) - 1, 1L << 60,
+      (1L << 62) + 12345L, Long.MaxValue - 1, Long.MaxValue)
+    val ext = extremes.toDF("score")
+      .select(col("score"), ops.Text.logBucketScore("score").as("qs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    ext.foreach { case (x, b) =>
+      // integer-exact form of 8(x−b) < x that cannot itself overflow
+      assert(b <= x && (x - b) <= (x - 1) / 8L,
+        s"error law broke at extreme ($x, $b)")
+    }
+    assert(ext.sortBy(_._1).map(_._2).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true
+    }, "grid not monotone at extremes")
   }
 
   test("q279 LSH planner: S-curve monotone in b and r, ppm bounds, q46 plan flagged once") {
