@@ -4358,6 +4358,114 @@ object Text {
       |       // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS mean_norm_fp
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** q283: q278's cross-source quantile normalization driven through the
+    * [[logBucketScore]] grid on a CONTINUOUS-cardinality score (VERDICT r13
+    * item 5) — the precondition q278 documents, exercised on the driver
+    * surface instead of asserted: the synthetic per-document score
+    * `n_chars·1000003 + doc_id mod 997 + 1` is distinct for essentially
+    * every document (the float-perplexity shape), so feeding it to q278
+    * raw would make the "distinct-value frame" corpus-sized. The grid maps
+    * it to ≤ 8 log-buckets per octave FIRST (≤ ~500 over all of BIGINT,
+    * ≤ 12.5% value error — exactly the resolution a quantile-normalize
+    * cutoff needs), and the entire q278 machinery then runs on the
+    * grid-bounded frame: the pooled quantile function, the per-source
+    * cumulative windows, and the broadcast range probe are all ≤ |grid|
+    * rows REGARDLESS of corpus cardinality. The result carries the proof:
+    * `n_grid` (global pooled frame size) and `n_src_buckets` are result
+    * columns, law-bounded by 8·63 while n_docs scales freely.
+    *
+    * Scale stance: one map-side bucket expression (pure SQL CASE, codegen,
+    * no UDF), then q278's two reduced aggregates + bounded windows +
+    * broadcast range probe. Fixed-point means ride DECIMAL(38,0)/HUGEINT
+    * (bucket values reach ~10¹⁰, so sum·10⁶ passes 2⁶³ at corpus scale). */
+  def q283LogBucketNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val d = Tables.documents(s, dir)
+      .select(col("source"),
+        expr("n_chars * 1000003 + doc_id % 997 + 1").as("raw"))
+      .select(col("source"), logBucketScore("raw").as("score"))
+    val wCum = W.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val srcDist = d.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("ns", sum(col("cnt")).over(W.partitionBy(col("source"))))
+      .withColumn("n_total", sum(col("cnt")).over(W.partitionBy()))
+    val pooled = d.groupBy(col("score")).agg(count(lit(1)).as("cnt_g"))
+      .withColumn("cbg", coalesce(sum(col("cnt_g")).over(
+        W.orderBy(col("score")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_grid", count(lit(1)).over(W.partitionBy()))
+      .select(col("score").as("norm_score"),
+        (col("cbg") + 1).as("lo"), (col("cbg") + col("cnt_g")).as("hi"),
+        col("n_grid"))
+    srcDist
+      .withColumn("k",
+        expr("(CAST(2*cb + cnt AS DECIMAL(38,0)) * n_total + 2*ns - 1) div (2*ns)"))
+      .join(broadcast(pooled), col("k") >= col("lo") && col("k") <= col("hi"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_src_buckets"),
+        max(col("n_grid")).as("n_grid"),
+        sum(col("score") * col("cnt")).as("sum_b"),
+        sum(col("norm_score") * col("cnt")).as("sum_n"))
+      .select(col("source"), col("n_docs"), col("n_src_buckets"), col("n_grid"),
+        expr("CAST((CAST(sum_b AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)")
+          .as("mean_bucket_fp"),
+        expr("CAST((CAST(sum_n AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)")
+          .as("mean_norm_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q283Oracle: String = {
+    // the DuckDB twin of [[logBucketScore]]'s CASE (bin/shift/div share
+    // semantics for positive BIGINT in both engines; divide-before-multiply
+    // per the ADVICE r13 overflow fix)
+    def bucket(x: String): String =
+      s"""CASE WHEN $x <= 0 THEN $x
+         |WHEN $x < 8 THEN (($x * 8) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))
+         |  * (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) + 7) // 8
+         |ELSE ($x // (CAST(1 AS BIGINT) << (length(bin($x)) - 4)))
+         |  * (CAST(1 AS BIGINT) << (length(bin($x)) - 4))
+         |END""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT source, n_chars * 1000003 + doc_id % 997 + 1 AS raw
+       |  FROM documents),
+       |d AS (SELECT source, ${bucket("raw")} AS score FROM raw),
+       |sd AS (SELECT source, score, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM d GROUP BY source, score),
+       |sc AS (
+       |  SELECT source, score, cnt,
+       |    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+       |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS ns,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+       |  FROM sd),
+       |pd AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt_g FROM d GROUP BY score),
+       |pc AS (
+       |  SELECT score AS norm_score,
+       |    CAST(coalesce(sum(cnt_g) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS lo,
+       |    CAST(coalesce(sum(cnt_g) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt_g AS BIGINT) AS hi,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_grid
+       |  FROM pd),
+       |kk AS (
+       |  SELECT source, score, cnt,
+       |    CAST((CAST(2*cb + cnt AS HUGEINT) * n_total + 2*ns - 1) // (2*ns) AS BIGINT) AS k
+       |  FROM sc),
+       |m AS (
+       |  SELECT kk.source, kk.score, kk.cnt, pc.norm_score, pc.n_grid
+       |  FROM kk JOIN pc ON kk.k >= pc.lo AND kk.k <= pc.hi)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_src_buckets,
+       |  CAST(max(n_grid) AS BIGINT) AS n_grid,
+       |  CAST(CAST(sum(score*cnt) AS HUGEINT) * 1000000
+       |       // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS mean_bucket_fp,
+       |  CAST(CAST(sum(norm_score*cnt) AS HUGEINT) * 1000000
+       |       // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS mean_norm_fp
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q280: exact trimmed and winsorized per-source means — the robust
     * location statistics (Tukey's trimmed mean; winsorization per Hastings
     * et al. '47) a curation dashboard reports next to the raw mean, because
@@ -4442,6 +4550,7 @@ object Text {
       |FROM ag ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_logbucket_normalize" -> (q283LogBucketNormalize _),
     "q280_robust_means" -> (q280RobustMeans _),
     "q278_quantile_normalize" -> (q278QuantileNormalize _),
     "q276_excess_loss_select" -> (q276ExcessLossSelect _),
@@ -4503,6 +4612,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q283_logbucket_normalize" -> q283Oracle,
     "q280_robust_means" -> q280Oracle,
     "q278_quantile_normalize" -> q278Oracle,
     "q276_excess_loss_select" -> q276Oracle,

@@ -1877,6 +1877,36 @@ class OperatorsSpec extends SparkSpec {
     }, "grid not monotone at extremes")
   }
 
+  test("q283: grid-bounded frames, calibration collapse, bucket error law on the driver surface") {
+    val rows = ops.Text.q283LogBucketNormalize(spark, sf()).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty)
+    val nGrid = rows.map(_.getAs[Long]("n_grid")).distinct
+    assert(nGrid.length == 1, "n_grid must be the one global pooled size")
+    // the precondition made a measurement: the pooled frame is grid-sized
+    // (≤ 8 buckets/octave over ≤ 63 octaves), NOT corpus-sized, even though
+    // the raw synthetic score is distinct per document
+    assert(nGrid.head <= 8L * 63, s"pooled frame exceeded the grid: $nGrid")
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs > 5L * nGrid.head,
+      s"fixture too small to separate corpus from grid: $nDocs vs $nGrid")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_src_buckets") <= nGrid.head,
+        s"per-source buckets exceeded the global grid: $r")
+      // bucketing moves a value ≤ 12.5% down, so the bucketed mean sits in
+      // (7/8 · raw_mean, raw_mean]; with raw = n_chars·1000003 + O(997) the
+      // bucket mean must stay positive and below ~raw scale
+      assert(r.getAs[Long]("mean_bucket_fp") > 0L, s"degenerate mean: $r")
+    }
+    // q278's calibration law survives the grid: normalized means collapse
+    // toward the pooled mean — cross-source spread does not widen
+    val mB = rows.map(_.getAs[Long]("mean_bucket_fp"))
+    val mN = rows.map(_.getAs[Long]("mean_norm_fp"))
+    assert(mN.max - mN.min <= (mB.max - mB.min) + (mB.max - mB.min) / 10L,
+      s"normalization widened the spread: bucket=${mB.max - mB.min} " +
+        s"norm=${mN.max - mN.min}")
+  }
+
   test("q279 LSH planner: S-curve monotone in b and r, ppm bounds, q46 plan flagged once") {
     val rows = ops.Dedup.q279LshBandPlanner(spark, sf()).collect()
     Caches.releaseAll()

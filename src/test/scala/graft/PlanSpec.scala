@@ -162,6 +162,10 @@ class PlanSpec extends SparkSpec {
       // |distinct scores| pooled-quantile frame (the q162 bounded-frame
       // boundary-probe argument)
       "q278_quantile_normalize",
+      // q278's range probe with the pooled frame GRID-bounded by
+      // logBucketScore (≤ 8·63 rows regardless of corpus cardinality —
+      // the bound is a law-tested result column)
+      "q283_logbucket_normalize",
       // fixed 40-doc probe pair enumeration (da < db on the broadcast
       // ≤40-row size frame — the q200 fixed-benchmark argument) + the
       // |grid|×|bins| ≈ 69×10 planner cross onto broadcast 10-row bins
