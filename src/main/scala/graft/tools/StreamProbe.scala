@@ -197,7 +197,7 @@ object StreamProbe {
     // queries; the stateful-API trio (VERDICT r12 item 5) joins the paced
     // set when explicitly named.
     val stateful = Seq("q24_streaming_hourly", "q77_stream_static_join",
-      "q125_tws_sessions")
+      "q125_tws_sessions", "q284_tws_timer_sessions")
     val all = joins ++ Seq("q186_checkpoint_restart", "q224_idempotent_sink")
     val candidates = if (paced > 0) joins ++ stateful else all
     val names =

@@ -173,6 +173,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q284 timer boundary: expiry == final watermark FIRES; an open tail holds the whole key") {
+    // Crafted ties that DISTINGUISH the candidate firing rules (gap 30 min):
+    //   user 1: 08:00, 08:10 → one session, close-out timer at 08:40
+    //   user 2: 08:40 → the global max, so final watermark = 08:40 exactly;
+    //           its own timer (09:10) can never fire
+    //   user 3: 07:00 (a CLOSED session) + 08:20 (open tail, timer 08:50)
+    // user 1's expiry sits EXACTLY on the final watermark — emitted iff the
+    // engine fires timers at expiry ≤ wm (the boundary the q284 oracle's
+    // HAVING `<=` encodes). user 3 pins single-timer-per-key semantics: the
+    // un-fired 08:50 timer holds BOTH its sessions (the closed 07:00 one
+    // included) — live-deployment behavior, matching the oracle's per-USER
+    // cutoff rather than a per-session one.
+    import spark.implicits._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2001-09-09 $hhmm:00")
+    val rows = Seq(
+      (1L, 101L, ts("08:00"), 1.0), (1L, 102L, ts("08:10"), 2.0),
+      (2L, 201L, ts("08:40"), 3.0),
+      (3L, 301L, ts("07:00"), 4.0), (3L, 302L, ts("08:20"), 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q284-pin")
+    rows.toDF("user_id", "event_id", "ts", "value")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val out = graft.streaming.StatefulSessions
+      .q284TwsTimerSessions(spark, dir.toString).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSet == Set(1L),
+      s"expected exactly user 1's session (tie fires, open tail holds): " +
+        out.mkString("[", ", ", "]"))
+    val s1 = out.head
+    assert(s1.getAs[Long]("n_events") == 2L &&
+      s1.getAs[Long]("duration_ms") == 600000L &&
+      s1.getAs[Double]("sum_value") == 3.0, s"session fold wrong: $s1")
+  }
+
+  test("q284 equals q25 restricted to keys idle for at least one gap") {
+    val timer = graft.streaming.StatefulSessions
+      .q284TwsTimerSessions(spark, sf()).collect()
+    val full = graft.streaming.StatefulSessions
+      .q25StatefulSessions(spark, sf()).collect()
+    import spark.implicits._
+    val mx = Tables.events(spark, sf())
+      .agg(max(expr("unix_micros(ts) div 1000"))).as[Long].head()
+    val cutoff = Tables.events(spark, sf())
+      .groupBy(col("user_id"))
+      .agg(max(expr("unix_micros(ts) div 1000")).as("umx"))
+      .filter(col("umx") + 1800000L <= mx)
+      .select(col("user_id")).as[Long].collect().toSet
+    val expected = full.filter(r => cutoff(r.getAs[Long]("user_id")))
+    assert(timer.map(_.toString).sorted.toSeq ==
+      expected.map(_.toString).sorted.toSeq,
+      s"timer path diverged: ${timer.length} vs expected ${expected.length}")
+    // and it must be a STRICT subset on this fixture (some key is active
+    // within the gap of the stream frontier — else the law is vacuous)
+    assert(timer.length < full.length, "cutoff law vacuous on this fixture")
+  }
+
   test("Trigger.AvailableNow: the production backfill trigger self-terminates with the full answer") {
     // processAllAvailable() is a TEST API (blocks a driver thread, races
     // with live sources); the production bounded-backfill idiom is
