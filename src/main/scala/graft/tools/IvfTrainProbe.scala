@@ -18,25 +18,35 @@ import org.apache.spark.sql.functions._
   * centroids) and q277 (q110-trained exact fixed-point k-means) run on the
   * planted corpus and report index recall vs the brute top-10.
   *
-  * Usage: `IvfTrainProbe <srcSfDir> <workDir> [alpha100]` — alpha100 is the
-  * shift strength ×100 (default 8 → α=0.08; per-dim values are ~N(0,1)-ish
-  * scaled, so α=0.08 over 64 dims gives same-label cosine ≈ 0.3). Prints
-  * one JSON line and leaves the planted replica in workDir.
+  * Usage: `IvfTrainProbe <srcSfDir> <workDir> [alpha100] [jitter100]` —
+  * alpha100 is the shift strength ×100 (default 8 → α=0.08; per-dim values
+  * are ~N(0,1)-ish scaled, so α=0.08 over 64 dims gives same-label cosine
+  * ≈ 0.3). jitter100 (default 0) adds a per-VECTOR hash-derived jitter
+  * β·v(vec_id)[j] on top of the per-label shift (VERDICT r13 item 6): on a
+  * ScaleUp replica every vector has K−1 exact shifted-key copies and a
+  * label-only plant keeps them exactly coincident, forcing the 100%/100%
+  * recall degeneracy — the jitter separates the copies so recall@10 on the
+  * planted 100× tier is a real number. Prints one JSON line (including
+  * q282's trained-IVF-PQ recall when jitter > 0 makes it meaningful) and
+  * leaves the planted replica in workDir.
   */
 object IvfTrainProbe {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/sfplanted")
     val alpha = args.lift(2).map(_.toInt).getOrElse(8) / 100.0
+    val jitter = args.lift(3).map(_.toInt).getOrElse(0) / 100.0
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // plant: u(label)[j] = hash-derived value in [-0.5, 0.5) — the same
-    // multiplicative-hash constants as the skew-planting tests
+    // plant: u(label)[j], v(vec_id)[j] = hash-derived values in [-0.5, 0.5)
+    // — the same multiplicative-hash constants as the skew-planting tests
     val planted = spark.read.parquet(s"$src/embeddings.parquet")
       .withColumn("embedding", expr(
         s"""transform(embedding, (x, j0) -> CAST(x +
            |  $alpha * (CAST(pmod(label * 73856093 + (j0 + 1) * 19349663, 1000)
+           |            AS DOUBLE) / 1000.0 - 0.5) +
+           |  $jitter * (CAST(pmod(vec_id * 83492791 + (j0 + 1) * 2654435761, 1000)
            |            AS DOUBLE) / 1000.0 - 0.5) AS FLOAT))""".stripMargin))
     planted.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
@@ -73,16 +83,28 @@ object IvfTrainProbe {
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     val (untrained, _, secU) = recall("q274_ivf_retrieval_eval")
     val (trained, _, secT) = recall("q277_trained_ivf_eval")
+    // trained-IVF-PQ end-to-end recall (q282's recall_ppm vs the brute
+    // top-10) — the number directive r13 item 6 wants non-degenerate
+    val (pqRecall, secPqR) = {
+      val t0 = System.nanoTime()
+      val r = graft.SparkEntry.queries("q282_trained_ivfpq_recall")(spark, work)
+        .agg(avg(col("recall_ppm"))).head().getDouble(0)
+      graft.Caches.releaseAll()
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
     val (sseSeed, sseTrained, secPq) = pqDistortion()
     val pqImp =
       if (sseSeed > 0) (BigInt(sseSeed - sseTrained) * 1000000 / BigInt(sseSeed)).toLong
       else 0L
     println(f"""{"metric":"ivf_trained_probe","src":"$src","alpha":$alpha%.2f,""" +
+      f""""jitter":$jitter%.2f,""" +
       f""""same_label_cos":${pairs.getOrElse(true, 0.0)}%.4f,""" +
       f""""cross_label_cos":${pairs.getOrElse(false, 0.0)}%.4f,""" +
       f""""untrained_index_recall_ppm":$untrained%.0f,""" +
       f""""trained_index_recall_ppm":$trained%.0f,""" +
+      f""""ivfpq_adc_recall_ppm":$pqRecall%.0f,""" +
       f""""untrained_sec":$secU%.1f,"trained_sec":$secT%.1f,""" +
+      f""""ivfpq_sec":$secPqR%.1f,""" +
       f""""pq_sse_seed":$sseSeed,"pq_sse_trained":$sseTrained,""" +
       f""""pq_improvement_ppm":$pqImp,"pq_sec":$secPq%.1f}""")
     spark.stop()
