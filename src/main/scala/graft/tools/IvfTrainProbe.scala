@@ -18,17 +18,21 @@ import org.apache.spark.sql.functions._
   * centroids) and q277 (q110-trained exact fixed-point k-means) run on the
   * planted corpus and report index recall vs the brute top-10.
   *
-  * Usage: `IvfTrainProbe <srcSfDir> <workDir> [alpha100] [jitter100]` —
-  * alpha100 is the shift strength ×100 (default 8 → α=0.08; per-dim values
-  * are ~N(0,1)-ish scaled, so α=0.08 over 64 dims gives same-label cosine
-  * ≈ 0.3). jitter100 (default 0) adds a per-VECTOR hash-derived jitter
-  * β·v(vec_id)[j] on top of the per-label shift (VERDICT r13 item 6): on a
-  * ScaleUp replica every vector has K−1 exact shifted-key copies and a
-  * label-only plant keeps them exactly coincident, forcing the 100%/100%
-  * recall degeneracy — the jitter separates the copies so recall@10 on the
-  * planted 100× tier is a real number. Prints one JSON line (including
-  * q282's trained-IVF-PQ recall when jitter > 0 makes it meaningful) and
-  * leaves the planted replica in workDir.
+  * Usage: `IvfTrainProbe <srcSfDir> <workDir> [alpha100] [jitter100]
+  * [synthetic]` — alpha100 is the shift strength ×100 (default 8 → α=0.08;
+  * per-dim values are ~N(0,1)-ish scaled, so α=0.08 over 64 dims gives
+  * same-label cosine ≈ 0.3). jitter100 (default 0) adds a per-VECTOR
+  * hash-derived jitter β·v(vec_id)[j] on top of the per-label shift
+  * (VERDICT r13 item 6): on a ScaleUp replica every vector has K−1 exact
+  * shifted-key copies and a label-only plant keeps them exactly coincident,
+  * forcing the 100%/100% recall degeneracy. A small jitter separates the
+  * copies but they remain a micro-cluster inside one cell (index recall
+  * stays trivially 100% — measured at the 200k tier), so `synthetic` mode
+  * DROPS the copied base entirely: e'[j] = α·u(label)[j] + β·v(vec_id)[j]
+  * — N distinct reproducible vectors with label clusters of strength
+  * α/β (same-label cos ≈ α²/(α²+β²)), the regime a real 100× corpus is in
+  * (new vectors, not copies). Prints one JSON line (including q282's
+  * trained-IVF-PQ ADC recall) and leaves the planted replica in workDir.
   */
 object IvfTrainProbe {
   def main(args: Array[String]): Unit = {
@@ -36,17 +40,24 @@ object IvfTrainProbe {
     val work = args.lift(1).getOrElse("/tmp/sfplanted")
     val alpha = args.lift(2).map(_.toInt).getOrElse(8) / 100.0
     val jitter = args.lift(3).map(_.toInt).getOrElse(0) / 100.0
+    val synthetic = args.lift(4).contains("synthetic")
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // plant: u(label)[j], v(vec_id)[j] = hash-derived values in [-0.5, 0.5)
-    // — the same multiplicative-hash constants as the skew-planting tests
+    // plant: u(label)[j] = multiplicative-hash value in [-0.5, 0.5) (the
+    // skew-planting idiom — 10 labels, no aliasing risk); v(vec_id)[j] =
+    // xxhash64-derived value. The per-vector term MUST be a real hash: a
+    // linear congruence (first cut) satisfies v(id+Δ)[j] − v(id)[j] =
+    // Δ·c mod m for every j, so ids Δ ≡ 0 (mod m/gcd) got IDENTICAL
+    // vectors — ~200 exact clones per query at the 200k tier, silently
+    // re-creating the copy degeneracy the jitter exists to break.
+    val baseTerm = if (synthetic) "" else "x +"
     val planted = spark.read.parquet(s"$src/embeddings.parquet")
       .withColumn("embedding", expr(
-        s"""transform(embedding, (x, j0) -> CAST(x +
+        s"""transform(embedding, (x, j0) -> CAST($baseTerm
            |  $alpha * (CAST(pmod(label * 73856093 + (j0 + 1) * 19349663, 1000)
            |            AS DOUBLE) / 1000.0 - 0.5) +
-           |  $jitter * (CAST(pmod(vec_id * 83492791 + (j0 + 1) * 2654435761, 1000)
+           |  $jitter * (CAST(pmod(xxhash64(vec_id, j0), 1000)
            |            AS DOUBLE) / 1000.0 - 0.5) AS FLOAT))""".stripMargin))
     planted.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
@@ -97,7 +108,7 @@ object IvfTrainProbe {
       if (sseSeed > 0) (BigInt(sseSeed - sseTrained) * 1000000 / BigInt(sseSeed)).toLong
       else 0L
     println(f"""{"metric":"ivf_trained_probe","src":"$src","alpha":$alpha%.2f,""" +
-      f""""jitter":$jitter%.2f,""" +
+      f""""jitter":$jitter%.2f,"synthetic":$synthetic,""" +
       f""""same_label_cos":${pairs.getOrElse(true, 0.0)}%.4f,""" +
       f""""cross_label_cos":${pairs.getOrElse(false, 0.0)}%.4f,""" +
       f""""untrained_index_recall_ppm":$untrained%.0f,""" +
