@@ -685,7 +685,117 @@ object Sketches {
       |FROM fin
       |ORDER BY stat""".stripMargin
 
+  // ---- q285: Misra–Gries mergeable heavy hitters ---------------------------
+
+  private val MgK = 8        // counters per summary → ε = 1/(K+1) of stream weight
+  private val MgShards = 16  // leaf summaries; binary merge tree, log₂(16) = 4 levels
+  private val MgLevels = 4
+
+  /** q285: Misra–Gries heavy hitters as a MERGEABLE summary (Misra & Gries
+    * '82; the merge and its error preservation are Agarwal, Cormode,
+    * Huang, Phillips, Wei, Yi, "Mergeable Summaries", PODS '12 §3) — the
+    * frequent-items member the sketch family (HLL q127 / KMV q83 / CMS
+    * q116 / Bloom q157 / DDSketch q250) was missing. A 100 TB pipeline
+    * keeps a K-counter summary per shard/day/source and answers "which
+    * tokens dominate the corpus" by merging summaries — never by a second
+    * vocab-scale scan.
+    *
+    * Shape: tokens shard by the first md5 hex byte (mod 16); each shard's
+    * exact (token, count) frame — itself a zero-error MG summary — is
+    * COMPRESSED to ≤ K counters (subtract the (K+1)-th largest counter
+    * value t from every counter, keep the strictly-positive ones; at most
+    * K survive because ties with t die at 0), then the 16 summaries merge
+    * pairwise up a fixed 4-level binary tree: sum counters by token,
+    * compress again. Every step is exact int64 order-statistics —
+    * order-independent, engine-identical, bit-exact on any cluster.
+    *
+    * The PODS '12 invariant rides the result: each compress that subtracts
+    * t reduces the summary's total weight by ≥ (K+1)·t while lowering any
+    * single token's estimate by ≤ t, so for every token
+    * `true − est ≤ (n_total − ŵ)/(K+1)` where ŵ is the surviving weight —
+    * emitted as `err` vs `err_bound` columns (underestimates only:
+    * `0 ≤ err` always). The exact `true_cnt` alongside is the accuracy
+    * report the summary replaces at scale, computed by a broadcast
+    * semi-filter of the ≤ K survivors — never a vocab-wide count.
+    *
+    * Scale stance: phase 1 is one map-side-combined (shard, token) count
+    * (the same shuffle shape as any word count); everything after operates
+    * on ≤ K·16 rows. The merge tree IS the summary algebra — at 100 TB the
+    * leaves are per-partition/per-day summaries and only K-row frames ever
+    * move. */
+  def q285MgHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+    val base = graft.Caches.persist(toks
+      .withColumn("g",
+        conv(substring(md5(col("tok").cast("binary")), 1, 2), 16, 10).cast("long") % MgShards)
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("est")))
+    // compress: subtract the (K+1)-th largest counter value, keep > 0
+    def compress(df: DataFrame): DataFrame = {
+      val wRank = Window.partitionBy(col("g")).orderBy(col("est").desc, col("tok").asc)
+      val wG = Window.partitionBy(col("g"))
+      df.withColumn("rn", row_number().over(wRank))
+        .withColumn("thr",
+          coalesce(max(when(col("rn") === MgK + 1, col("est"))).over(wG), lit(0L)))
+        .filter(col("est") > col("thr"))
+        .select(col("g"), col("tok"), (col("est") - col("thr")).as("est"))
+    }
+    var cur = compress(base)
+    for (_ <- 1 to MgLevels)
+      cur = compress(cur.select(expr("g div 2").as("g"), col("tok"), col("est"))
+        .groupBy(col("g"), col("tok")).agg(sum(col("est")).as("est")))
+    val hh = cur.select(col("tok"), col("est"))
+    val totals = base.agg(sum(col("est")).as("n_total"))     // 1-row bounds frame
+    val wHat = hh.agg(sum(col("est")).as("w_hat"))           // 1-row bounds frame
+    val truth = toks.join(broadcast(hh.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    hh.join(truth, Seq("tok"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(wHat))
+      .select(col("tok"), col("est").as("mg_cnt"), col("true_cnt"),
+        (col("true_cnt") - col("est")).as("err"),
+        expr(s"(n_total - w_hat) div ${MgK + 1}").as("err_bound"),
+        col("n_total"))
+      .orderBy(col("mg_cnt").desc, col("tok").asc)
+  }
+
+  val q285Oracle: String = {
+    def compressCte(out: String, in: String): String =
+      s"""$out AS (
+         |  SELECT g, tok, est - thr AS est
+         |  FROM (SELECT g, tok, est,
+         |          coalesce(max(CASE WHEN rn = ${MgK + 1} THEN est END)
+         |            OVER (PARTITION BY g), CAST(0 AS BIGINT)) AS thr
+         |        FROM (SELECT g, tok, est,
+         |                row_number() OVER (PARTITION BY g ORDER BY est DESC, tok ASC) AS rn
+         |              FROM $in) r) c
+         |  WHERE est > thr)""".stripMargin
+    def mergeCte(out: String, in: String): String =
+      s"""$out AS (
+         |  SELECT g // 2 AS g, tok, CAST(sum(est) AS BIGINT) AS est
+         |  FROM $in GROUP BY 1, 2)""".stripMargin
+    val tree = (1 to MgLevels).map { l =>
+      mergeCte(s"m$l", s"l${l - 1}") + ",\n" + compressCte(s"l$l", s"m$l")
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT unnest(${Text.tokensSql}) AS tok FROM documents),
+      |base AS (
+      |  SELECT CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) % $MgShards AS g,
+      |    tok, CAST(count(*) AS BIGINT) AS est
+      |  FROM toks GROUP BY 1, 2),
+      |${compressCte("l0", "base")},
+      |$tree,
+      |tot AS (SELECT CAST(sum(est) AS BIGINT) AS n_total FROM base),
+      |what AS (SELECT CAST(sum(est) AS BIGINT) AS w_hat FROM l$MgLevels),
+      |truth AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+      |  FROM toks WHERE tok IN (SELECT tok FROM l$MgLevels) GROUP BY 1)
+      |SELECT h.tok, h.est AS mg_cnt, true_cnt, true_cnt - h.est AS err,
+      |  (n_total - w_hat) // ${MgK + 1} AS err_bound, n_total
+      |FROM l$MgLevels h JOIN truth USING (tok) CROSS JOIN tot CROSS JOIN what
+      |ORDER BY mg_cnt DESC, tok ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_mg_heavy_hitters" -> (q285MgHeavyHitters _),
     "q250_log_quantile_sketch" -> (q250LogQuantileSketch _),
     "q237_sketch_set_algebra" -> (q237SketchSetAlgebra _),
     "q206_cms_join_size" -> (q206CmsJoinSize _),
@@ -699,6 +809,7 @@ object Sketches {
     "q221_bloom_fpr_audit" -> (q221BloomFprAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q285_mg_heavy_hitters" -> q285Oracle,
     "q250_log_quantile_sketch" -> q250Oracle,
     "q237_sketch_set_algebra" -> q237Oracle,
     "q206_cms_join_size" -> q206Oracle,

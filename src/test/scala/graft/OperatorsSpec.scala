@@ -1215,6 +1215,48 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q285 MG heavy hitters: PODS'12 merge laws, planted dominator and sf") {
+    import spark.implicits._
+    // planted corpus: "x" dominates (10 of 25 tokens ≫ n/(K+1) = 25/9),
+    // so Misra–Gries MUST retain it whatever the merge tree does
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    Seq(
+      (1L, "x x x x x x x x x x", "en", "s1", 19L),
+      (2L, "y y y", "en", "s1", 5L),
+      (3L, "a b c d e f g h i j k l", "en", "s2", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = ops.Sketches.q285MgHeavyHitters(spark, dir).collect()
+    assert(p.nonEmpty && p.length <= 8, "summary must hold at most K counters")
+    val px = p.find(_.getAs[String]("tok") == "x")
+    assert(px.isDefined, "a > n/(K+1) dominator may never be evicted")
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_total") == 25L)
+      assert(r.getAs[Long]("err") >= 0L, s"MG never overestimates: $r")
+      assert(r.getAs[Long]("err") <= r.getAs[Long]("err_bound"),
+        s"mergeable-summary error bound violated: $r")
+      assert(r.getAs[Long]("mg_cnt") >= 1L)
+    }
+    Caches.releaseAll()
+    // sf corpus: the same invariants at corpus vocabulary scale, plus the
+    // guaranteed-retention law against the exact top token
+    val c = ops.Sketches.q285MgHeavyHitters(spark, sf()).collect()
+    assert(c.nonEmpty && c.length <= 8)
+    c.foreach { r =>
+      assert(r.getAs[Long]("err") >= 0L, s"$r")
+      assert(r.getAs[Long]("err") <= r.getAs[Long]("err_bound"), s"$r")
+    }
+    val nTotal = c.head.getAs[Long]("n_total")
+    val top = Tables.documents(spark, sf())
+      .select(explode(ops.Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok").asc).limit(1).collect().head
+    if (top.getAs[Long]("count") > nTotal / 9L)
+      assert(c.exists(_.getAs[String]("tok") == top.getAs[String]("tok")),
+        s"true dominator ${top.getAs[String]("tok")} missing from summary")
+    Caches.releaseAll()
+  }
+
   test("q221 bloom audit: no false negatives, fp identity, planted and sf") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
