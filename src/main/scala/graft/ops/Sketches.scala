@@ -724,12 +724,16 @@ object Sketches {
     * leaves are per-partition/per-day summaries and only K-row frames ever
     * move. */
   def q285MgHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(explode(Text.tokens(col("text"))).as("tok"))
-    val base = graft.Caches.persist(toks
+    // persist the token frame, NOT the (g, tok) aggregate: the level-0
+    // compress windows must sit directly on the visible Aggregate (an
+    // InMemoryRelation leaf would hide the reduction from the plan lint
+    // and from anyone reading the plan)
+    val toks = graft.Caches.persist(Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok")))
+    val base = toks
       .withColumn("g",
         conv(substring(md5(col("tok").cast("binary")), 1, 2), 16, 10).cast("long") % MgShards)
-      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("est")))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("est"))
     // compress: subtract the (K+1)-th largest counter value, keep > 0
     def compress(df: DataFrame): DataFrame = {
       val wRank = Window.partitionBy(col("g")).orderBy(col("est").desc, col("tok").asc)
@@ -745,7 +749,7 @@ object Sketches {
       cur = compress(cur.select(expr("g div 2").as("g"), col("tok"), col("est"))
         .groupBy(col("g"), col("tok")).agg(sum(col("est")).as("est")))
     val hh = cur.select(col("tok"), col("est"))
-    val totals = base.agg(sum(col("est")).as("n_total"))     // 1-row bounds frame
+    val totals = toks.agg(count(lit(1)).as("n_total"))       // 1-row bounds frame
     val wHat = hh.agg(sum(col("est")).as("w_hat"))           // 1-row bounds frame
     val truth = toks.join(broadcast(hh.select(col("tok"))), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))

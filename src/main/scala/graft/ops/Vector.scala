@@ -2282,7 +2282,436 @@ object Vector {
        |ORDER BY b.query_id""".stripMargin
   }
 
+  // ---- q286: Gonzalez k-center greedy coreset ------------------------------
+
+  private val KcK = 8 // exemplars selected (farthest-point traversal rounds)
+
+  /** q286: greedy k-center coreset selection (Gonzalez '85 farthest-point
+    * traversal — the classic 2-approximation of the optimal k-center
+    * radius) — the DIVERSITY primitive next to the family's similarity
+    * ops: where SemDeDup (q156) drops points for being too close, this
+    * PICKS the k points that maximize spread, the exemplar/coreset
+    * selection step a curation pipeline runs to cover a corpus's modes
+    * with a bounded labeling or eval budget.
+    *
+    * Recurrence: start from the lowest vec_id; each round selects the
+    * point FARTHEST from every center chosen so far (argmax of the
+    * running min-distance frame, ties to the smallest id) and lowers the
+    * covering radius. Selection is inherently sequential in k, but each
+    * round is ONE corpus pass — a 64-row broadcast join (the new center's
+    * coordinates) + hash agg for distances, `least()` against the running
+    * mind2 frame, and a TakeOrderedAndProject argmax (no global sort) —
+    * O(k·n·Dim) total, never pairwise. The mind2 frame localCheckpoints
+    * per round (bounded lineage, the q154/q171 iterative-loop rule).
+    *
+    * All arithmetic exact int64 at the q110 2¹² fixed point (d² ≤
+    * 2²⁶·64·n ≪ 2⁶³), so selections, radii, and assignments hash-match
+    * the unrolled-CTE oracle bit-for-bit. Output: selection order, the
+    * covering radius after each pick (nonincreasing — the k-center
+    * objective curve, law-tested), and each exemplar's final basin size. */
+  def q286KCenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val xq = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x").cast("double") * KmFP, 0).cast("long").as("xq")))
+    // exact d2 from every vector to the single center named by sel1 (1-row)
+    def d2To(sel1: DataFrame): DataFrame = {
+      val cvec = xq.join(broadcast(sel1), col("vec_id") === col("cid"))
+        .select(col("j"), col("xq").as("cq"))
+      xq.join(broadcast(cvec), Seq("j"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    }
+    var sel = xq.select(min(col("vec_id")).as("cid"))
+    var mind2: DataFrame = null
+    val picks = Seq.newBuilder[DataFrame]
+    for (t <- 1 to KcK) {
+      val d2 = d2To(sel)
+      mind2 = graft.Caches.trackCheckpoint(
+        (if (t == 1) d2.select(col("vec_id"), col("d2").as("mind2"))
+         else mind2.join(d2, Seq("vec_id"))
+           .select(col("vec_id"), least(col("mind2"), col("d2")).as("mind2")))
+          .localCheckpoint())
+      val radius = mind2.agg(max(col("mind2")).as("radius_d2")) // 1-row bound
+      picks += sel.withColumn("sel_rank", lit(t.toLong)).crossJoin(broadcast(radius))
+      if (t < KcK)
+        sel = mind2.orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id").as("cid"))
+    }
+    val cents = picks.result().reduce(_ unionAll _) // (cid, sel_rank, radius_d2)
+    val cx = xq.join(broadcast(cents.select(col("cid"))), col("vec_id") === col("cid"))
+      .select(col("cid"), col("j"), col("xq").as("cq"))
+    val wNear = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val counts = xq.join(broadcast(cx), Seq("j"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+    cents.join(counts, Seq("cid"))
+      .select(col("sel_rank"), col("cid").as("center_id"),
+        col("radius_d2"), col("n_assigned"))
+      .orderBy(col("sel_rank"))
+  }
+
+  val q286Oracle: String = {
+    def nd(t: Int, selCte: String, prev: String): String =
+      s"""nd$t AS (
+         |  SELECT x.vec_id, CAST(sum((x.xq - c.xq) * (x.xq - c.xq)) AS BIGINT) AS d2
+         |  FROM xq x JOIN xq c ON x.j = c.j AND c.vec_id = (SELECT cid FROM $selCte)
+         |  GROUP BY 1),
+         |d$t AS MATERIALIZED (
+         |  SELECT p.vec_id, least(p.mind2, n.d2) AS mind2
+         |  FROM $prev p JOIN nd$t n USING (vec_id))""".stripMargin
+    val steps = (2 to KcK).map { t =>
+      s"""sel$t AS (
+         |  SELECT vec_id AS cid FROM d${t - 1}
+         |  ORDER BY mind2 DESC, vec_id ASC LIMIT 1),
+         |${nd(t, s"sel$t", s"d${t - 1}")}""".stripMargin
+    }.mkString(",\n")
+    val selUnion = (1 to KcK)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS sel_rank, cid FROM sel$t")
+      .mkString("\n  UNION ALL ")
+    val radiiUnion = (1 to KcK)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS sel_rank, CAST(max(mind2) AS BIGINT) AS radius_d2 FROM d$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH xq AS MATERIALIZED (
+      |  SELECT vec_id, j,
+      |    CAST(round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xq
+      |  FROM embeddings, range(1, ${Dim + 1}) t(j)),
+      |sel1 AS (SELECT min(vec_id) AS cid FROM xq),
+      |d1 AS MATERIALIZED (
+      |  SELECT x.vec_id, CAST(sum((x.xq - c.xq) * (x.xq - c.xq)) AS BIGINT) AS mind2
+      |  FROM xq x JOIN xq c ON x.j = c.j AND c.vec_id = (SELECT cid FROM sel1)
+      |  GROUP BY 1),
+      |$steps,
+      |sel AS ($selUnion),
+      |radii AS ($radiiUnion),
+      |cx AS (SELECT s.cid, x.j, x.xq AS cq FROM sel s JOIN xq x ON x.vec_id = s.cid),
+      |ad AS (
+      |  SELECT x.vec_id, c.cid, CAST(sum((x.xq - c.cq) * (x.xq - c.cq)) AS BIGINT) AS d2
+      |  FROM xq x JOIN cx c ON x.j = c.j GROUP BY 1, 2),
+      |nr AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+      |    FROM ad) t WHERE rn = 1),
+      |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned FROM nr GROUP BY 1)
+      |SELECT s.sel_rank, s.cid AS center_id, r.radius_d2, cnt.n_assigned
+      |FROM sel s JOIN radii r USING (sel_rank) JOIN cnt ON cnt.cid = s.cid
+      |ORDER BY sel_rank""".stripMargin
+  }
+
+  // ---- q287: NN-Descent k-NN graph construction ----------------------------
+
+  private val NnK = 6      // kNN degree
+  private val NnIters = 3  // neighbor-of-neighbor refinement rounds (oracle unrolls)
+
+  /** q287: NN-Descent k-NN graph construction (Dong, Charikar, Li, WWW '11)
+    * — the GRAPH-based member of the ANN family next to IVF (q51), PQ
+    * (q53/q281), IVF-PQ (q102/q282) and LSH (q52): the k-NN graph that
+    * HNSW/NSG-style indexes and graph-clustering curation steps are built
+    * from. The principle is "the neighbor of a neighbor is likely a
+    * neighbor": start from an arbitrary degree-K graph and repeatedly
+    * rescore each node against its neighbors' neighborhoods, keeping the
+    * K closest — convergence is empirically a handful of rounds and NEVER
+    * touches all pairs.
+    *
+    * Distributed shape (the paper's own MapReduce formulation): each round
+    * is pure joins — undirect the edge list (union + reverse, distinct),
+    * candidate pairs by the one self-equi-join on the shared middle node
+    * (≤ (2K)²·n rows), union the incumbent edges, score, keep top-K per
+    * node by a hash-partitioned window. Distances ride the codegen'd
+    * [[graft.functions.DotProduct]] fold over 2¹²-fixed-point INTEGRAL
+    * double arrays (d² = ‖u‖² + ‖v‖² − 2⟨u,v⟩ ≤ 2⁴⁰ ≪ 2⁵³ — every value
+    * exact, engine-identical), never an explode×Dim blowup. Edges
+    * localCheckpoint per round (bounded lineage).
+    *
+    * Init is a deterministic md5 SCATTER of (id, j) — the paper uses
+    * random init, and the nonlinearity is load-bearing: any affine init
+    * (a ring (id+j) mod n, or (id·A + j·B) mod n) composes to an affine
+    * neighbor-of-neighbor map, candidate pools never mix beyond a ring
+    * segment, and descent stalls (measured at sf0.01: ring init left 1/20
+    * probe-edge overlap after 2 rounds vs 15/30 for the scatter — the
+    * same mechanism as q52's affine-plane degeneracy). Graded on the
+    * fixed K=100 probe frame against the exact brute top-K:
+    * `init_recall_ppm` vs `graph_recall_ppm` per query — the descent law
+    * (graph ≥ init in the mean) is spec-tested, and the brute side stays
+    * O(K·n) by the same fixed-probe argument as q274/q277/q282. On this
+    * corpus's isotropic 64-dim noise (near-neighbors barely closer than
+    * random — the weakest possible descent signal) 3 rounds at degree 6
+    * reach ~50% recall from ~5% init; a planted 3-cluster corpus is
+    * recovered exactly. */
+  /** Shared NN-descent construction (q287's recurrence; q288 searches the
+    * same graph): returns (qv = quantized integral-double arrays + ‖·‖²,
+    * initEdges = ring graph, edges = refined kNN graph). */
+  private def nnDescentBuild(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.VectorExpressions.register(s)
+    val qv = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * KmFP, 0)).as("vec"))
+      .withColumn("nrm2", dot(col("vec"), col("vec"))))
+    val nF = qv.agg(count(lit(1)).as("n")) // 1-row corpus-size bound
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(qv.select(col("vec_id").as("u"), col("vec").as("uvec"), col("nrm2").as("un")), Seq("u"))
+        .join(qv.select(col("vec_id").as("v"), col("vec").as("vvec"), col("nrm2").as("vn")), Seq("v"))
+        .select(col("u"), col("v"),
+          (col("un") + col("vn") - lit(2.0) * dot(col("uvec"), col("vvec")))
+            .cast("long").as("d2"))
+    def topK(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("u")).orderBy(col("d2").asc, col("v").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= NnK)
+        .select(col("u"), col("v"))
+    }
+    // init MUST be a nonlinear scatter (md5 of (u, j)): any affine init
+    // (ring (u+j) mod n, or (u·A+j·B) mod n) composes to an affine
+    // neighbor-of-neighbor map, so candidate pools never mix beyond a
+    // ring segment and descent stalls at ~0 recall (measured: ring init
+    // left the sf0.01 graph at 1/20 probe overlap after 2 rounds; the
+    // q52 affine-degeneracy finding, same mechanism)
+    val init = qv.select(col("vec_id").as("u")).crossJoin(broadcast(nF))
+      .select(col("u"), explode(sequence(lit(1), lit(NnK))).as("j"), col("n"))
+      .select(col("u"),
+        (conv(substring(md5(concat(col("u").cast("string"), lit("#"),
+          col("j").cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+          % col("n")).as("v"))
+      .filter(col("v") =!= col("u"))
+      .distinct()
+    val initEdges = graft.Caches.trackCheckpoint(init.localCheckpoint())
+    var edges = initEdges
+    for (_ <- 1 to NnIters) {
+      val und = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val cand = und.select(col("u").as("a"), col("v").as("m"))
+        .join(und.select(col("u").as("m"), col("v").as("b")), Seq("m"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("u"), col("v")))
+        .distinct()
+      edges = graft.Caches.trackCheckpoint(topK(score(cand)).localCheckpoint())
+    }
+    (qv, initEdges, edges)
+  }
+
+  /** Exact brute top-[[NnK]] for the fixed probe frame over the quantized
+    * plane — (query_id, v, rk); the grading reference for q287/q288. */
+  private def bruteTopNn(s: SparkSession, dir: String, qv: DataFrame): DataFrame = {
+    val probes = qv.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm2").as("qn"))
+    val wB = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("v").asc)
+    broadcast(probes).join(qv, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("v"),
+        (col("qn") + col("nrm2") - lit(2.0) * dot(col("qvec"), col("vec")))
+          .cast("long").as("d2"))
+      .withColumn("rk", row_number().over(wB)).filter(col("rk") <= NnK)
+      .select(col("query_id"), col("v"), col("rk"))
+  }
+
+  def q287NnDescentGraph(s: SparkSession, dir: String): DataFrame = {
+    val (qv, initEdges, edges) = nnDescentBuild(s, dir)
+    val brute = bruteTopNn(s, dir, qv).select(col("query_id"), col("v"))
+    val pids = evalProbeIds(s, dir).select(col("vec_id").as("query_id"))
+    def overlap(e: DataFrame, name: String): DataFrame =
+      e.select(col("u").as("query_id"), col("v"))
+        .join(broadcast(pids), Seq("query_id"))
+        .join(broadcast(brute), Seq("query_id", "v"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    pids
+      .join(overlap(initEdges, "o0"), Seq("query_id"), "left")
+      .join(overlap(edges, "o2"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("o0"), lit(0L)).as("init_overlap"),
+        coalesce(col("o2"), lit(0L)).as("graph_overlap"),
+        expr(s"coalesce(o0, 0L) * 1000000 div $NnK").as("init_recall_ppm"),
+        expr(s"coalesce(o2, 0L) * 1000000 div $NnK").as("graph_recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB twin of the int-L2 between two qn-row aliases. */
+  private def nnD2Sql(x: String, y: String): String =
+    s"CAST($x.nrm2 + $y.nrm2 - 2 * ${dotSql(s"$x.vec", s"$y.vec")} AS BIGINT)"
+
+  /** Shared oracle prefix for q287/q288: quantized plane `qn`, ring init
+    * `e0`, unrolled NN-descent rounds ending at `e{NnIters}`, the fixed
+    * probe frame `pids`, and the exact `brute` top-[[NnK]] with rank. */
+  private def nnGraphCtesSql: String = {
+    val iters = (1 to NnIters).map { t =>
+      s"""u$t AS MATERIALIZED (
+         |  SELECT u, v FROM e${t - 1} UNION SELECT v AS u, u AS v FROM e${t - 1}),
+         |c$t AS MATERIALIZED (
+         |  SELECT a.u, b.v FROM u$t a JOIN u$t b ON a.v = b.u WHERE a.u <> b.v
+         |  UNION SELECT u, v FROM e${t - 1}),
+         |s$t AS MATERIALIZED (
+         |  SELECT c.u, c.v, ${nnD2Sql("x", "y")} AS d2
+         |  FROM c$t c JOIN qn x ON c.u = x.vec_id JOIN qn y ON c.v = y.vec_id),
+         |e$t AS MATERIALIZED (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY d2 ASC, v ASC) AS rn
+         |    FROM s$t) r WHERE rn <= $NnK)""".stripMargin
+    }.mkString(",\n")
+    s"""qn AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $KmFP)) AS vec,
+      |    ${dotSql(s"list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $KmFP))",
+             s"list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $KmFP))")} AS nrm2
+      |  FROM embeddings),
+      |nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT vec_id AS u,
+      |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % n AS v
+      |  FROM qn, range(1, ${NnK + 1}) t(j), nf
+      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % n <> vec_id),
+      |$iters,
+      |$pidsSql,
+      |brute AS MATERIALIZED (
+      |  SELECT q, v, rn AS rk FROM (
+      |    SELECT p.vec_id AS q, x.vec_id AS v,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY ${nnD2Sql("pq", "x")} ASC, x.vec_id ASC) AS rn
+      |    FROM pids p JOIN qn pq ON p.vec_id = pq.vec_id
+      |    JOIN qn x ON x.vec_id <> p.vec_id) r
+      |  WHERE rn <= $NnK)""".stripMargin
+  }
+
+  val q287Oracle: String =
+    s"""WITH $nnGraphCtesSql,
+      |g0 AS (
+      |  SELECT e.u AS q, CAST(count(*) AS BIGINT) AS o0
+      |  FROM e0 e JOIN brute b ON e.u = b.q AND e.v = b.v GROUP BY 1),
+      |g2 AS (
+      |  SELECT e.u AS q, CAST(count(*) AS BIGINT) AS o2
+      |  FROM e$NnIters e JOIN brute b ON e.u = b.q AND e.v = b.v GROUP BY 1)
+      |SELECT p.vec_id AS query_id,
+      |  coalesce(o0, CAST(0 AS BIGINT)) AS init_overlap,
+      |  coalesce(o2, CAST(0 AS BIGINT)) AS graph_overlap,
+      |  coalesce(o0, CAST(0 AS BIGINT)) * 1000000 // $NnK AS init_recall_ppm,
+      |  coalesce(o2, CAST(0 AS BIGINT)) * 1000000 // $NnK AS graph_recall_ppm
+      |FROM pids p LEFT JOIN g0 ON p.vec_id = g0.q LEFT JOIN g2 ON p.vec_id = g2.q
+      |ORDER BY query_id""".stripMargin
+
+  // ---- q288: greedy beam search over the NN-descent graph ------------------
+
+  private val BeamRounds = 8 // bounded greedy hops (oracle unrolls them)
+
+  /** q288: greedy beam search over the q287 k-NN graph — the QUERY-TIME
+    * path of graph-based ANN (the layer-0 `SEARCH-LAYER` routine of
+    * HNSW, Malkov & Yashunin '16, with beam width ef = K and a bounded
+    * hop budget), completing the index-traversal trio: IVF probe join
+    * (q274), IVF-PQ ADC (q282), and now graph walk. From one global
+    * entry point (min vec_id), each round expands the current beam
+    * through the graph's out-edges (one equi-join on the neighbor id —
+    * at scale the graph is hash-sharded by source node, so expansion is
+    * a co-located lookup, never a scan), rescores candidates against the
+    * query with the codegen'd DotProduct fold, and keeps the K closest —
+    * monotone by construction since incumbents stay in the candidate
+    * set. All K=100 probe queries advance TOGETHER as one DataFrame
+    * keyed by query_id (per-query beams are rows, not loops); beams
+    * localCheckpoint per hop (bounded lineage, ≤ K·(K_nn+1)·B rows).
+    *
+    * Graded against the same exact brute top-K as q287: `beam_overlap` /
+    * `beam_recall_ppm` plus `found_top1` (did the walk reach the true
+    * nearest neighbor) — the navigability measurement next to q287's
+    * graph-quality one. Exact int64 d², bit-identical everywhere.
+    *
+    * Honest navigability numbers on this corpus's isotropic noise — the
+    * flat-graph worst case (no hubs, no modes to descend; single-entry
+    * walks measurably converge to a local minimum by hop 4): multi-entry
+    * lifts mean beam recall to ~0.4 with found_top1 ~1/5 at sf0.01. The
+    * planted 3-cluster corpus is fully navigable (recall 1, top-1 found)
+    * — structure, not the walk, is what isotropic data withholds, which
+    * is exactly the long-range-link gap HNSW's hierarchy fills. */
+  def q288GraphBeamSearch(s: SparkSession, dir: String): DataFrame = {
+    val (qv, _, edges) = nnDescentBuild(s, dir)
+    val pids = evalProbeIds(s, dir).select(col("vec_id").as("query_id"))
+    val qvec = qv.join(broadcast(evalProbeIds(s, dir)), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm2").as("qn"))
+    // 4 scattered global entry points (i·⌊n/4⌋): a single entry stalls in a
+    // greedy local minimum on isotropic data (measured: the beam converged
+    // by hop 4 and missed every rank-1) — multi-entry is the flat-graph
+    // stand-in for the long-range links HNSW's hierarchy provides
+    val entry = qv.agg(count(lit(1)).as("n"))
+      .select(explode(sequence(lit(0), lit(3))).as("i"), col("n"))
+      .select((col("i") * expr("n div 4")).as("v")) // 4-row bounds frame
+    def scoreQ(cand: DataFrame): DataFrame =
+      cand
+        .join(qv.select(col("vec_id").as("v"), col("vec").as("vvec"), col("nrm2").as("vn")), Seq("v"))
+        .join(broadcast(qvec), Seq("query_id"))
+        .select(col("query_id"), col("v"),
+          (col("qn") + col("vn") - lit(2.0) * dot(col("qvec"), col("vvec")))
+            .cast("long").as("d2"))
+    val wBeam = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("v").asc)
+    var beam = pids.crossJoin(broadcast(entry)) // (query_id, v)
+    for (_ <- 1 to BeamRounds) {
+      val nbrs = beam.select(col("query_id"), col("v").as("u"))
+        .join(edges, Seq("u"))
+        .select(col("query_id"), col("v"))
+      // the query is itself a corpus point: drop it from candidates (its
+      // out-edges are already expanded) so it never wastes a beam slot
+      val cand = beam.unionAll(nbrs).distinct()
+        .filter(col("v") =!= col("query_id"))
+      beam = graft.Caches.trackCheckpoint(
+        scoreQ(cand)
+          .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= NnK)
+          .select(col("query_id"), col("v"))
+          .localCheckpoint())
+    }
+    val brute = bruteTopNn(s, dir, qv)
+    val ov = beam.join(broadcast(brute.select(col("query_id"), col("v"))), Seq("query_id", "v"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("bo"))
+    val t1 = beam.join(broadcast(brute.filter(col("rk") === 1).select(col("query_id"), col("v"))),
+        Seq("query_id", "v"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("t1"))
+    pids
+      .join(ov, Seq("query_id"), "left").join(t1, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("bo"), lit(0L)).as("beam_overlap"),
+        expr(s"coalesce(bo, 0L) * 1000000 div $NnK").as("beam_recall_ppm"),
+        coalesce(col("t1"), lit(0L)).as("found_top1"))
+      .orderBy(col("query_id"))
+  }
+
+  val q288Oracle: String = {
+    val hops = (1 to BeamRounds).map { t =>
+      s"""nb$t AS (
+         |  SELECT b.query_id, e.v FROM b${t - 1} b JOIN e$NnIters e ON b.v = e.u),
+         |cd$t AS (
+         |  SELECT query_id, v FROM (
+         |    SELECT query_id, v FROM b${t - 1} UNION SELECT query_id, v FROM nb$t) z
+         |  WHERE v <> query_id),
+         |b$t AS MATERIALIZED (
+         |  SELECT query_id, v FROM (
+         |    SELECT c.query_id, c.v,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${nnD2Sql("q", "x")} ASC, c.v ASC) AS rn
+         |    FROM cd$t c JOIN qn x ON c.v = x.vec_id
+         |    JOIN qn q ON c.query_id = q.vec_id) r
+         |  WHERE rn <= $NnK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $nnGraphCtesSql,
+      |entry AS (SELECT i * (n // 4) AS v FROM range(0, 4) t(i), nf),
+      |b0 AS (SELECT p.vec_id AS query_id, e.v FROM pids p, entry e),
+      |$hops,
+      |ov AS (
+      |  SELECT bm.query_id, CAST(count(*) AS BIGINT) AS bo
+      |  FROM b$BeamRounds bm JOIN brute b ON bm.query_id = b.q AND bm.v = b.v
+      |  GROUP BY 1),
+      |t1 AS (
+      |  SELECT bm.query_id, CAST(count(*) AS BIGINT) AS t1
+      |  FROM b$BeamRounds bm JOIN brute b ON bm.query_id = b.q AND bm.v = b.v AND b.rk = 1
+      |  GROUP BY 1)
+      |SELECT p.vec_id AS query_id,
+      |  coalesce(bo, CAST(0 AS BIGINT)) AS beam_overlap,
+      |  coalesce(bo, CAST(0 AS BIGINT)) * 1000000 // $NnK AS beam_recall_ppm,
+      |  coalesce(t1.t1, CAST(0 AS BIGINT)) AS found_top1
+      |FROM pids p LEFT JOIN ov ON p.vec_id = ov.query_id
+      |LEFT JOIN t1 ON p.vec_id = t1.query_id
+      |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_graph_beam_search" -> (q288GraphBeamSearch _),
+    "q287_nndescent_graph" -> (q287NnDescentGraph _),
+    "q286_kcenter_coreset" -> (q286KCenterCoreset _),
     "q282_trained_ivfpq_recall" -> (q282TrainedIvfPqRecall _),
     "q281_trained_pq_distortion" -> (q281TrainedPqDistortion _),
     "q277_trained_ivf_eval" -> (q277TrainedIvfEval _),
@@ -2307,6 +2736,9 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q288_graph_beam_search" -> q288Oracle,
+    "q287_nndescent_graph" -> q287Oracle,
+    "q286_kcenter_coreset" -> q286Oracle,
     "q282_trained_ivfpq_recall" -> q282Oracle,
     "q281_trained_pq_distortion" -> q281Oracle,
     "q277_trained_ivf_eval" -> q277Oracle,

@@ -1215,6 +1215,114 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q287 NN-descent: planted clusters exactly recovered, descent beats init") {
+    import spark.implicits._
+    // 3 tight clusters of 5, interleaved ids: the md5-scatter init crosses
+    // clusters, and with 15 nodes the (2K)² candidate pool covers every
+    // node within a round — the refined graph must BE the exact top-6
+    val dir = java.nio.file.Files.createTempDirectory("graft-nnd").toString
+    val modes = Seq(
+      Array(0f, 0f, 0f, 0f), Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f))
+    (0 until 15).map { i =>
+      val m = modes(i % 3)
+      (i.toLong, m.map(_ + (i / 3) * 0.01f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p = ops.Vector.q287NnDescentGraph(spark, dir).collect()
+    assert(p.length == 1) // only vec_id 0 is a probe in a 15-node corpus
+    val r0 = p.head
+    assert(r0.getAs[Long]("query_id") == 0L)
+    assert(r0.getAs[Long]("graph_overlap") == 6L,
+      s"3 rounds over 15 nodes must recover the exact 6-NN: $r0")
+    assert(r0.getAs[Long]("graph_recall_ppm") == 1000000L)
+    assert(r0.getAs[Long]("graph_overlap") >= r0.getAs[Long]("init_overlap"))
+    Caches.releaseAll()
+    // sf corpus: the descent law — refined graph beats the scatter init in
+    // the mean, recalls stay in [0, 1e6], one row per probe
+    val c = ops.Vector.q287NnDescentGraph(spark, sf()).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      Seq("init_recall_ppm", "graph_recall_ppm").foreach { f =>
+        val x = r.getAs[Long](f); assert(x >= 0L && x <= 1000000L, s"$f: $r")
+      }
+    }
+    val mInit = c.map(_.getAs[Long]("init_recall_ppm")).sum / c.length
+    val mGraph = c.map(_.getAs[Long]("graph_recall_ppm")).sum / c.length
+    assert(mGraph >= mInit, s"descent must not lose to scatter init: $mGraph < $mInit")
+    assert(mGraph > 0L, "three rounds must find at least some true neighbors")
+    Caches.releaseAll()
+  }
+
+  test("q288 graph beam search: planted structure fully navigable, sf laws") {
+    import spark.implicits._
+    // same 3-cluster corpus as q287: the refined graph is the exact 6-NN
+    // graph and 15 nodes sit within the beam's candidate horizon, so the
+    // walk must land the full true top-6 and the true nearest neighbor
+    val dir = java.nio.file.Files.createTempDirectory("graft-beam").toString
+    val modes = Seq(
+      Array(0f, 0f, 0f, 0f), Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f))
+    (0 until 15).map { i =>
+      val m = modes(i % 3)
+      (i.toLong, m.map(_ + (i / 3) * 0.01f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p = ops.Vector.q288GraphBeamSearch(spark, dir).collect()
+    assert(p.length == 1)
+    val r0 = p.head
+    assert(r0.getAs[Long]("beam_overlap") == 6L, s"planted walk must find the 6-NN: $r0")
+    assert(r0.getAs[Long]("beam_recall_ppm") == 1000000L)
+    assert(r0.getAs[Long]("found_top1") == 1L, s"planted walk must reach rank 1: $r0")
+    Caches.releaseAll()
+    // sf corpus (isotropic noise — the navigability worst case, see the
+    // scaladoc): structural laws only
+    val c = ops.Vector.q288GraphBeamSearch(spark, sf()).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      val ov = r.getAs[Long]("beam_overlap")
+      val t1 = r.getAs[Long]("found_top1")
+      assert(ov >= 0L && ov <= 6L, s"$r")
+      assert(t1 == 0L || t1 == 1L, s"found_top1 must be 0/1: $r")
+      assert(t1 <= ov, s"finding rank 1 implies nonzero overlap: $r")
+      val rp = r.getAs[Long]("beam_recall_ppm")
+      assert(rp == ov * 1000000L / 6L, s"recall must be overlap/K in floored ppm: $r")
+    }
+    Caches.releaseAll()
+  }
+
+  test("q286 k-center greedy: farthest-point covers planted modes, radius curve laws") {
+    import spark.implicits._
+    // 4 tight clusters at mutual distance ≫ intra-diameter: farthest-point
+    // traversal MUST visit all 4 modes within its first 4 picks
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcenter").toString
+    val modes = Seq(
+      Array(0f, 0f, 0f, 0f), Array(10f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    (0 until 12).map { i =>
+      val m = modes(i % 4)
+      val jit = (i / 4) * 0.01f
+      (i.toLong, m.map(_ + jit), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p = ops.Vector.q286KCenterCoreset(spark, dir).collect()
+    assert(p.length == 8)
+    assert(p.head.getAs[Long]("center_id") == 0L, "traversal starts at min vec_id")
+    val first4 = p.take(4).map(_.getAs[Long]("center_id") % 4).toSet
+    assert(first4.size == 4, s"first 4 picks must cover all 4 planted modes: ${p.mkString(";")}")
+    Caches.releaseAll()
+    // sf corpus: structural laws — radius curve nonincreasing, distinct
+    // exemplars in selection order, basins partition the corpus
+    val c = ops.Vector.q286KCenterCoreset(spark, sf()).collect()
+    assert(c.map(_.getAs[Long]("sel_rank")).toSeq == (1L to 8L))
+    assert(c.map(_.getAs[Long]("center_id")).distinct.length == 8)
+    c.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("radius_d2") <= w(0).getAs[Long]("radius_d2"),
+        "covering radius must be nonincreasing in k")
+    }
+    val n = Tables.embeddings(spark, sf()).count()
+    assert(c.map(_.getAs[Long]("n_assigned")).sum == n, "basins must partition the corpus")
+    Caches.releaseAll()
+  }
+
   test("q285 MG heavy hitters: PODS'12 merge laws, planted dominator and sf") {
     import spark.implicits._
     // planted corpus: "x" dominates (10 of 25 tokens ≫ n/(K+1) = 25/9),

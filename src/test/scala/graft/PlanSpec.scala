@@ -162,6 +162,18 @@ class PlanSpec extends SparkSpec {
       // |distinct scores| pooled-quantile frame (the q162 bounded-frame
       // boundary-probe argument)
       "q278_quantile_normalize",
+      // two 1-row broadcast bounds frames (n_total, w_hat) onto the ≤ K-row
+      // surviving-counter frame (the q133/q142 global-scalar shape)
+      "q285_mg_heavy_hitters",
+      // per-round 1-row broadcast radius frame onto the 1-row selection
+      // (the greedy farthest-point pick; the q154 per-iteration scalar shape)
+      "q286_kcenter_coreset",
+      // 1-row broadcast corpus-size frame (ring init) + the declared
+      // fixed-probe × corpus brute grading scan (the q274/q277/q282 shape)
+      "q287_nndescent_graph",
+      // 1-row broadcast entry-point frame onto the fixed probe frame +
+      // q287's declared brute grading scan
+      "q288_graph_beam_search",
       // q278's range probe with the pooled frame GRID-bounded by
       // logBucketScore (≤ 8·63 rows regardless of corpus cardinality —
       // the bound is a law-tested result column)
