@@ -2708,7 +2708,113 @@ object Vector {
       |ORDER BY query_id""".stripMargin
   }
 
+  // ---- q289: JL random-projection distortion audit --------------------------
+
+  private val JlM = 16 // projected dimensionality (64 → 16, 4× cheaper distances)
+
+  /** q289: Johnson–Lindenstrauss random projection with a measured
+    * distance-distortion audit — the DIMENSIONALITY-REDUCTION primitive
+    * the ANN family sits on (Achlioptas '03 "database-friendly" ±1
+    * projections: E[‖Px−Py‖²·(d/m)] = ‖x−y‖², no Gaussians needed). A
+    * 100 TB pipeline projects 64-dim embeddings to 16 before the
+    * quadratic stages (brute re-rank, pair verification) and pays 4×
+    * less per distance; this operator measures what that costs in
+    * distance fidelity, per probe, in exact ppm. For an unnormalized ±1
+    * matrix R the identity is E[‖RΔ‖²] = m·‖Δ‖², so distortion compares
+    * the projected squared distance against m·d² directly — both exact
+    * int64, no normalizing division anywhere.
+    *
+    * The ±1 matrix is the q52 bilinear mod-97 grid collapsed to its sign
+    * (the bilinear b·j term decorrelates rows — q52's affine-degeneracy
+    * finding), so the 16 projected coordinates are 16 conditional SUM
+    * aggregates over the exploded fixed-point coordinates: one hash agg,
+    * fully codegen'd, exact int64 (|y_b| ≤ 64·2¹⁵). Distortion is graded
+    * on the fixed probe frame's all-pairs grid (≤ K² pairs — an eval
+    * workload, corpus-independent): ‖Ry−Rx‖² vs m·‖x−y‖² on the same 2¹²
+    * plane, `|est−m·d2|·10⁶ div (m·d2)` floored ppm, aggregated per
+    * probe (mean/max over its K−1 pairs). */
+  def q289JlProjectionAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val pid = evalProbeIds(s, dir)
+    // probe vectors only: the audit grid is fixed-size by construction
+    val px = Tables.embeddings(s, dir).join(broadcast(pid), Seq("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * KmFP, 0)).as("vec"))
+      .withColumn("nrm2", dot(col("vec"), col("vec")))
+    def sign(b: Int): Column =
+      when((lit(b * 73856093L) + col("j") * 19349663L + col("j") * lit(b.toLong * 83492791L))
+        % 97 >= 49, lit(1L)).otherwise(lit(-1L))
+    val projCols = (0 until JlM).map(b => sum(col("xq") * sign(b)).as(s"y$b"))
+    val proj = px
+      .select(col("vec_id"), posexplode(col("vec")).as(Seq("j0", "x")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"), col("x").cast("long").as("xq"))
+      .groupBy(col("vec_id"))
+      .agg(projCols.head, projCols.tail: _*)
+      .join(px, Seq("vec_id"))
+    val a = proj.select(
+      Seq(col("vec_id").as("qa"), col("vec").as("va"), col("nrm2").as("na")) ++
+        (0 until JlM).map(i => col(s"y$i").as(s"a$i")): _*)
+    val b = proj.select(
+      Seq(col("vec_id").as("qb"), col("vec").as("vb"), col("nrm2").as("nb")) ++
+        (0 until JlM).map(i => col(s"y$i").as(s"b$i")): _*)
+    val pd2 = (0 until JlM)
+      .map(i => (col(s"a$i") - col(s"b$i")) * (col(s"a$i") - col(s"b$i")))
+      .reduce(_ + _)
+    val pairs = a.join(b, col("qa") =!= col("qb"))
+      .select(col("qa"), col("qb"),
+        (col("na") + col("nb") - lit(2.0) * dot(col("va"), col("vb")))
+          .cast("long").as("d2"),
+        pd2.as("est"))
+      .filter(col("d2") > 0)
+      // |est − m·d2|·10⁶ brushes 2⁶³ at this fixed point — widen to DECIMAL(38,0)
+      .withColumn("dist_ppm",
+        expr(s"CAST(CAST(abs(est - $JlM * d2) AS DECIMAL(38,0)) * 1000000 div ($JlM * d2) AS BIGINT)"))
+    pairs.groupBy(col("qa").as("vec_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(dist_ppm) div count(1)").as("mean_distortion_ppm"),
+        max(col("dist_ppm")).as("max_distortion_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q289Oracle: String = {
+    def signSql(b: Int): String =
+      s"CASE WHEN (${b}*73856093 + j*19349663 + j*${b}*83492791) % 97 >= 49 THEN 1 ELSE -1 END"
+    val ys = (0 until JlM)
+      .map(b => s"    CAST(sum(xq * (${signSql(b)})) AS BIGINT) AS y$b")
+      .mkString(",\n")
+    val pd2 = (0 until JlM).map(i => s"(a.y$i - b.y$i) * (a.y$i - b.y$i)").mkString(" + ")
+    s"""WITH $pidsSql,
+      |px AS (
+      |  SELECT e.vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * $KmFP)) AS vec
+      |  FROM embeddings e JOIN pids p ON e.vec_id = p.vec_id),
+      |pn AS (SELECT vec_id, vec, ${dotSql("vec", "vec")} AS nrm2 FROM px),
+      |xq AS (
+      |  SELECT vec_id, j, CAST(vec[CAST(j AS INT)] AS BIGINT) AS xq
+      |  FROM px, range(1, ${Dim + 1}) t(j)),
+      |proj AS (
+      |  SELECT vec_id,
+      |$ys
+      |  FROM xq GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT pa.vec_id AS qa,
+      |    CAST(na.nrm2 + nb.nrm2 - 2 * ${dotSql("na.vec", "nb.vec")} AS BIGINT) AS d2,
+      |    $pd2 AS est
+      |  FROM proj a JOIN proj b ON a.vec_id <> b.vec_id
+      |  JOIN pn na ON a.vec_id = na.vec_id JOIN pn nb ON b.vec_id = nb.vec_id
+      |  JOIN pids pa ON a.vec_id = pa.vec_id),
+      |scored AS (
+      |  SELECT qa,
+      |    CAST(CAST(abs(est - $JlM * d2) AS HUGEINT) * 1000000 // ($JlM * d2) AS BIGINT) AS dist_ppm
+      |  FROM pairs WHERE d2 > 0)
+      |SELECT qa AS vec_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(dist_ppm) AS BIGINT) // count(*) AS mean_distortion_ppm,
+      |  CAST(max(dist_ppm) AS BIGINT) AS max_distortion_ppm
+      |FROM scored GROUP BY qa ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_jl_projection_audit" -> (q289JlProjectionAudit _),
     "q288_graph_beam_search" -> (q288GraphBeamSearch _),
     "q287_nndescent_graph" -> (q287NnDescentGraph _),
     "q286_kcenter_coreset" -> (q286KCenterCoreset _),
@@ -2736,6 +2842,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q289_jl_projection_audit" -> q289Oracle,
     "q288_graph_beam_search" -> q288Oracle,
     "q287_nndescent_graph" -> q287Oracle,
     "q286_kcenter_coreset" -> q286Oracle,

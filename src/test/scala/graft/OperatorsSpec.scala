@@ -1253,6 +1253,36 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q289 JL projection: single-coordinate pairs distort exactly zero, sf laws") {
+    import spark.implicits._
+    // vectors differing in ONE coordinate j: Δy_b = c(b,j)·Δx_j for every
+    // projected coordinate, so ‖RΔ‖² = m·Δx² EXACTLY — ±1 projections are
+    // distortion-free on axis-aligned differences, a sharp identity the
+    // ppm columns must hit at 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-jl").toString
+    (0 until 201).map(i => (i.toLong, Array(i.toFloat, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p = ops.Vector.q289JlProjectionAudit(spark, dir).collect()
+    assert(p.length == 3) // probes 0, 100, 200
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == 2L, s"$r")
+      assert(r.getAs[Long]("mean_distortion_ppm") == 0L, s"axis-aligned pairs must be exact: $r")
+      assert(r.getAs[Long]("max_distortion_ppm") == 0L, s"$r")
+    }
+    Caches.releaseAll()
+    // sf corpus: structural laws — a full pair grid per probe, mean ≤ max
+    val c = ops.Vector.q289JlProjectionAudit(spark, sf()).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == c.length - 1L, s"$r")
+      val m = r.getAs[Long]("mean_distortion_ppm")
+      val x = r.getAs[Long]("max_distortion_ppm")
+      assert(m >= 0L && m <= x, s"$r")
+    }
+    Caches.releaseAll()
+  }
+
   test("q288 graph beam search: planted structure fully navigable, sf laws") {
     import spark.implicits._
     // same 3-cluster corpus as q287: the refined graph is the exact 6-NN

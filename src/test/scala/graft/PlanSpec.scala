@@ -174,6 +174,9 @@ class PlanSpec extends SparkSpec {
       // 1-row broadcast entry-point frame onto the fixed probe frame +
       // q287's declared brute grading scan
       "q288_graph_beam_search",
+      // the ≤ K² fixed-probe all-pairs audit grid (non-equi self-join of
+      // two ≤ K-row broadcast frames — an eval workload, corpus-independent)
+      "q289_jl_projection_audit",
       // q278's range probe with the pooled frame GRID-bounded by
       // logBucketScore (≤ 8·63 rows regardless of corpus cardinality —
       // the bound is a law-tested result column)
