@@ -2760,7 +2760,7 @@ object Vector {
     val pd2 = (0 until JlM)
       .map(i => (col(s"a$i") - col(s"b$i")) * (col(s"a$i") - col(s"b$i")))
       .reduce(_ + _)
-    val pairs = a.join(b, col("qa") =!= col("qb"))
+    val pairs = a.join(broadcast(b), col("qa") =!= col("qb"))
       .select(col("qa"), col("qb"),
         (col("na") + col("nb") - lit(2.0) * dot(col("va"), col("vb")))
           .cast("long").as("d2"),
