@@ -2813,7 +2813,115 @@ object Vector {
       |FROM scored GROUP BY qa ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q290: embedding anisotropy / collapse audit --------------------------
+
+  private val PowIters = 3 // unrolled power-iteration rounds (oracle mirrors)
+
+  /** q290: embedding anisotropy audit — the dominant-direction share of
+    * the corpus second-moment (Gram) matrix, estimated by fixed-point
+    * POWER ITERATION (von Mises–Pollaczek '29; the Ethayarajh '19
+    * anisotropy diagnostic): the embedding-health check a curation
+    * pipeline runs to catch REPRESENTATION COLLAPSE, where a model's
+    * vectors degenerate onto one direction and every cosine goes to 1
+    * (dedup thresholds, ANN recall, and mixture balance all silently
+    * break). `anisotropy_ppm = λ̂·D·10⁶/trace` reads ≈ 10⁶ when energy is
+    * spread evenly (isotropic — healthy) and → D·10⁶ when one direction
+    * carries everything (collapapsed); `top_dim`/`top_share_ppm` name the
+    * dominant coordinate.
+    *
+    * Distributed shape: ONE pass builds the D×D second-moment matrix
+    * (explode + self-equi-join on vec_id + hash agg — n·D² rows, the
+    * classic Gram shuffle; D=64 so the matrix is 4,096 rows, driver-free
+    * and broadcastable), then each power round is a broadcast 64-row
+    * join + hash agg — corpus-independent after the first pass.
+    * Uncentered on purpose: a collapsed MEAN direction is exactly what
+    * the audit must flag. All exact integers: coordinates at 2¹², the
+    * iterate renormalized to max-norm 2¹² by truncating division each
+    * round, Rayleigh quotient and shares in DECIMAL(38,0)/HUGEINT —
+    * bit-identical to the unrolled oracle. A pure-e₃ planted corpus hits
+    * the algebraic fixed point exactly (anisotropy ≡ 64·10⁶, top_share ≡
+    * 10⁶, one round — law-tested). */
+  def q290EmbeddingAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    val xq = graft.Caches.persist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        round(col("x").cast("double") * KmFP, 0).cast("long").as("xi")))
+    val cov = graft.Caches.persist(
+      xq.join(xq.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")), Seq("vec_id"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xi") * col("xj")).as("c")))
+    val tr = cov.filter(col("i") === col("j")).agg(sum(col("c")).as("trace"))
+    val nv = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_vecs"))
+    var v = cov.select(col("i")).distinct().withColumn("vi", lit(1L))
+    for (_ <- 1 to PowIters) {
+      val w = cov
+        .join(broadcast(v.select(col("i").as("j"), col("vi").as("vj"))), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * vj")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m")) // 1-row bound
+      v = graft.Caches.trackCheckpoint(
+        w.crossJoin(broadcast(m))
+          .select(col("i"), expr("CAST((w * 4096) div nullif(m, 0) AS BIGINT)").as("vi"))
+          .localCheckpoint())
+    }
+    val num = cov
+      .join(broadcast(v.select(col("i"), col("vi").as("va"))), Seq("i"))
+      .join(broadcast(v.select(col("i").as("j"), col("vi").as("vb"))), Seq("j"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * va * vb")).as("num"))
+    val den = v.agg(sum(col("vi") * col("vi")).as("den"))
+    val top = v.orderBy(abs(col("vi")).desc, col("i").asc).limit(1)
+      .select(col("i").as("top_dim0"), col("vi").as("top_vi"))
+    top
+      .crossJoin(broadcast(nv)).crossJoin(broadcast(tr))
+      .crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("n_vecs"), col("trace"),
+        expr("CAST((num * 64 * 1000000) div (CAST(den AS DECIMAL(38,0)) * trace) AS BIGINT)")
+          .as("anisotropy_ppm"),
+        col("top_dim0").cast("long").as("top_dim"),
+        expr("CAST((CAST(top_vi AS DECIMAL(38,0)) * top_vi * 1000000) div den AS BIGINT)")
+          .as("top_share_ppm"))
+      .orderBy(col("n_vecs"))
+  }
+
+  val q290Oracle: String = {
+    val iters = (1 to PowIters).map { t =>
+      s"""w$t AS (
+         |  SELECT cov.i, sum(CAST(c AS HUGEINT) * vj.vi) AS w
+         |  FROM cov JOIN v${t - 1} vj ON cov.j = vj.i GROUP BY 1),
+         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT i, CAST((w * 4096) // nullif(m, 0) AS BIGINT) AS vi
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xq AS MATERIALIZED (
+      |  SELECT vec_id, i,
+      |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * $KmFP) AS BIGINT) AS xi
+      |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
+      |cov AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS c
+      |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace FROM cov WHERE i = j),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
+      |v0 AS (SELECT DISTINCT i, CAST(1 AS BIGINT) AS vi FROM cov),
+      |$iters,
+      |num AS (
+      |  SELECT sum(CAST(c AS HUGEINT) * a.vi * b.vi) AS num
+      |  FROM cov JOIN v$PowIters a ON cov.i = a.i JOIN v$PowIters b ON cov.j = b.i),
+      |den AS (SELECT CAST(sum(vi * vi) AS BIGINT) AS den FROM v$PowIters),
+      |top AS (
+      |  SELECT i AS top_dim0, vi AS top_vi FROM v$PowIters
+      |  ORDER BY abs(vi) DESC, i ASC LIMIT 1)
+      |SELECT n_vecs, trace,
+      |  CAST((num * 64 * 1000000) // (CAST(den AS HUGEINT) * trace) AS BIGINT) AS anisotropy_ppm,
+      |  CAST(top_dim0 AS BIGINT) AS top_dim,
+      |  CAST((CAST(top_vi AS HUGEINT) * top_vi * 1000000) // den AS BIGINT) AS top_share_ppm
+      |FROM top, nv, tr, num, den
+      |ORDER BY n_vecs""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_embedding_anisotropy" -> (q290EmbeddingAnisotropy _),
     "q289_jl_projection_audit" -> (q289JlProjectionAudit _),
     "q288_graph_beam_search" -> (q288GraphBeamSearch _),
     "q287_nndescent_graph" -> (q287NnDescentGraph _),
@@ -2842,6 +2950,7 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q290_embedding_anisotropy" -> q290Oracle,
     "q289_jl_projection_audit" -> q289Oracle,
     "q288_graph_beam_search" -> q288Oracle,
     "q287_nndescent_graph" -> q287Oracle,

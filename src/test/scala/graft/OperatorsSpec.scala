@@ -1253,6 +1253,37 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("q290 anisotropy: collapsed corpus hits the algebraic fixed point, isotropic stays low") {
+    import spark.implicits._
+    // full representation collapse: every vector on e₃ — the Gram matrix
+    // has ONE nonzero cell, power iteration lands the fixed point in one
+    // round, and the ratios are exact algebra: λ̂ = c₃₃ = trace, so the
+    // D=64-normalized ratio reads its collapse ceiling 64·10⁶ exactly
+    // (the 64 is the corpus-contract dimensionality, a formula constant)
+    val dir = java.nio.file.Files.createTempDirectory("graft-aniso").toString
+    (0 until 50).map(i => (i.toLong, Array(0f, 0f, (i % 7 + 1).toFloat, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p = ops.Vector.q290EmbeddingAnisotropy(spark, dir).collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getAs[Long]("anisotropy_ppm") == 64L * 1000000L,
+      s"fully-collapsed corpus must hit the 64·10⁶ ceiling exactly: $r")
+    assert(r.getAs[Long]("top_dim") == 3L, s"$r")
+    assert(r.getAs[Long]("top_share_ppm") == 1000000L, s"$r")
+    Caches.releaseAll()
+    // sf corpus: isotropic noise — the healthy band: ratio well below the
+    // collapse ceiling, dominant coordinate carries a minority share
+    val c = ops.Vector.q290EmbeddingAnisotropy(spark, sf()).collect().head
+    val a = c.getAs[Long]("anisotropy_ppm")
+    assert(a >= 1000000L && a <= 4000000L,
+      s"isotropic corpus must read near 10⁶, far from 64·10⁶: $c")
+    assert(c.getAs[Long]("top_share_ppm") <= 500000L,
+      s"no single coordinate may dominate an isotropic corpus: $c")
+    assert(c.getAs[Long]("top_dim") >= 1L && c.getAs[Long]("top_dim") <= 64L)
+    Caches.releaseAll()
+  }
+
   test("q289 JL projection: single-coordinate pairs distort exactly zero, sf laws") {
     import spark.implicits._
     // vectors differing in ONE coordinate j: Δy_b = c(b,j)·Δx_j for every

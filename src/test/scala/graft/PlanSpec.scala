@@ -177,6 +177,9 @@ class PlanSpec extends SparkSpec {
       // the ≤ K² fixed-probe all-pairs audit grid (non-equi self-join of
       // two ≤ K-row broadcast frames — an eval workload, corpus-independent)
       "q289_jl_projection_audit",
+      // per-round 1-row broadcast max-norm frame + the final 1-row scalar
+      // joins (n, trace, Rayleigh num/den) onto the 1-row argmax pick
+      "q290_embedding_anisotropy",
       // q278's range probe with the pooled frame GRID-bounded by
       // logBucketScore (≤ 8·63 rows regardless of corpus cardinality —
       // the bound is a law-tested result column)
